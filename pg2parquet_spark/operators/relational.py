@@ -1,0 +1,607 @@
+"""Relational operator surface (SURVEY.md §2.B).
+
+The reference delegates ALL relational algebra to the PostgreSQL server
+(`/root/reference/cli/src/main.rs:53-58` ships an opaque SQL string); its
+contract is "any PostgreSQL SELECT". Here that surface is Spark SQL /
+DataFrame + Catalyst: scans with pushdown, broadcast/sort-merge joins,
+partial+final hash aggregation, window functions, rollup/grouping sets,
+set ops, sorts and top-k — each expressed declaratively so Catalyst picks
+the physical strategy (AQE re-plans at runtime).
+
+Scale notes (100 TB design intent), per query below:
+- fact-fact joins shuffle on their join key; dimension joins broadcast
+  (region/nation always; customer/supplier/part up to spark's
+  autoBroadcastJoinThreshold — AQE converts to broadcast at runtime when the
+  built side turns out small);
+- aggregations are partial (map-side combine) before the shuffle — that's
+  Spark's default HashAggregate pair, nothing to hand-roll;
+- top-k is `orderBy().limit(k)` which Spark executes as TakeOrderedAndProject
+  (per-partition heap + driver merge, no full sort/shuffle);
+- windows shuffle once on partitionBy keys; running totals reuse that
+  partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.registry import register
+from pg2parquet_spark.tables import table
+
+
+def dec(c: Column | str, prec: int = 15, scale: int = 2) -> Column:
+    """Exact decimal view of a money-ish double column (corpus values are
+    exact 2-decimal, so this cast is lossless → deterministic aggregation)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1-style pricing summary: filter + groupBy + 8 aggregates.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="Pricing summary report: scan-filter-aggregate with exact decimal sums.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity", 12, 2)
+    price = dec("l_extendedprice", 15, 2)
+    disc = dec("l_discount", 4, 2)
+    tax = dec("l_tax", 4, 2)
+    one = F.lit(1)
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — shipping-priority: 3-way join + aggregate + top-10.
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="Join customer×orders×lineitem, aggregate revenue, deterministic top-10.",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-30 00:00:00")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30 00:00:00")
+    revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer side is small after the segment filter → broadcast it
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — local-supplier volume: 6-way join, broadcast dims, group by geo.
+# --------------------------------------------------------------------------
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY r_name, n_name
+""",
+    doc="TPC-H Q5-style multiway join; nation/region broadcast, fact joins shuffle on keys.",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00") & (F.col("o_orderdate") < "1999-01-01 00:00:00")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions.
+# --------------------------------------------------------------------------
+@register(
+    "q_window_topk_per_customer",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    doc="Top-3 orders per customer via row_number window (single shuffle on o_custkey).",
+)
+def q_window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    doc="Per-customer running total — exact decimal cumulative sum over an ordered frame.",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", 15, 2)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q_window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey)  OVER w AS prev_orderkey,
+       LEAD(o_orderkey) OVER w AS next_orderkey,
+       RANK()       OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="lag/lead/rank/dense_rank over per-customer order history.",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.rank().over(wp).alias("prio_rank"),
+        F.dense_rank().over(wp).alias("prio_dense_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k.
+# --------------------------------------------------------------------------
+@register(
+    "q_topk_global",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    doc="Global top-20 — Spark plans TakeOrderedAndProject (per-partition heap, no full sort).",
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants.
+# --------------------------------------------------------------------------
+@register(
+    "q_distinct_agg",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="count distinct + min/max per group (Spark expands distinct into a two-phase agg).",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    bal = dec("c_acctbal", 12, 2)
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min(bal).cast("double").alias("min_bal"),
+        F.max(bal).cast("double").alias("max_bal"),
+    )
+
+
+@register(
+    "q_rollup_lineitem",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP hierarchy totals; grouping nulls coalesced to 'ALL' for a stable shape.",
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 12, 2)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q_cube_orders",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over status×priority.",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", 15, 2)).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+@register(
+    "q_set_ops",
+    oracle="""
+SELECT 'both' AS tag, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS tag, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+""",
+    doc="INTERSECT / EXCEPT / UNION ALL over nation keys.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nk = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp_nk = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust_nk.intersect(supp_nk).select(F.lit("both").alias("tag"), "nationkey")
+    only = cust_nk.subtract(supp_nk).select(F.lit("customer_only").alias("tag"), "nationkey")
+    return both.unionAll(only)
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS).
+# --------------------------------------------------------------------------
+@register(
+    "q_semi_join",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+    doc="left_semi join = EXISTS; counts customers with ≥1 urgent order.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+GROUP BY c_mktsegment
+""",
+    doc="left_anti join = NOT EXISTS; customers with no pending orders.",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    pending = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q_outer_join",
+    oracle="""
+SELECT n_name, COALESCE(cnt, 0) AS n_suppliers
+FROM nation
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey) s
+  ON n_nationkey = s_nationkey
+""",
+    doc="left outer join with pre-aggregated build side (aggregate-below-join keeps the shuffle small).",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    supp_cnt = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return nation.join(
+        supp_cnt, nation.n_nationkey == supp_cnt.s_nationkey, "left"
+    ).select("n_name", F.coalesce("cnt", F.lit(0)).alias("n_suppliers"))
+
+
+# --------------------------------------------------------------------------
+# CASE aggregation (TPC-H Q12-style) + date bucketing.
+# --------------------------------------------------------------------------
+@register(
+    "q_case_priority_by_month",
+    oracle="""
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ship_ym,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+    doc="Conditional aggregation bucketed by ship month.",
+)
+def q_case_priority_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00") & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("ship_ym")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (string/math/conditional — §2.B "scalar functions").
+# --------------------------------------------------------------------------
+@register(
+    "q_scalar_functions",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTR(p_name, 1, 5) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       p_brand || '#' || p_type AS brand_type,
+       ABS(p_size - 25) AS size_dist,
+       p_size % 7 AS size_mod,
+       CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+FROM part
+""",
+    doc="Scalar function projection (JVM-side, whole-stage-codegen; no UDFs).",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.round(dec("p_retailprice", 12, 2), 1).cast("double").alias("price_r1"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (oracle uses FILTER aggregates — same result shape).
+# --------------------------------------------------------------------------
+@register(
+    "q_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="pivot on order status → one count column per status.",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: time bucketing + sessionization (batch analogues of streaming ops).
+# --------------------------------------------------------------------------
+@register(
+    "q_events_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling-hour aggregation over the event stream table.",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(dec("value", 18, 2)).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+WITH eus AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, ts FROM events
+), flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM eus
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+""",
+    doc="Gap-based sessionization: lag + flag-sum (the batch twin of session_window). "
+    "Gap compared in epoch microseconds so both engines see identical integers.",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > 1800 * 1000 * 1000), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship (used by __spark_entry__.entry): q03 at whatever sf_dir is given.
+# --------------------------------------------------------------------------
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q03_shipping_priority(spark, sf_dir)

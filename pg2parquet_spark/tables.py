@@ -1,0 +1,57 @@
+"""Test-corpus table loaders.
+
+The driver-generated TPC-H-ish tables (see TESTDATA.md) are plain Parquet —
+one file per table. Reading them with ``spark.read.parquet`` gives Catalyst
+full pushdown: filters and column pruning reach the scan (verify with
+``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor we target.
+# region/nation are bounded (5 / 25 rows); supplier and part grow with SF but
+# stay several orders of magnitude under the fact tables.
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects. Read it as a long (legacy conf) and rebuild an NTZ timestamp;
+    the corpus has no sub-microsecond components, so ns→µs is lossless."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so SQL-form operators can refer to tables by name."""
+    for name in names:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
