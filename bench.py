@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Materialization uses the `noop` DSv2 sink so every output column is computed
+(a bare .count() would let Catalyst prune the plan to nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.registry import load_all
+
+    spark = get_spark(app_name="pg2parquet_spark_bench", cpus=cpus, shuffle_partitions=cpus)
+    registry = load_all()
+
+    headline = [
+        n
+        for n in (
+            "q01_pricing_summary",
+            "q03_shipping_priority",
+            "q05_local_supplier_volume",
+            "q_window_topk_per_customer",
+            "q_events_hourly",
+            "q_events_sessionize",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "text_quality_stats",
+            "ann_cosine_topk",
+            "sink_roundtrip",
+        )
+        if n in registry
+    ]
+
+    # warm the JVM + parquet footers once so timings measure the query, not boot
+    registry[headline[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
