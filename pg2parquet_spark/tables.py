@@ -45,9 +45,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact
+    # range, so float division would round the last microsecond digit
     return df.withColumn(
         "ts",
-        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
     )
 
 
