@@ -1,5 +1,366 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-(Placeholder — populated in the dedup wave: exact, MinHash+LSH, SimHash,
-n-gram Jaccard, embedding-cosine near-dup.)
+Beyond-reference surface (BASELINE.json north star). Five families, each a
+composition of built-in DataFrame ops — no Python in the hot path:
+
+- exact:         normalize → hash → groupBy (one shuffle on the hash).
+- n-gram Jaccard: shingle → inverted-index self-join → pair counts. The
+                  shingle join is the classic candidate generator; at 100 TB
+                  you'd first drop ultra-frequent shingles (stop-shingles) to
+                  bound the join's skew — expressed here as a max-df filter.
+- MinHash + LSH: K=8 md5 min-hashes → 4 bands → band-bucket join. Only
+                  bucket collisions pair up, so the join is near-linear; the
+                  band hash is the shuffle key.
+- SimHash:       32-bit sign-of-weighted-sum signature per doc.
+- embedding:     cosine near-dup pairs over the embeddings table (exact,
+                  unrolled dot product — see similarity.py for the ANN path).
+
+The test corpus has no duplicates, so the dedup queries run over an
+AUGMENTED corpus: the 500 documents plus case/whitespace-mutated copies
+(exact dups after normalization, doc_id+1_000_000) and token-appended
+copies (near dups, doc_id+2_000_000) — planted deterministically in both
+engines so every operator has true positives to find.
+
+Determinism: md5 is byte-identical across engines; all scores are integer
+ratios (single division) — no float accumulation.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.operators.text import normalize_text, word_shingles
+from pg2parquet_spark.registry import register
+from pg2parquet_spark.tables import table
+
+# ------------------------------------------------------- augmented corpus --
+
+AUG_SQL = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zz0 zz1 zz2 zz3 zz4' FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+NORMED_SQL = r"""
+normed AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM aug
+)
+"""
+
+SHINGLED_SQL = """
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM normed)
+)
+"""
+
+
+def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.session import default_cpus
+
+    # the documents table is one small parquet file → 1-3 input splits; the
+    # downstream shingle/minhash work is CPU-heavy per row, so spread it
+    # across all cores (at 100 TB the source is already many splits and this
+    # repartition disappears behind AQE)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(default_cpus())
+    )
+    exact_copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    near_copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz0 zz1 zz2 zz3 zz4")).alias("text"),
+    )
+    return docs.unionAll(exact_copies).unionAll(near_copies)
+
+
+# ------------------------------------------------------------------ exact --
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}
+SELECT md5(norm) AS content_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS representative
+FROM normed
+GROUP BY md5(norm)
+HAVING COUNT(*) > 1
+""",
+    doc="Exact dedup: normalize → md5 → hash-groupBy; representative = min doc_id. "
+    "One shuffle on the content hash; map-side partial agg bounds it.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_documents(spark, sf_dir)
+    h = F.md5(normalize_text(F.col("text")))
+    return (
+        aug.groupBy(h.alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("representative"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard --
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled) a
+  JOIN (SELECT doc_id, unnest(sh) AS s FROM shingled) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       sa.n + sb.n - common AS union_cnt,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
+""",
+    doc="Near-dup candidates via 3-gram shingle inverted-index join; Jaccard from distinct-"
+    "shingle counts (single integer division). At scale: pre-filter stop-shingles by "
+    "document frequency to kill join skew, then this same plan.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_documents(spark, sf_dir)
+    # persist: the shingle set feeds the inverted index AND both size lookups;
+    # without it the whole normalize+shingle subtree recomputes per branch
+    # (at 100 TB: write signatures to a checkpoint table instead)
+    sh = aug.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+    ).persist()
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (F.col("sa.n") + F.col("sb.n") - F.col("common")).alias("union_cnt"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH --
+_K = 8        # minhash signature length
+_BANDS = 4    # 2 hashes per band
+
+
+def _sig_cols() -> list[Column]:
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"h{k}")
+        for k in range(_K)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(sh, s -> md5('{k}|' || s))) AS h{k}" for k in range(_K))}
+  FROM shingled
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS bh FROM sigs" for b in range(_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(_K))} AS BIGINT) AS matching_hashes,
+       CAST({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(_K))} AS DOUBLE) / {_K} AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+""",
+    doc=f"MinHash({_K}) + LSH({_BANDS} bands): shingle→min-md5 signatures→band-hash bucket "
+    "join. Only bucket collisions are paired — the candidate join is near-linear and the "
+    "band hash is the shuffle key (the 100 TB-safe shape).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_documents(spark, sf_dir)
+    exploded = aug.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s")
+    )
+    # persist: sigs feeds the band explode plus both sides of the verify join
+    # (5 reuses) — the 100 TB analog is a materialized signature table
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist()
+    band_exprs = [
+        F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bh"))
+        for b in range(_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = None
+    for k in range(_K):
+        term = F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("bigint").alias("matching_hashes"),
+            (matches.cast("double") / _K).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- SimHash --
+_SIM_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    cnts = []
+    bit_terms = []
+    val_terms = []
+    for j in range(_SIM_BITS):
+        pos = 1 + j // 4
+        shift = 3 - j % 4
+        cnts.append(
+            f"len(list_filter(md5s, h -> ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) >> {shift}) & 1 = 1)) AS c{j}"
+        )
+        bit_terms.append(f"CASE WHEN 2 * c{j} > n THEN '1' ELSE '0' END")
+        val_terms.append(f"CAST(CASE WHEN 2 * c{j} > n THEN 1 ELSE 0 END AS BIGINT) * {1 << (_SIM_BITS - 1 - j)}")
+    return f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()},
+hashed AS (
+  SELECT doc_id,
+         list_transform(string_split(norm, ' '), t -> md5(t)) AS md5s,
+         len(string_split(norm, ' ')) AS n
+  FROM normed
+),
+cnt AS (
+  SELECT doc_id, n, {", ".join(cnts)} FROM hashed
+)
+SELECT doc_id,
+       {" || ".join(bit_terms)} AS sig_bits,
+       CAST({" + ".join(val_terms)} AS BIGINT) AS sig_value
+FROM cnt
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc=f"SimHash({_SIM_BITS}-bit): per-token md5 bits, majority vote per bit position "
+    "(2·hits > n). Pure expressions over the token array — zero shuffles; near-dup "
+    "pairing then bands the signature halves (see tests).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_documents(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    toks = F.split(norm, " ")
+    md5s = F.transform(toks, lambda t: F.md5(t))
+    n = F.size(toks)
+    base = aug.select("doc_id", md5s.alias("md5s"), n.alias("n"))
+
+    def bit_is_set(pos: int, shift: int):
+        # single-arg lambda factory: F.filter only accepts 1- or 2-arg callables
+        def pred(h: Column) -> Column:
+            hexval = F.position(F.substring(h, pos, 1), F.lit("0123456789abcdef")) - 1
+            return F.shiftright(hexval, shift).bitwiseAND(F.lit(1)) == 1
+
+        return pred
+
+    val_expr = None
+    bits_concat = []
+    for j in range(_SIM_BITS):
+        pos = 1 + j // 4
+        shift = 3 - j % 4
+        cnt = F.size(F.filter(F.col("md5s"), bit_is_set(pos, shift)))
+        bit = F.when(2 * cnt > F.col("n"), 1).otherwise(0)
+        bits_concat.append(F.when(2 * cnt > F.col("n"), F.lit("1")).otherwise(F.lit("0")))
+        term = bit.cast("bigint") * (1 << (_SIM_BITS - 1 - j))
+        val_expr = term if val_expr is None else val_expr + term
+    return base.select(
+        "doc_id",
+        F.concat(*bits_concat).alias("sig_bits"),
+        val_expr.cast("bigint").alias("sig_value"),
+    )
+
+
+# ------------------------------------------------- embedding cosine pairs --
+def _dot_sql(a: str, b: str, dim: int, zero_based: bool) -> str:
+    off = -1 if zero_based else 0
+    return " + ".join(
+        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+EMB_DIM = 64
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb FROM embeddings),
+     b AS (SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings)
+SELECT a_id, b_id, {_dot_sql('a_emb', 'b_emb', EMB_DIM, False)} AS cos_sim
+FROM a JOIN b ON a_id < b_id
+WHERE {_dot_sql('a_emb', 'b_emb', EMB_DIM, False)} >= 0.4
+""",
+    doc="Embedding-cosine near-dup pairs (embeddings are L2-normalized → dot = cosine). "
+    "Exact unrolled fixed-order dot product — bit-identical across engines. The O(n²) "
+    "pair join is the verification stage; candidate generation at scale is the LSH path "
+    "(similarity.py).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    dot = F.expr(_dot_sql("a_emb", "b_emb", EMB_DIM, True))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", dot.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )

@@ -1,5 +1,153 @@
-"""Similarity search over embedding columns.
+"""Similarity search over embedding columns (array<float>).
 
-(Placeholder — populated in the similarity wave: brute-force cosine top-k,
-LSH-bucketed ANN.)
+Two strategies, both pure DataFrame ops:
+
+- `ann_cosine_topk` — brute-force exact baseline: query-set × corpus join,
+  unrolled fixed-order dot product (embeddings are L2-normalized → dot =
+  cosine), row_number window for top-k. O(|Q|·N) — correct at any scale
+  when |Q| is bounded, and the query side broadcasts so the corpus never
+  shuffles.
+- `ann_lsh_bucketed` — the scale path: random-hyperplane sign LSH.
+  Deterministic integer hyperplanes w[j][i] = ((37·i + 101·j) mod 13) − 6
+  give each vector a B-bit bucket; candidates are bucket collisions only,
+  then exact re-rank inside the bucket. The bucket id is the shuffle key →
+  near-linear instead of quadratic. (At 100 TB you'd use multiple hash
+  tables to trade recall for cost — same plan shape, a union over tables.)
+
+Float determinism: every dot product is one generated left-assoc expression
+evaluated identically by Spark and DuckDB (elements cast to DOUBLE first).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.registry import register
+from pg2parquet_spark.tables import table
+
+EMB_DIM = 64
+_PLANES = 4  # bucket bits for the LSH variant
+
+
+def dot_sql(a: str, b: str, dim: int, zero_based: bool) -> str:
+    """Left-assoc unrolled Σ a[i]·b[i], elements cast to DOUBLE — the same
+    string shape is parsed by both engines → bit-identical IEEE result."""
+    off = -1 if zero_based else 0
+    return " + ".join(
+        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def plane_dot_sql(emb: str, plane: int, dim: int, zero_based: bool) -> str:
+    """Σ w[plane][i]·emb[i] with deterministic integer weights; zero-weight
+    terms are skipped identically on both sides."""
+    off = -1 if zero_based else 0
+    terms = []
+    for i in range(1, dim + 1):
+        w = ((37 * i + 101 * plane) % 13) - 6
+        if w == 0:
+            continue
+        terms.append(f"{w} * CAST({emb}[{i + off}] AS DOUBLE)")
+    return " + ".join(terms)
+
+
+def bucket_sql(emb: str, dim: int, zero_based: bool) -> str:
+    """B-bit sign bucket: bit j set iff plane-j dot > 0."""
+    bits = [
+        f"(CASE WHEN {plane_dot_sql(emb, j, dim, zero_based)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+QUERY_FILTER = "vec_id % 50 = 0"  # 10 deterministic query vectors per corpus
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE {QUERY_FILTER}),
+     c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q_id, c_id, {dot_sql('q_emb', 'c_emb', EMB_DIM, False)} AS cos_sim
+  FROM q JOIN c ON q_id <> c_id
+)
+SELECT * FROM (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="Brute-force exact cosine top-5 per query vector. The query set broadcasts "
+    "(10 rows) so the corpus scan never shuffles; ranking shuffles once on q_id.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dot = F.expr(dot_sql("q_emb", "c_emb", EMB_DIM, True))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", dot.alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket_sql('embedding', EMB_DIM, False)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE {QUERY_FILTER}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket FROM b),
+scored AS (
+  SELECT q_id, c_id, q.bucket AS bucket,
+         {dot_sql('q_emb', 'c_emb', EMB_DIM, False)} AS cos_sim
+  FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id
+)
+SELECT * FROM (
+  SELECT q_id, c_id, bucket, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    doc=f"Sign-LSH bucketed ANN: {_PLANES} deterministic integer hyperplanes → "
+    f"{1 << _PLANES} buckets; candidates are same-bucket only, exact re-rank top-3. "
+    "Bucket id is the join/shuffle key — near-linear, the 100 TB path.",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(bucket_sql("embedding", EMB_DIM, True)).alias("bucket"),
+    )
+    q = b.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    dot = F.expr(dot_sql("q_emb", "c_emb", EMB_DIM, True))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")),
+    ).select("q_id", "c_id", "bucket", dot.alias("cos_sim"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "bucket", "cos_sim", "rank")
+    )

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (registration side effect) and return the registry."""
     from pg2parquet_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         text,

@@ -1,4 +1,127 @@
-"""Structured Streaming operators (beyond-reference surface).
+"""Structured Streaming operators (beyond-reference surface — the reference
+is batch-only, SURVEY §2.B "Streaming: absent").
 
-(Placeholder — populated in the streaming wave.)
+Both queries drive a real streaming pipeline over the events parquet via
+`readStream` + `processAllAvailable` into a memory sink, then return the
+sink table. Their DuckDB oracles are the *batch* equivalents, so the
+correctness gate proves streaming results == batch results on the same
+input — the property that matters when the same pipeline later points at
+Kafka.
+
+Scale notes: the hourly aggregate is a classic watermark + tumbling-window
+shape (state per window×type is bounded); session_window keeps per-user
+session state, bounded by the watermark horizon. Memory sink is test-only;
+production sinks swap in via writeStream.format(...) without touching the
+transformation.
 """
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.registry import register
+
+_counter = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of tables._events (nanos → µs timestamps)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource requires a directory; expose the single fixture file
+    # through a temp dir (in production this is the landing directory/Kafka)
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so values
+    # match the batch NTZ view — outputs cast back to NTZ for the oracle
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_memory(agg: DataFrame, name: str) -> None:
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@register(
+    "stream_events_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Streaming tumbling-window (1h) aggregation with watermark, run to completion on "
+    "the parquet-backed stream; oracle is the batch equivalent — streaming == batch.",
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"stream_hourly_{next(_counter)}"
+    _run_to_memory(agg, name)
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sessionize",
+    oracle="""
+WITH eus AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, ts FROM events
+), flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN LAG(us) OVER w IS NULL
+              OR us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM eus
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+""",
+    doc="Stateful streaming sessionization via session_window(ts, 30 min); oracle is the "
+    "batch lag-based sessionizer — the two independent definitions must agree.",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events_in_session"))
+    )
+    name = f"stream_sessions_{next(_counter)}"
+    _run_to_memory(sessions, name)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events_in_session").cast("bigint").alias("n_events"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Semantic tests for the training-data pipeline operators: do the dedup
+operators actually FIND the planted duplicates, does LSH agree with brute
+force inside buckets, does the multimodal plumbing round-trip bytes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.operators import dedup, multimodal, similarity
+from pg2parquet_spark.tables import table
+
+
+def test_exact_dedup_finds_planted_copies(spark, sf_dir):
+    out = dedup.dedup_exact(spark, sf_dir).collect()
+    # every doc_id % 5 == 0 got a case/whitespace-mutated copy → 100 groups of 2
+    assert len(out) == 100
+    assert all(r.n_copies == 2 for r in out)
+    assert all(r.representative < 1000000 for r in out)  # original wins as rep
+
+
+def test_jaccard_finds_planted_near_dups(spark, sf_dir):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             dedup.dedup_ngram_jaccard(spark, sf_dir).collect()}
+    # originals only (docs % 35 == 0 also produce copy↔copy triangle pairs)
+    exact = [(a, b) for (a, b) in pairs if a < 1000000 and b == a + 1000000]
+    near = [(a, b) for (a, b) in pairs if a < 1000000 and b == a + 2000000]
+    assert len(exact) == 100 and all(pairs[p] == 1.0 for p in exact)
+    assert len(near) == 72  # doc_id % 7 == 0 → 72 docs in 0..499
+    assert all(0.6 <= pairs[p] < 1.0 for p in near)
+
+
+def test_minhash_lsh_finds_exact_copies(spark, sf_dir):
+    rows = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    cand = {(r.doc_a, r.doc_b): r.est_jaccard for r in rows}
+    # identical shingle sets → identical signatures → all 4 bands collide
+    exact = [(a, b) for (a, b) in cand if a < 1000000 and b == a + 1000000]
+    assert len(exact) == 100
+    assert all(cand[p] == 1.0 for p in exact)
+    # any candidate collided on ≥1 band ⇒ ≥2 of 8 hashes match
+    assert all(v >= 0.25 for v in cand.values())
+
+
+def test_simhash_copies_share_signature(spark, sf_dir):
+    sigs = {r.doc_id: r.sig_value for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+    for doc in range(0, 500, 5):
+        assert sigs[doc] == sigs[doc + 1000000]  # same normalized tokens
+    # near-dup signatures are close in hamming distance
+    import random
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    dists = [hamming(sigs[d], sigs[d + 2000000]) for d in range(0, 500, 7)]
+    assert sum(dists) / len(dists) <= 8  # 5 appended tokens barely move 32 bits
+
+
+def test_lsh_topk_subset_of_brute_force_bucketmates(spark, sf_dir):
+    """Within a bucket, LSH ranking must equal brute-force ranking filtered
+    to that bucket (determinism + correctness of the re-rank)."""
+    brute = {
+        (r.q_id, r.c_id): r.cos_sim
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh = similarity.ann_lsh_bucketed(spark, sf_dir).collect()
+    assert len(lsh) > 0
+    emb = table(spark, sf_dir, "embeddings")
+    buckets = {
+        r.vec_id: r.bucket
+        for r in emb.select(
+            "vec_id",
+            F.expr(similarity.bucket_sql("embedding", similarity.EMB_DIM, True)).alias("bucket"),
+        ).collect()
+    }
+    for r in lsh:
+        assert buckets[r.q_id] == buckets[r.c_id] == r.bucket
+        # if the pair also appears in the brute-force top-5, the cosine must agree bit-exactly
+        if (r.q_id, r.c_id) in brute:
+            assert brute[(r.q_id, r.c_id)] == r.cos_sim
+
+
+def test_multimodal_roundtrip_and_stubs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    with_img = multimodal.attach_fake_image(docs)
+    meta = {r.doc_id: r for r in multimodal.decode_image_meta(with_img).collect()}
+    src = {r.doc_id: r for r in docs.collect()}
+    for doc_id, r in list(meta.items())[:20]:
+        assert r.width == 64 + src[doc_id].n_chars % 512
+        assert r.height == 64 + (src[doc_id].n_chars * 7) % 512
+        assert r.n_bytes >= 8
+    feats = multimodal.extract_fake_features(with_img).limit(5).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    assert all(0 <= v < 1 for r in feats for v in r.features)
+    with pytest.raises(NotImplementedError, match="pillow|PIL"):
+        multimodal.decode_real_image(with_img)
