@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--lower-bound", type=int)
     e.add_argument("--upper-bound", type=int)
     e.add_argument("--num-partitions", type=int)
+    # hidden debug subcommand, mirrors the reference's parquet-info
+    pi = sub.add_parser("parquet-info", help="Dump schema/row-group info of a parquet file")
+    pi.add_argument("path")
     return p
 
 
@@ -116,12 +119,16 @@ def run_export(args: argparse.Namespace) -> int:
             num_partitions=args.num_partitions,
         )
     if not args.quiet:
-        # A36/A38 analog: schema print (format_schema) + row count after write
+        # A36/A38 analog: schema print (format_schema) + summary stats
         df.printSchema()
+    import time
+
+    t0 = time.time()
     export(df, args.output_file, options)
     if not args.quiet:
-        n = spark.read.parquet(args.output_file).count()
-        print(f"Wrote {n} rows to {args.output_file}")
+        from pg2parquet_spark.parquetinfo import write_stats
+
+        print(write_stats(args.output_file, t0))
     return 0
 
 
@@ -129,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "export":
         return run_export(args)
+    if args.command == "parquet-info":
+        from pg2parquet_spark.parquetinfo import parquet_info
+
+        print(parquet_info(args.path))
+        return 0
     raise SystemExit(2)
 
 

@@ -110,8 +110,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer side is small after the segment filter → broadcast it
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # no static broadcast hint: customer grows with SF — AQE converts
+        # this to broadcast at runtime whenever the filtered side is small
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -153,7 +154,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        # supplier grows with SF → no static hint (AQE decides); nation and
+        # region are bounded (25 / 5 rows) → always-safe broadcast
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -605,3 +608,167 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q03_shipping_priority(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# SQL-surface extras: the reference's contract is "any PostgreSQL SELECT";
+# these exercise the SQL API forms Catalyst must handle beyond the
+# DataFrame-built plans above.
+# --------------------------------------------------------------------------
+@register(
+    "q_expression_query",
+    oracle="""
+SELECT c_custkey * 2 AS doubled_id, UPPER(c_name) AS upper_name
+FROM customer
+""",
+    doc="Expression projection parity with the reference's own CLI test "
+    "(py-tests/test_cli.py:170: SELECT id*2, UPPER(message)).",
+)
+def q_expression_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        (F.col("c_custkey") * 2).alias("doubled_id"),
+        F.upper("c_name").alias("upper_name"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    doc="Explicit GROUPING SETS via the SQL API (rollup/cube cousins above use DataFrame form).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+""",
+    doc="Correlated scalar subquery (Catalyst decorrelates it into an aggregate+join; "
+    "MAX is a selection, so doubles stay deterministic).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                    JOIN orders ON l_orderkey = o_orderkey
+                    WHERE o_orderpriority = '1-URGENT')
+GROUP BY p_brand
+""",
+    doc="IN-subquery form (rewritten by Catalyst to a left-semi join).",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["part", "lineitem", "orders"])
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                            JOIN orders ON l_orderkey = o_orderkey
+                            WHERE o_orderpriority = '1-URGENT')
+        GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "q_cross_join",
+    oracle="""
+SELECT r_name, s.o_orderstatus AS orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+""",
+    doc="Cartesian product of two tiny inputs (explicit crossJoin).",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    statuses = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("orderstatus")
+    ).distinct()
+    return region.crossJoin(statuses).select("r_name", "orderstatus")
+
+
+@register(
+    "q_collect_sorted",
+    oracle="""
+SELECT n_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+FROM nation JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+    doc="Deterministic string aggregation: collect_list is unordered by contract, so "
+    "array_sort before joining (DuckDB: string_agg ORDER BY).",
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supp, supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"))
+    )
+
+
+@register(
+    "q_nulls_ordering",
+    oracle="""
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'P') AS status_or_null,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled
+FROM orders
+ORDER BY NULLIF(o_orderstatus, 'P') NULLS LAST, o_orderkey
+LIMIT 50
+""",
+    doc="NULL semantics surface: NULLIF/COALESCE + ORDER BY ... NULLS LAST (the "
+    "reference's tests always sort NULLS LAST, wrappers.py:117-118).",
+)
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return (
+        orders.select(
+            "o_orderkey",
+            status_or_null.alias("status_or_null"),
+            F.coalesce(status_or_null, F.lit("PENDING")).alias("status_filled"),
+        )
+        .orderBy(F.col("status_or_null").asc_nulls_last(), F.col("o_orderkey"))
+        .limit(50)
+    )
