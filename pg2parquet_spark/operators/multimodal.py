@@ -123,3 +123,52 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     with_img = attach_fake_image(docs)
     return decode_image_meta(with_img)
+
+
+def attach_fake_video(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize an opaque 'video' blob: 4-byte big-endian frame count +
+    body. Frame count derives from n_chars so the oracle can recompute it."""
+    n_frames = (10 + F.col("n_chars") % 20).cast("int")
+    header = F.unhex(F.lpad(F.hex(n_frames), 8, "0"))
+    return df.withColumn("video", F.concat(header, F.encode(F.col(text_col), "UTF-8")))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+       CAST(10 + n_chars % 20 AS INT) AS n_frames
+FROM documents,
+     LATERAL (SELECT UNNEST(range(0, 10 + n_chars % 20, 4)) AS frame_idx) f
+""",
+    doc="Video frame sampling plumbing: synthesize binary 'video' (4-byte frame-"
+    "count header) → mapInPandas parses the header and emits every 4th frame "
+    "index as its own row (1→N explode inside the Arrow batch). The real "
+    "decoder would emit frame bytes per row; the oracle recomputes the "
+    "sampled indices arithmetically, proving the header round-tripped and "
+    "the fan-out is exact.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    with_video = attach_fake_video(docs)
+    out_schema = "doc_id long, frame_idx int, n_frames int"
+    stride = 4
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            totals: list[int] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video"]):
+                if blob is None:
+                    continue
+                (n_frames,) = struct.unpack(">I", bytes(blob[:4]))
+                for i in range(0, n_frames, stride):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "n_frames": totals}
+            )
+
+    return with_video.select("doc_id", "video").mapInPandas(sample, out_schema)

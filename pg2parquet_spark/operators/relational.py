@@ -772,3 +772,257 @@ def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("status_or_null").asc_nulls_last(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H analog wave 2 (adapted to the corpus columns; see TESTDATA.md):
+# q06 forecast revenue, q04 priority-check EXISTS, q10 returned items,
+# q12 conditional aggregation, q14 promo share, q19 disjunctive predicates,
+# q22 anti-join against a scalar aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 analog: pure scan-filter-aggregate; every predicate reaches the "
+    "parquet scan (PushedFilters), decimal comparisons keep the boundary exact.",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc = dec("l_discount", 4, 2)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+            & disc.between("0.05", "0.07")
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice", 15, 2) * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q04_priority_check",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 analog: correlated EXISTS with a non-equi conjunct (shipped >60 "
+    "days after ordering) → Spark left-semi join on the order key; the range "
+    "conjunct rides along as a join residual, so it's still a shuffled equi-join.",
+)
+def q04_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-07-01 00:00:00")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 analog: who returned the most revenue — 4-way join, aggregate, "
+    "deterministic top-20 (TakeOrderedAndProject: per-partition heap, no full sort).",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-07-01 00:00:00")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    doc="TPC-H Q12 analog (corpus has no ship mode → l_linestatus): conditional "
+    "aggregation over a fact-fact equi-join.",
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                     ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       * 100.0 AS promo_share_pct,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT) AS promo_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+    doc="TPC-H Q14 analog: promo revenue share. Both sums are exact decimals; the "
+    "single double division/multiply at the end is order-fixed in both engines.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-04-01 00:00:00")
+    )
+    part = table(spark, sf_dir, "part")
+    disc_price = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0))
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .agg(
+            (
+                F.sum(promo).cast("double") / F.sum(disc_price).cast("double") * 100.0
+            ).alias("promo_share_pct"),
+            F.sum(F.when(F.col("p_type") == "PROMO", 1).otherwise(0))
+            .cast("bigint")
+            .alias("promo_lines"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+    doc="TPC-H Q19 analog: OR-of-ANDs across both join sides. Catalyst extracts the "
+    "common p_brand IN (...) / quantity range conjuncts and pushes them below the "
+    "join; the residual disjunction evaluates post-join.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 40))
+    )
+    revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total,
+         COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * pos.cnt > pos.total
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+    doc="TPC-H Q22 analog: customers with above-average balance and no orders. The "
+    "above-average test is `bal * count > sum` — pure decimal integer arithmetic, "
+    "no division, so the threshold is bit-exact in both engines. NOT EXISTS → "
+    "left-anti join; the scalar aggregate broadcasts.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(dec("c_acctbal", 12, 2)).cast("decimal(20,2)").alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(dec("c_acctbal", 12, 2) * F.col("cnt") > F.col("total"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_acctbal"),
+        )
+    )

@@ -151,3 +151,99 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id", "bucket", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------------------------- IVF ---
+_N_CENTROIDS = 8
+_N_PROBE = 2
+CENTROID_FILTER = f"vec_id % 61 = 3"  # deterministic pseudo-random seed rows
+
+
+def _centroid_cte() -> str:
+    return (
+        f"SELECT vec_id AS cid, embedding AS cemb FROM embeddings "
+        f"WHERE {CENTROID_FILTER} ORDER BY vec_id LIMIT {_N_CENTROIDS}"
+    )
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+WITH cent AS ({_centroid_cte()}),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT q_id, q_emb, cid FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE {QUERY_FILTER}
+  ) WHERE rn <= {_N_PROBE}
+),
+scored AS (
+  SELECT q.q_id, a.vec_id AS c_id,
+         {dot_sql('q.q_emb', 'a.embedding', EMB_DIM, False)} AS cos_sim
+  FROM qprobe q JOIN assign a ON q.cid = a.cid AND q.q_id <> a.vec_id
+)
+SELECT * FROM (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    doc=f"IVF-style ANN: {_N_CENTROIDS} deterministic seed centroids; every vector is "
+    f"assigned to its nearest centroid (argmax of unrolled dots, one broadcast cross "
+    f"join over {_N_CENTROIDS} rows); queries probe their {_N_PROBE} nearest inverted "
+    "lists; exact re-rank inside the probed lists. The centroid id is the shuffle key, "
+    "so the candidate join is near-linear — at 100 TB the assignment table is written "
+    "once (partitioned by cid) and re-used by every query batch; centroids would come "
+    "from k-means over a sample instead of seed rows, same plan shape.",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter(F.expr(CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    cdot = F.expr(dot_sql("embedding", "cemb", EMB_DIM, True))
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc(cdot), F.asc("cid"))
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "embedding", "cid")
+    qprobe = (
+        ranked.filter(F.expr(QUERY_FILTER) & (F.col("rn") <= _N_PROBE))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cid").alias("q_cid"),
+        )
+    )
+    dot = F.expr(dot_sql("q_emb", "embedding", EMB_DIM, True))
+    scored = (
+        assign.join(
+            F.broadcast(qprobe),
+            (F.col("cid") == F.col("q_cid")) & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("c_id"), dot.alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )

@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (registration side effect) and return the registry."""
     from pg2parquet_spark.operators import (  # noqa: F401
+        asof,
         dedup,
         multimodal,
         relational,

@@ -125,3 +125,67 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events_in_session").cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+    doc="Custom stateful streaming operator via applyInPandasWithState: explicit "
+    "per-user state (count + integer-cents sum, exact) updated per Arrow batch, "
+    "update output mode. Oracle is the batch aggregate — explicit state must "
+    "agree with the declarative groupBy. At scale state lives in the state "
+    "store keyed by user_id (the shuffle key); integer cents avoid float "
+    "accumulation-order drift.",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"stream_stateful_{next(_counter)}"
+    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode may emit a row per micro-batch; keep the final state per user
+    latest = spark.table(name)
+    return (
+        latest.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+        )
+    )

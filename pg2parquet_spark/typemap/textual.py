@@ -65,3 +65,19 @@ def jsonb_normalize(raw: Column) -> Column:
     version_ok = F.substring(raw, 1, 1) == F.lit(bytes([1]))
     payload = raw.substr(F.lit(2), F.length(raw))  # substring keeps binary type
     return F.when(version_ok, F.decode(payload, "UTF-8"))
+
+
+def oid_to_long(col: Column) -> Column:
+    """PG `oid` is uint32; JDBC/int32 channels deliver it signed. Reinterpret
+    the signed value as unsigned into a LongType (the documented stand-in for
+    the reference's Integer(32, unsigned) annotation, postgres_cloner.rs:589)."""
+    c = col.cast("long")
+    return F.when(c < 0, c + F.lit(4294967296)).otherwise(c)
+
+
+def char_to_uint8(col: Column) -> Column:
+    """PG `"char"` is a single byte, written by the reference as Integer(8,
+    unsigned) (postgres_cloner.rs:597; read back as UInt8 in
+    py-tests/test_basic_types.py:212-216). Text channels deliver it as a
+    1-char string → its byte value 0-255."""
+    return F.ascii(col).cast("smallint")

@@ -518,3 +518,53 @@ def tm_numeric_string_highprec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.select(
         "n_nationkey", tm.numeric_to_string(num).alias("num_str")
     )
+
+
+# --------------------------------------------------------------------------
+# A26 inet passthrough + §1.3 unsigned reinterpretations (oid, "char").
+# --------------------------------------------------------------------------
+@register(
+    "tm_unsigned_inet",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey,
+         CAST((o_orderkey * 131071) % 4294967296 AS BIGINT) AS oid_true,
+         CHR(33 + CAST(o_orderkey % 90 AS INT)) AS ch,
+         '10.' || CAST(o_orderkey % 256 AS VARCHAR) || '.0.' ||
+            CAST((o_orderkey * 7) % 256 AS VARCHAR) || '/24' AS inet
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(CASE WHEN oid_true >= 2147483648 THEN oid_true - 4294967296
+                 ELSE oid_true END AS INT) AS oid_wire,
+       oid_true AS oid_unsigned,
+       CAST(ord(ch) AS SMALLINT) AS char_uint8,
+       inet AS inet_text
+FROM src
+""",
+    doc="oid uint32 reinterpret (signed wire int32 → unsigned long, "
+    "postgres_cloner.rs:589), \"char\" byte value (→ UInt8 semantics, "
+    ":597), inet text passthrough (myfrom.rs:118-123). Input synthesizes "
+    "wire-signed oids including values past 2^31.",
+)
+def tm_unsigned_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.typemap.textual import char_to_uint8, oid_to_long
+
+    orders = table(spark, sf_dir, "orders")
+    oid_true = ((F.col("o_orderkey") * 131071) % 4294967296).cast("long")
+    wire = F.when(oid_true >= 2147483648, oid_true - 4294967296).otherwise(oid_true).cast("int")
+    ch = F.chr(33 + (F.col("o_orderkey") % 90).cast("int"))
+    inet = F.concat(
+        F.lit("10."), (F.col("o_orderkey") % 256).cast("string"),
+        F.lit(".0."), ((F.col("o_orderkey") * 7) % 256).cast("string"), F.lit("/24"),
+    )
+    src = orders.select(
+        "o_orderkey", wire.alias("oid_wire"), ch.alias("ch"), inet.alias("inet")
+    )
+    return src.select(
+        "o_orderkey",
+        "oid_wire",
+        oid_to_long(F.col("oid_wire")).alias("oid_unsigned"),
+        char_to_uint8(F.col("ch")).alias("char_uint8"),
+        F.col("inet").alias("inet_text"),
+    )
