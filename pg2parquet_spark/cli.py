@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--compression-level", type=int)
     e.add_argument("--single-file", action="store_true",
                    help="one ordered output file (the reference's shape); default = parallel files")
+    e.add_argument("--partition-by", help="comma-separated hive partition columns")
+    e.add_argument("--output-format", choices=["parquet", "csv", "json", "orc"],
+                   default="parquet")
     e.add_argument("--quiet", action="store_true")
     e.add_argument("--fetchsize", type=int, default=10_000)
     e.add_argument("--partition-column")
@@ -93,15 +96,15 @@ def run_export(args: argparse.Namespace) -> int:
         compression=args.compression,
         compression_level=args.compression_level,
         single_file=args.single_file,
+        partition_by=tuple(args.partition_by.split(",")) if args.partition_by else (),
+        output_format=args.output_format,
     )
     spark = get_spark(app_name="pg2parquet_spark_cli")
     if args.input_dir:
-        from pg2parquet_spark.tables import TABLES, register_views
+        # any mix of <table>.parquet/csv/json/jsonl/orc registers as views
+        from pg2parquet_spark.sources.files import register_file_views
 
-        import os
-
-        names = [t for t in TABLES if os.path.exists(f"{args.input_dir}/{t}.parquet")]
-        register_views(spark, args.input_dir, names)
+        register_file_views(spark, args.input_dir)
         query = args.query or f"SELECT * FROM {args.table}"
         df = spark.sql(query)
     else:

@@ -27,20 +27,54 @@ from pg2parquet_spark.options import ExportOptions
 
 
 def export(df: DataFrame, path: str, options: ExportOptions | None = None) -> None:
-    """Write ``df`` to ``path`` as Parquet per the export options."""
+    """Write ``df`` to ``path`` per the export options (parquet default)."""
     options = options or ExportOptions()
-    codec = options.spark_codec  # raises for lzo — same error contract as writer absence
+    if options.sort_by:
+        df = df.orderBy(*options.sort_by)
     out = df.coalesce(1) if options.single_file else df
-    writer = (
-        out.write.mode("overwrite")
-        .option("compression", codec)
-        .option("parquet.block.size", str(options.row_group_bytes))
-    )
-    if options.compression == "zstd" and options.compression_level is not None:
-        writer = writer.option(
-            "parquet.compression.codec.zstd.level", str(options.compression_level)
+    writer = out.write.mode("overwrite")
+    if options.output_format == "parquet":
+        codec = options.spark_codec  # raises for lzo — same error contract as writer absence
+        writer = writer.option("compression", codec).option(
+            "parquet.block.size", str(options.row_group_bytes)
         )
-    writer.parquet(path)
+        if options.compression == "zstd" and options.compression_level is not None:
+            writer = writer.option(
+                "parquet.compression.codec.zstd.level", str(options.compression_level)
+            )
+    if options.partition_by:
+        # hive-style layout: readers get partition pruning on these columns
+        writer = writer.partitionBy(*options.partition_by)
+    if options.output_format == "parquet":
+        writer.parquet(path)
+    elif options.output_format == "csv":
+        writer.option("header", "true").csv(path)
+    elif options.output_format == "json":
+        writer.json(path)
+    else:
+        writer.orc(path)
+
+
+def export_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a bucketed+sorted managed parquet table.
+
+    The scale story: two tables bucketed on their join key by the same
+    bucket count join WITHOUT a shuffle (SortMergeJoin reads co-located
+    buckets directly) — the Spark analog of co-partitioned storage. Used for
+    fact tables that are joined repeatedly on the same key; verified
+    shuffle-free by tests/test_export.py::test_bucketed_join_no_shuffle.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table_name)
 
 
 def export_query(

@@ -65,15 +65,7 @@ shingled AS (
 def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2parquet_spark.session import default_cpus
 
-    # the documents table is one small parquet file → 1-3 input splits; the
-    # downstream shingle/minhash work is CPU-heavy per row, so spread it
-    # across all cores (at 100 TB the source is already many splits and this
-    # repartition disappears behind AQE)
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(default_cpus())
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     exact_copies = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit("  ")).alias("text"),
@@ -82,7 +74,16 @@ def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz0 zz1 zz2 zz3 zz4")).alias("text"),
     )
-    return docs.unionAll(exact_copies).unionAll(near_copies)
+    # the documents table is one small parquet file → 1-3 input splits; the
+    # downstream shingle/minhash work is CPU-heavy per row, so spread it
+    # across all cores. ONE exchange after the union (not one per branch —
+    # union needs no co-partitioning); at 100 TB the source is already many
+    # splits and this repartition is dropped entirely.
+    return (
+        docs.unionAll(exact_copies)
+        .unionAll(near_copies)
+        .repartition(default_cpus())
+    )
 
 
 # ------------------------------------------------------------------ exact --
@@ -363,4 +364,65 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", dot.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ------------------------------------------- end-to-end curation pipeline --
+@register(
+    "pipeline_corpus_curation",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()},
+ranked AS (
+  SELECT doc_id, norm,
+         ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(norm)) AS n_copies
+  FROM normed
+),
+kept AS (
+  SELECT doc_id, norm, n_copies,
+         len(string_split(norm, ' ')) AS n_tokens
+  FROM ranked WHERE rn = 1
+)
+SELECT COUNT(*) AS n_docs_kept,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups_collapsed,
+       CAST(SUM(CASE WHEN n_tokens >= 10 THEN n_tokens ELSE 0 END) AS BIGINT) AS total_tokens_quality,
+       CAST(SUM(CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_quality
+FROM kept
+""",
+    doc="End-to-end curation capstone: augmented corpus → exact dedup keeping the "
+    "min-doc_id representative (one shuffle on the content hash; window gives "
+    "representative AND group size in the same pass) → token-count quality gate "
+    "→ corpus-level stats. The composition a 100 TB curation job runs nightly; "
+    "every stage is the already-benchmarked operator above.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    aug = augmented_documents(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    hashed = aug.select("doc_id", norm.alias("norm")).withColumn(
+        "content_hash", F.md5("norm")
+    )
+    w = W.partitionBy("content_hash")
+    ranked = hashed.select(
+        "doc_id",
+        "norm",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    kept = ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "n_copies",
+        F.size(F.split(F.col("norm"), " ")).alias("n_tokens"),
+    )
+    quality = F.col("n_tokens") >= 10
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups_collapsed"),
+        F.sum(F.when(quality, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("total_tokens_quality"),
+        F.sum(F.when(quality, 1).otherwise(0)).cast("bigint").alias("n_docs_quality"),
     )
