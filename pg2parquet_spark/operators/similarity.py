@@ -247,3 +247,72 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+# --------------------------------------------------------------- k-means ---
+def kmeans_iterate(
+    emb: DataFrame, k: int = _N_CENTROIDS, iterations: int = 2
+) -> DataFrame:
+    """Fixed-iteration distributed Lloyd over the embedding column.
+
+    The MLlib-style loop: per iteration, (1) assign each vector to its
+    nearest centroid — a broadcast cross join over k rows + argmax window,
+    one shuffle on vec_id; (2) recompute centroids as per-dimension means —
+    posexplode to (cid, dim, val), one shuffle on (cid, dim), then the k×dim
+    result (bounded, independent of data size) collects to the driver and
+    broadcasts into the next iteration. Init = the deterministic IVF seed
+    rows, so runs are reproducible.
+
+    Returns the final assignment (vec_id, cid, n_members-per-cid).
+    """
+    cent = (
+        emb.filter(F.expr(CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    assign = None
+    for _ in range(iterations):
+        cdot = F.expr(dot_sql("embedding", "cemb", EMB_DIM, True))
+        assign = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.desc(cdot), F.asc("cid"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+        means = (
+            assign.select("cid", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("cemb")
+            )
+        )
+        cent = means
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return assign.select("vec_id", "cid").join(F.broadcast(sizes), "cid").select(
+        "vec_id", "cid", "n_members"
+    )
+
+
+@register(
+    "ml_kmeans_fixed",
+    oracle=None,  # iterative float means are not SQL-oracle-able; rows-only check
+    doc=f"Fixed-iteration (2) distributed k-means over the embeddings table, "
+    f"k={_N_CENTROIDS}, deterministic seed init. Assignment = broadcast cross "
+    "join + argmax (shuffle on vec_id); centroid update = posexplode + "
+    "(cid,dim) mean — k×dim bounded state between iterations, the structure "
+    "that scales to any corpus size.",
+)
+def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_iterate(emb)
