@@ -1026,3 +1026,105 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal", 12, 2)).cast("double").alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function families round 2: JSON, range window frames, datetime.
+# --------------------------------------------------------------------------
+@register(
+    "q_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+""",
+    doc="JSON path extraction over the events.props column (get_json_object → "
+    "JVM-side JsonPath, no UDF; the reference ships json as opaque text and "
+    "delegates extraction to PG's ->> operator).",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q_window_frames",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (PARTITION BY o_custkey ORDER BY day_num
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_31d,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY day_num, o_orderkey) AS recency_quartile
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_num
+      FROM orders)
+""",
+    doc="RANGE window frame (30-day sliding spend — a value-range frame, not a "
+    "row-count frame) + NTILE quartiles. One shuffle on o_custkey serves both "
+    "window functions.",
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", day_num.alias("day_num")
+    )
+    w_range = (
+        W.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, W.currentRow)
+    )
+    w_tile = W.partitionBy("o_custkey").orderBy("day_num", "o_orderkey")
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice", 15, 2)).over(w_range).cast("double").alias("spend_31d"),
+        F.ntile(4).over(w_tile).alias("recency_quartile"),
+    )
+
+
+@register(
+    "q_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS d,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+       CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start
+FROM orders
+WHERE o_orderkey % 17 = 0
+""",
+    doc="Datetime function tour: component extraction, truncation, last_day, "
+    "interval arithmetic, day difference — all codegen expressions.",
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(od).cast("bigint").alias("y"),
+        F.quarter(od).cast("bigint").alias("q"),
+        F.month(od).cast("bigint").alias("m"),
+        F.dayofmonth(od).cast("bigint").alias("d"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.last_day(od.cast("date")).cast("string").alias("month_end"),
+        (od + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.datediff(od, F.lit("1995-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
