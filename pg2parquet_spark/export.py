@@ -90,3 +90,36 @@ def export_query(
     df = spark.sql(query)
     export(df, path, options)
     return df
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    options: ExportOptions | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~target_file_mb. The many-small-files problem is the chronic failure
+    mode of incremental ingestion at scale (every NameNode/footer-read
+    scales with file count); this is the maintenance pass that fixes it.
+
+    File count = ceil(current_bytes / target); data is round-robin
+    repartitioned so output files are uniform. Returns the new file count.
+    Rewrites via a temp dir so a mid-compaction failure never corrupts the
+    source dataset.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    current_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    n_files = max(1, math.ceil(current_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    export(df.repartition(n_files), tmp, options)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

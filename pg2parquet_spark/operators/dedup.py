@@ -356,10 +356,12 @@ WHERE {_dot_sql('a_emb', 'b_emb', EMB_DIM, False)} >= 0.4
     "(similarity.py).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.similarity import dot_col
+
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    dot = F.expr(_dot_sql("a_emb", "b_emb", EMB_DIM, True))
+    dot = dot_col("a_emb", "b_emb")
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", dot.alias("cos_sim"))

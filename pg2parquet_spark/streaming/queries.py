@@ -189,3 +189,43 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total_cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "stream_dedup_exact",
+    oracle="""
+WITH normed AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+         doc_id
+  FROM documents
+)
+SELECT COUNT(DISTINCT content_hash) AS n_unique, COUNT(*) AS n_docs
+FROM normed
+""",
+    doc="Streaming exact dedup: dropDuplicates on the content hash over a "
+    "parquet-backed stream (state = one hash per distinct doc, the shape "
+    "used for online ingestion dedup); oracle is the batch DISTINCT count — "
+    "streaming must converge to exactly the batch answer.",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    import os
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet")
+    stream = spark.readStream.schema(docs_schema).parquet(stream_dir)
+    hashed = stream.select(
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias(
+            "content_hash"
+        )
+    )
+    uniq = hashed.dropDuplicates(["content_hash"]).agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    name = f"stream_dedup_{next(_counter)}"
+    _run_to_memory(uniq, name)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return spark.table(name).select(
+        "n_unique", F.lit(n_docs).cast("bigint").alias("n_docs")
+    )

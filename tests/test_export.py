@@ -319,3 +319,16 @@ def test_audit_conversions(spark):
     assert rows["a_int"].sample_bad == "oops"
     assert rows["b_short"].n_nulled == 2
     assert rows["b_short"].sample_bad in {"x", "9999999999"}
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from pg2parquet_spark.export import compact, export
+    from pg2parquet_spark.options import ExportOptions
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "fragmented")
+    export(li.repartition(24), out, ExportOptions(compression="snappy"))
+    assert len(glob.glob(f"{out}/*.parquet")) == 24
+    n = compact(spark, out, target_file_mb=512)
+    assert n == 1  # sf0.001 lineitem ≪ 512 MB
+    assert spark.read.parquet(out).count() == li.count()
