@@ -1128,3 +1128,50 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since_epoch_start"),
     )
+
+
+@register(
+    "q_lateral_explode",
+    oracle="""
+SELECT doc_id, t.token, len(t.token) AS token_len
+FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE doc_id % 25 = 0) d,
+     LATERAL (SELECT UNNEST(toks) AS token) t
+WHERE len(t.token) >= 12
+""",
+    doc="Table-function / LATERAL surface: one row per token via explode — the "
+    "generator runs inside the scan stage (no shuffle); PG spells it "
+    "unnest()/LATERAL, Spark explode().",
+)
+def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.explode(F.split(norm, " ")).alias("token"))
+        .filter(F.length("token") >= 12)
+        .select("doc_id", "token", F.length("token").alias("token_len"))
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.95) AS p95,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS p100
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="Exact percentiles (linear interpolation — Spark `percentile`, DuckDB "
+    "quantile_cont; the interpolation arithmetic is order-independent, so "
+    "results are bit-identical). At 100 TB you'd switch to approx_percentile "
+    "(t-digest sketch, mergeable map-side) — same query shape.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        F.max("o_totalprice").cast("double").alias("p100"),
+    )

@@ -1,18 +1,21 @@
 """Similarity search over embedding columns (array<float>).
 
-Two strategies, both pure DataFrame ops:
+All strategies are pure DataFrame ops:
 
 - `ann_cosine_topk` — brute-force exact baseline: query-set × corpus join,
-  unrolled fixed-order dot product (embeddings are L2-normalized → dot =
-  cosine), row_number window for top-k. O(|Q|·N) — correct at any scale
-  when |Q| is bounded, and the query side broadcasts so the corpus never
-  shuffles.
+  fixed-order dot product (embeddings are L2-normalized → dot = cosine),
+  row_number window for top-k. O(|Q|·N) — correct at any scale when |Q| is
+  bounded, and the query side broadcasts so the corpus never shuffles.
 - `ann_lsh_bucketed` — the scale path: random-hyperplane sign LSH.
   Deterministic integer hyperplanes w[j][i] = ((37·i + 101·j) mod 13) − 6
   give each vector a B-bit bucket; candidates are bucket collisions only,
   then exact re-rank inside the bucket. The bucket id is the shuffle key →
-  near-linear instead of quadratic. (At 100 TB you'd use multiple hash
-  tables to trade recall for cost — same plan shape, a union over tables.)
+  near-linear instead of quadratic.
+- `ann_lsh_multitable` — recall dial: union of independent hash tables.
+- `ann_ivf_probe` — inverted-file: nearest-centroid assignment, queries
+  probe their top lists; the centroid id is the shuffle key.
+- `ml_kmeans_fixed` — fixed-iteration Lloyd producing the IVF centroids at
+  deploy time (bounded k×dim state between iterations).
 
 Float determinism: every dot product accumulates left-assoc over elements
 cast to DOUBLE first — DuckDB evaluates the unrolled `dot_sql` string, Spark
@@ -65,6 +68,16 @@ def plane_dot_sql(emb: str, plane: int, dim: int, zero_based: bool) -> str:
             continue
         terms.append(f"{w} * CAST({emb}[{i + off}] AS DOUBLE)")
     return " + ".join(terms)
+
+
+def bucket_sql_offset(emb: str, dim: int, zero_based: bool, offset: int) -> str:
+    """Independent hash table: same sign-bucket scheme with plane ids shifted
+    by ``offset`` → a different deterministic hyperplane set."""
+    bits = [
+        f"(CASE WHEN {plane_dot_sql(emb, j + offset, dim, zero_based)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
 
 
 def bucket_sql(emb: str, dim: int, zero_based: bool) -> str:
@@ -330,3 +343,71 @@ def kmeans_iterate(
 def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_iterate(emb)
+
+
+# ------------------------------------------------------ multi-table LSH ---
+_TABLES = 2  # independent hash tables (plane offsets 0 and 100)
+
+
+@register(
+    "ann_lsh_multitable",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {bucket_sql('embedding', EMB_DIM, False)} AS b0,
+         {bucket_sql_offset('embedding', EMB_DIM, False, 100)} AS b1
+  FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS q_emb, c.embedding AS c_emb
+  FROM b q JOIN b c ON q.b0 = c.b0 AND q.vec_id <> c.vec_id
+  WHERE {QUERY_FILTER.replace('vec_id', 'q.vec_id')}
+  UNION
+  SELECT q.vec_id, c.vec_id, q.embedding, c.embedding
+  FROM b q JOIN b c ON q.b1 = c.b1 AND q.vec_id <> c.vec_id
+  WHERE {QUERY_FILTER.replace('vec_id', 'q.vec_id')}
+)
+SELECT * FROM (
+  SELECT q_id, c_id, {dot_sql('q_emb', 'c_emb', EMB_DIM, False)} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY {dot_sql('q_emb', 'c_emb', EMB_DIM, False)} DESC, c_id) AS rank
+  FROM cand
+) WHERE rank <= 3
+""",
+    doc=f"Multi-table sign-LSH: {_TABLES} independent hyperplane sets, candidates = "
+    "union of per-table bucket collisions (recall improves with each table; cost "
+    "stays near-linear — each union arm is an equi-join on its bucket id). The "
+    "100 TB trade dial: tables × bucket-bits = recall × cost.",
+)
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(bucket_sql("embedding", EMB_DIM, True)).alias("b0"),
+        F.expr(bucket_sql_offset("embedding", EMB_DIM, True, 100)).alias("b1"),
+    )
+    q = b.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "b0", "b1"
+    )
+    arms = [
+        c.join(F.broadcast(q), (F.col("qb0") == F.col("b0")) & (F.col("q_id") != F.col("c_id"))),
+        c.join(F.broadcast(q), (F.col("qb1") == F.col("b1")) & (F.col("q_id") != F.col("c_id"))),
+    ]
+    cand = (
+        arms[0].select("q_id", "c_id", "q_emb", "c_emb")
+        .unionAll(arms[1].select("q_id", "c_id", "q_emb", "c_emb"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    dot = dot_col("q_emb", "c_emb")
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        cand.select("q_id", "c_id", dot.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
