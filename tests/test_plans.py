@@ -1,0 +1,86 @@
+"""Physical-plan discipline tests.
+
+Correctness is gated by the DuckDB oracle; these tests gate the *plans* —
+the properties that decide whether a query survives a 100×–1000× scale-up:
+filters reaching the parquet scan, column pruning, no accidental nested-loop
+joins, broadcast only where bounded. A plan regression fails here even while
+values stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pg2parquet_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = load_all()[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = load_all()[name].fn(spark, SF)
+    return df._jdf.queryExecution().toString()
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark):
+    plan = optimized_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 needed columns only — never the full lineitem schema
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q03_all_three_scans_filtered(spark):
+    plan = optimized_of(spark, "q03_shipping_priority")
+    assert plan.count("PushedFilters: [IsNotNull(") >= 3
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_range_join_is_not_nested_loop(spark):
+    plan = plan_of(spark, "q_range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the equi-join on the bin is what makes this scale
+    assert "bin" in plan
+
+
+def test_asof_join_single_window_no_join(spark):
+    plan = plan_of(spark, "q_asof_join")
+    assert "Join" not in plan  # union + window, never an inequality join
+    assert "Window" in plan
+
+
+def test_bounded_dims_broadcast(spark):
+    plan = plan_of(spark, "q05_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan  # nation/region hints survive
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # one repartition (corpus spread) + one agg exchange; no join shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_candidate_join_on_band_hash(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_broadcasts_query_side_only(spark):
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "BroadcastExchange" in plan  # 10-row query side
+    assert "SortMergeJoin" not in plan  # corpus never shuffles for the join
+
+
+@pytest.mark.parametrize(
+    "name", ["text_quality_stats", "text_token_stats", "text_lang_id", "text_fingerprint"]
+)
+def test_text_ops_shuffle_free(spark, name):
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, f"{name} should be pure map work:\n{plan}"
