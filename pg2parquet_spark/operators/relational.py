@@ -1175,3 +1175,42 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
         F.max("o_totalprice").cast("double").alias("p100"),
     )
+
+
+@register(
+    "q_rollup_reuse",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM hourly
+GROUP BY 1, 2
+""",
+    doc="Hypertable/continuous-aggregate pattern: the daily answer is computed "
+    "FROM the hourly rollup, not from raw events — proving the aggregate is "
+    "mergeable (counts and integer cents re-aggregate losslessly). At scale the "
+    "hourly level is a materialized table maintained incrementally by the "
+    "streaming twin (stream_events_hourly); every coarser window reads it "
+    "instead of the raw 100 TB.",
+)
+def q_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "h").cast("timestamp_ntz").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     from pg2parquet_spark.operators import (  # noqa: F401
         asof,
         dedup,
+        sketch,
         multimodal,
         relational,
         similarity,

@@ -332,3 +332,20 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     n = compact(spark, out, target_file_mb=512)
     assert n == 1  # sf0.001 lineitem ≪ 512 MB
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_parquet_info_and_write_stats(spark, sf_dir, tmp_path):
+    """A36/A38 tooling: the info dump names schema+row groups; stats count
+    rows/bytes/files like the reference's summary meter."""
+    import time
+
+    from pg2parquet_spark.parquetinfo import parquet_info, write_stats
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = str(tmp_path / "info.parquet")
+    export(region, out, ExportOptions(compression="snappy", single_file=True))
+    info = parquet_info(out)
+    assert "r_name" in info and "row group 0" in info and "rows=5" in info
+    stats = write_stats(out, time.time() - 1.0)
+    assert stats.rows == 5 and stats.files == 1 and stats.row_groups == 1
+    assert "5 rows" in str(stats)
