@@ -34,6 +34,7 @@ from pg2parquet_spark.options import (
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pg2parquet-spark")
+    p.add_argument("--version", action="version", version="pg2parquet-spark 0.1.0")
     sub = p.add_subparsers(dest="command", required=True)
     e = sub.add_parser("export", help="Export a table or query result to Parquet")
     e.add_argument("-o", "--output-file", required=True)

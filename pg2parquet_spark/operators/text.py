@@ -240,3 +240,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("md5_fp"),
         rolling.alias("rolling_fp"),
     )
+
+
+@register(
+    "pipeline_train_test_split",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INT) < 80
+              THEN 'train' ELSE 'test' END AS split,
+         len(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM tagged GROUP BY split
+""",
+    doc="Deterministic train/test split: md5(doc_id) %% 100 — NOT rand(), so the "
+    "split is stable across runs, engines, retries, and re-partitioning (the "
+    "property a reproducible training pipeline needs; a rand()-based split "
+    "changes under task retry). 80/20 by hash bucket; reports per-split doc "
+    "and token totals.",
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    split = F.when(bucket < 80, "train").otherwise("test")
+    n_tokens = F.size(F.split(normalize_text(F.col("text")), " "))
+    return (
+        docs.select(split.alias("split"), n_tokens.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
