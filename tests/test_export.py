@@ -349,3 +349,15 @@ def test_parquet_info_and_write_stats(spark, sf_dir, tmp_path):
     stats = write_stats(out, time.time() - 1.0)
     assert stats.rows == 5 and stats.files == 1 and stats.row_groups == 1
     assert "5 rows" in str(stats)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    """Left salted join must keep unmatched large-side rows exactly once."""
+    from pg2parquet_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k int, v string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    got = sorted(
+        (r.k, r.v, r.w) for r in salted_join(large, small, "k", n_salts=4, how="left").collect()
+    )
+    assert got == [(1, "a", "x"), (2, "b", "y"), (99, "zz", None)]
