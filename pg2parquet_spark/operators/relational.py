@@ -1214,3 +1214,301 @@ def q_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H analog wave 3: multi-join pair analysis, conditional shares,
+# distributions, scalar-subquery max, correlated thresholds, and the
+# semi+anti combination.
+# --------------------------------------------------------------------------
+@register(
+    "q07_nation_trade",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7 analog: bilateral trade volume — six-way join with a nation-pair "
+    "disjunction; both nation joins broadcast (bounded dim).",
+)
+def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+WITH t AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+         n_name
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN n_name = 'BRAZIL' THEN volume ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       CAST(SUM(CASE WHEN n_name = 'BRAZIL' THEN 1 ELSE 0 END) AS BIGINT) AS brazil_lines
+FROM t GROUP BY o_year
+""",
+    doc="TPC-H Q8 analog: one nation's share of yearly volume — conditional decimal "
+    "sums, single double division at the end.",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    volume = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    is_brazil = F.col("n_name") == "BRAZIL"
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(is_brazil, volume).otherwise(F.lit(0))).cast("double")
+                / F.sum(volume).cast("double")
+            ).alias("mkt_share"),
+            F.sum(F.when(is_brazil, 1).otherwise(0)).cast("bigint").alias("brazil_lines"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 analog: customer order-count distribution — a left join "
+    "(customers with zero orders count as 0) feeding a second aggregation; "
+    "both aggs are integer-only.",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+    doc="TPC-H Q15 analog: supplier(s) with the maximum quarterly revenue — the "
+    "max threshold is an exact DECIMAL comparison (scalar subquery broadcast), "
+    "so ties and equality are deterministic.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-04-01 00:00:00")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        supp.join(rev, supp.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN pa ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(12,2)) * cnt * 5 < qty_sum
+""",
+    doc="TPC-H Q17 analog: revenue from below-20%%-of-average-quantity lines. The "
+    "threshold is `qty * cnt * 5 < sum` — pure decimal integer arithmetic, no "
+    "division, so the boundary is bit-exact (same trick as q22).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(dec("l_quantity", 12, 2)).alias("qty_sum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    li2 = table(spark, sf_dir, "lineitem")
+    return (
+        li2.join(pa, li2.l_partkey == pa.pk)
+        .filter(dec("l_quantity", 12, 2) * F.col("cnt") * 5 < F.col("qty_sum"))
+        .agg(
+            (F.sum(dec("l_extendedprice", 15, 2)).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey AS ok
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(tq AS DOUBLE) AS total_qty
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+  FROM orders
+  JOIN big ON o_orderkey = big.ok
+  JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, o_orderkey, o_orderdate
+) o
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 25
+""",
+    doc="TPC-H Q18 analog: large-volume orders — a HAVING-filtered semi source "
+    "pre-shrinks the fact before the customer join; exact-decimal quantity sums "
+    "make the top-25 boundary deterministic.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("s"))
+        .filter(F.col("s") > 200)
+        .select("ok")
+    )
+    per_order = (
+        orders.join(big, orders.o_orderkey == big.ok)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("tq"))
+    )
+    return (
+        per_order.join(cust, cust.c_custkey == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.col("tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+  GROUP BY l_orderkey HAVING COUNT(*) > 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late
+JOIN multi ON late.l_orderkey = multi.l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 analog (adapted to available columns): suppliers whose lines "
+    "shipped >90 days late on multi-supplier orders — distinct-pair semi source "
+    "joined to a HAVING-filtered order set; counts only, fully deterministic.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("l_orderkey")
+    )
+    return (
+        late.join(multi, "l_orderkey")
+        .join(supp, supp.s_suppkey == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
