@@ -1512,3 +1512,245 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H analog wave 4 — the five queries whose canonical form needs the
+# `partsupp` table (absent from the corpus), each adapted to the available
+# columns while keeping the query SHAPE the original exercises: correlated
+# min (q02), multi-dim profit rollup (q09), fraction-of-total threshold
+# (q11), distinct-count with exclusion (q16), nested semi thresholds (q20).
+# Adaptation note per query in its docstring.
+# --------------------------------------------------------------------------
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(CAST(l_extendedprice AS DECIMAL(15,2))) AS best
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best_per_part AS (
+  SELECT pk, MIN(best) AS part_best FROM offers GROUP BY pk
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(part_best AS DOUBLE) AS best_price
+FROM offers
+JOIN best_per_part ON offers.pk = best_per_part.pk AND offers.best = part_best
+JOIN part     ON p_partkey = offers.pk
+JOIN supplier ON s_suppkey = offers.sk
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 analog (no partsupp: the offer catalog is derived as the "
+    "min extended price each supplier ever charged for a part). Correlated-min "
+    "pattern: per-part minimum joined back by exact DECIMAL equality; "
+    "region/nation broadcast; top-100 via TakeOrderedAndProject.",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(dec("l_extendedprice", 15, 2)).alias("best"))
+    best_per_part = (
+        offers.groupBy("pk")
+        .agg(F.min("best").alias("part_best"))
+        .select(F.col("pk").alias("bpk"), "part_best")
+    )
+    return (
+        offers.join(
+            best_per_part,
+            (offers.pk == F.col("bpk")) & (offers.best == F.col("part_best")),
+        )
+        .drop("bpk")
+        .join(part, F.col("p_partkey") == offers.pk)
+        .join(supp, F.col("s_suppkey") == F.col("sk"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("part_best").cast("double").alias("best_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q09_product_type_profit",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(p_retailprice AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(12,2)) * 0.1) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 analog (no partsupp.ps_supplycost: cost proxied as 10%% of "
+    "retail price × quantity, exact decimal arithmetic). Profit by supplier "
+    "nation × order year for parts named '%%red%%' — the part filter prunes "
+    "before the fact join; nation broadcast.",
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    profit = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2)) - dec(
+        "p_retailprice", 15, 2
+    ) * dec("l_quantity", 12, 2) * F.lit(0.1).cast("decimal(2,1)")
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS v
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'GERMANY'
+  GROUP BY l_partkey
+)
+SELECT pk AS l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val
+WHERE v * 500 > (SELECT SUM(v) FROM val)
+""",
+    doc="TPC-H Q11 analog (shipment value instead of partsupp stock value). "
+    "Fraction-of-total threshold kept exact: `v * 500 > total` is pure decimal "
+    "integer arithmetic — no double division at the boundary, so membership is "
+    "bit-stable across engines. Scalar total broadcast to every partition.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    val = (
+        li.join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey"))
+        .agg(F.sum(dec("l_extendedprice", 15, 2)).alias("v"))
+    )
+    total = val.agg(F.sum("v").alias("tot"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") * 500 > F.col("tot"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#17'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 analog (suppliers observed shipping the part stand in for "
+    "partsupp; the 'customer complaints' exclusion becomes negative-balance "
+    "suppliers). Distinct-count after an anti-join exclusion list (broadcast "
+    "NOT IN); part predicate prunes before the join.",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#17")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+WITH per_ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+per_part AS (SELECT pk, SUM(sq) AS tot FROM per_ps GROUP BY pk),
+dominant AS (
+  SELECT DISTINCT sk FROM per_ps
+  JOIN per_part ON per_ps.pk = per_part.pk
+  JOIN part ON p_partkey = per_ps.pk
+  WHERE p_name LIKE '%red%' AND sq * 2 > tot
+)
+SELECT s_name, s_suppkey, n_name
+FROM supplier
+JOIN dominant ON s_suppkey = sk
+JOIN nation ON n_nationkey = s_nationkey
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q20 analog (availqty threshold becomes 'supplier shipped the "
+    "majority of that part's 1997 volume'). Nested semi pattern: per-(part,supp) "
+    "sums vs per-part totals with an exact `sq*2 > tot` decimal boundary, "
+    "distinct suppliers, then a dimension join. No partsupp needed.",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    per_ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(dec("l_quantity", 12, 2)).alias("sq"))
+    per_part = per_ps.groupBy("pk").agg(F.sum("sq").alias("tot"))
+    dominant = (
+        per_ps.join(per_part, "pk")
+        .join(part, part.p_partkey == F.col("pk"))
+        .filter(F.col("sq") * 2 > F.col("tot"))
+        .select("sk")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == F.col("sk"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "s_suppkey", "n_name")
+        .orderBy("s_suppkey")
+    )
