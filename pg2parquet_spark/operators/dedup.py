@@ -182,6 +182,41 @@ def _sig_cols() -> list[Column]:
     ]
 
 
+def _lsh_sigs_and_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front end: (signatures, candidate pairs doc_a < doc_b).
+
+    Signatures are persisted — they feed the band explode plus both sides of
+    the verify join; the 100 TB analog is a materialized signature table.
+    """
+    aug = augmented_documents(spark, sf_dir)
+    exploded = aug.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s")
+    )
+    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist()
+    band_exprs = [
+        F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bh"))
+        for b in range(_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return sigs, cand
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -211,32 +246,7 @@ JOIN sigs sb ON sb.doc_id = doc_b
     "band hash is the shuffle key (the 100 TB-safe shape).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_documents(spark, sf_dir)
-    exploded = aug.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s")
-    )
-    # persist: sigs feeds the band explode plus both sides of the verify join
-    # (5 reuses) — the 100 TB analog is a materialized signature table
-    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist()
-    band_exprs = [
-        F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bh"))
-        for b in range(_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sigs, cand = _lsh_sigs_and_candidates(spark, sf_dir)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     matches = None
@@ -428,3 +438,91 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_tokens_quality"),
         F.sum(F.when(quality, 1).otherwise(0)).cast("bigint").alias("n_docs_quality"),
     )
+
+
+# ------------------------------------------- connected-component clusters --
+_CC_SQL_BODY = f"""
+bi AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM cand
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM bi
+  UNION
+  SELECT r.src, bi.b FROM reach r JOIN bi ON bi.a = r.dst
+),
+comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
+)
+SELECT comp AS cluster_rep,
+       COUNT(*) AS cluster_size,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+FROM comp GROUP BY comp
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(sh, s -> md5('{k}|' || s))) AS h{k}" for k in range(_K))}
+  FROM shingled
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS bh FROM sigs" for b in range(_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+{_CC_SQL_BODY.strip()}
+""",
+    doc="Near-dup CLUSTERS, not just pairs: connected components over the LSH "
+    "candidate graph via distributed min-label propagation (iterate: every "
+    "vertex takes the min label among itself and its neighbors, until a "
+    "fixpoint — the unique minimum-reachable-id labeling, so the result is "
+    "deterministic regardless of execution order). Each iteration is one "
+    "shuffle join; dup clusters are near-cliques so convergence takes "
+    "O(diameter) ≈ 2-3 rounds. This is the step that turns pair output into "
+    "pick-one-representative dedup at 100 TB (the alternating large-star/"
+    "small-star variant bounds rounds to O(log n) on adversarial graphs). "
+    "Oracle: DuckDB WITH RECURSIVE transitive closure.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, cand = _lsh_sigs_and_candidates(spark, sf_dir)
+    bi = cand.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(cand.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    bi = bi.persist()
+    labels = (
+        bi.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+    for _ in range(20):  # safety bound; loop exits at the fixpoint
+        msgs = bi.join(labels, bi.b == labels.id).select(
+            F.col("a").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionAll(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.groupBy(F.col("comp").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.collect_list("id")), lambda x: x.cast("string"))
+        ).alias("members"),
+    )
+    bi.unpersist()
+    return out

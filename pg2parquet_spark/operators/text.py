@@ -277,3 +277,92 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS stratum_total
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars, rn AS sample_rank, stratum_total
+FROM ranked WHERE rn <= 25
+""",
+    doc="Stratified sampling with a DETERMINISTIC pseudo-random order: within "
+    "each `lang` stratum take the first 25 docs ordered by md5(doc_id) — a "
+    "stable shuffle that is identical across runs, engines, task retries and "
+    "partitionings (rand()/TABLESAMPLE are not). One shuffle on the stratum "
+    "key; at 100 TB the same plan holds because each stratum's quota head is "
+    "a per-partition top-k (window + filter → rank pushdown into the sort).",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.row_number().over(w).alias("sample_rank"),
+            F.count(F.lit(1)).over(W.partitionBy("lang")).alias("stratum_total"),
+        )
+        .filter(F.col("sample_rank") <= 25)
+    )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE text END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, md5(clean) AS clean_md5
+FROM red WHERE n_emails > 0
+""",
+    doc="PII redaction: regex email scrubbing with planted synthetic addresses "
+    "(the corpus itself is clean, so docs with doc_id%%3=0 get a deterministic "
+    "fake email appended in BOTH engines). Pure regexp_replace/regexp_count "
+    "column expressions — zero shuffles, embarrassingly parallel at 100 TB; "
+    "the regex is restricted to syntax Java regex and RE2 evaluate "
+    "identically. Output is per-doc match count + md5 of the cleaned text.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = docs.select("doc_id", planted.alias("text"))
+    return (
+        aug.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+            F.md5(F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")).alias("clean_md5"),
+        )
+        .filter(F.col("n_emails") > 0)
+    )
