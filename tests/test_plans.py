@@ -84,3 +84,39 @@ def test_ann_broadcasts_query_side_only(spark):
 def test_text_ops_shuffle_free(spark, name):
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, f"{name} should be pure map work:\n{plan}"
+
+
+def test_q09_part_filter_pushed_before_fact_join(spark):
+    plan = optimized_of(spark, "q09_product_type_profit")
+    assert "StringContains(p_name,red)" in plan
+    assert "BroadcastHashJoin" in plan_of(spark, "q09_product_type_profit")
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_cnt")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan  # exclusion list stays broadcast
+
+
+def test_q11_scalar_total_is_single_row_broadcast(spark):
+    # the fraction-of-total threshold joins a 1-row aggregate: a broadcast
+    # nested-loop with a single-row build side is the CORRECT shape (same as
+    # a scalar subquery); anything joining two multi-row sides would not be.
+    plan = plan_of(spark, "q11_important_stock")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q02_no_cartesian_in_correlated_min(spark):
+    plan = plan_of(spark, "q02_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
+
+
+def test_cluster_components_candidate_join_is_equi(spark):
+    # the LSH band join must hash on (band_idx, bh) — a nested-loop here
+    # would be O(n^2) at scale
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
