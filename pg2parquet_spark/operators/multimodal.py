@@ -172,3 +172,104 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_video.select("doc_id", "video").mapInPandas(sample, out_schema)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(64 + n_chars % 512 AS INT) AS width,
+       CAST(64 + (n_chars * 7) % 512 AS INT) AS height,
+       CAST((64 + n_chars % 512) // 2 AS INT) AS new_width,
+       CAST((64 + (n_chars * 7) % 512) // 2 AS INT) AS new_height,
+       CAST(8 + (octet_length(encode(text)) + 1) // 2 AS BIGINT) AS out_bytes
+FROM documents
+""",
+    doc="Image resize plumbing: decode header → halve dimensions → re-encode "
+    "a new blob with the new header and a proportionally reduced body "
+    "(deterministic fake for the pixel resample; a real kernel would swap in "
+    "PIL.Image.resize on the same batch shape). The op measures the REBUILT "
+    "blob, so the oracle's arithmetic check proves the bytes were actually "
+    "reconstructed, not just the metadata copied. mapInPandas keeps the "
+    "per-row Python cost Arrow-batched; binary stays columnar end-to-end.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    with_img = attach_fake_image(docs)
+    out_schema = "doc_id long, width int, height int, new_width int, new_height int, out_bytes long"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "new_width", "new_height", "out_bytes")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                w, h = struct.unpack(HEADER_FMT, b[:HEADER_LEN])
+                body = b[HEADER_LEN:]
+                nw, nh = w // 2, h // 2
+                # fake resample: keep every other byte (ceil) — stands in for
+                # the real pixel kernel, same data movement
+                new_body = body[::2]
+                out = struct.pack(HEADER_FMT, nw, nh) + new_body
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["out_bytes"].append(len(out))
+            yield pd.DataFrame(rows)
+
+    return with_img.select("doc_id", "image").mapInPandas(resize, out_schema)
+
+
+def attach_fake_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize an opaque 'audio' blob: 4-byte big-endian sample rate +
+    8-bit PCM body (the utf8 text bytes stand in for samples)."""
+    rate = (8000 + (F.col("n_chars") % 8) * 1000).cast("int")
+    header = F.unhex(F.lpad(F.hex(rate), 8, "0"))
+    return df.withColumn("audio", F.concat(header, F.encode(F.col(text_col), "UTF-8")))
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+SELECT doc_id,
+       CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+       CAST(octet_length(encode(text)) * 1000 // (8000 + (n_chars % 8) * 1000) AS BIGINT) AS duration_ms,
+       CAST(list_aggregate(list_transform(range(1, len(text) + 1),
+                           i -> unicode(substr(text, i, 1))), 'sum') AS BIGINT) AS energy_sum
+FROM documents
+""",
+    doc="Audio feature plumbing: 4-byte rate header + 8-bit PCM body → "
+    "mapInPandas computes sample count, integer-division duration, and the "
+    "summed sample amplitude from the RAW BYTES (numpy over the Arrow "
+    "buffer — the shape a real spectrogram/VAD kernel uses). Integer "
+    "outputs only, so the oracle (which recomputes from code points; the "
+    "corpus is ASCII so byte == code point) is exact.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+    with_audio = attach_fake_audio(docs)
+    out_schema = "doc_id long, sample_rate int, n_samples long, duration_ms long, energy_sum long"
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "duration_ms", "energy_sum")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                (rate,) = struct.unpack(">I", b[:4])
+                samples = np.frombuffer(b[4:], dtype=np.uint8)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["duration_ms"].append(len(samples) * 1000 // rate)
+                rows["energy_sum"].append(int(samples.sum()))
+            yield pd.DataFrame(rows)
+
+    return with_audio.select("doc_id", "audio").mapInPandas(energy, out_schema)
