@@ -1102,7 +1102,7 @@ SELECT o_orderkey,
        CAST(quarter(o_orderdate) AS BIGINT) AS q,
        CAST(month(o_orderdate) AS BIGINT) AS m,
        CAST(day(o_orderdate) AS BIGINT) AS d,
-       date_trunc('month', o_orderdate) AS month_start,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
        CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
        CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
        CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start
@@ -1121,7 +1121,7 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(od).cast("bigint").alias("q"),
         F.month(od).cast("bigint").alias("m"),
         F.dayofmonth(od).cast("bigint").alias("d"),
-        F.date_trunc("month", od).alias("month_start"),
+        F.date_trunc("month", od).cast("date").cast("string").alias("month_start"),
         F.last_day(od.cast("date")).cast("string").alias("month_end"),
         (od + F.expr("INTERVAL 90 DAY")).alias("due_date"),
         F.datediff(od, F.lit("1995-01-01").cast("timestamp_ntz"))
@@ -1753,4 +1753,62 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "s_suppkey", "n_name")
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+WITH RECURSIVE months(m_idx) AS (
+  SELECT 0
+  UNION ALL
+  SELECT m_idx + 1 FROM months WHERE m_idx < 47
+),
+rev AS (
+  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m_idx,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1999-01-01'
+  GROUP BY 1
+)
+SELECT months.m_idx,
+       CAST(1995 + months.m_idx // 12 AS INT) AS y,
+       CAST(months.m_idx % 12 + 1 AS INT) AS m,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(CAST(COALESCE(revenue, 0) AS DECIMAL(15,2)) AS DOUBLE) AS revenue
+FROM months LEFT JOIN rev ON months.m_idx = rev.m_idx
+""",
+    doc="Recursive CTE surface (Spark 4 WITH RECURSIVE): generate a dense "
+    "48-month spine recursively, then left-join exact-decimal monthly revenue "
+    "so gap months appear as zero rows. The recursion is driver-bounded "
+    "(48 iterations over a one-column spine — no distributed recursion; the "
+    "heavy side stays one groupBy on the fact table).",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+WITH RECURSIVE months(m_idx) AS (
+  SELECT 0
+  UNION ALL
+  SELECT m_idx + 1 FROM months WHERE m_idx < 47
+),
+rev AS (
+  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m_idx,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1999-01-01'
+  GROUP BY 1
+)
+SELECT months.m_idx,
+       CAST(1995 + months.m_idx DIV 12 AS INT) AS y,
+       CAST(months.m_idx % 12 + 1 AS INT) AS m,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(CAST(COALESCE(revenue, 0) AS DECIMAL(15,2)) AS DOUBLE) AS revenue
+FROM months LEFT JOIN rev ON months.m_idx = rev.m_idx
+"""
     )

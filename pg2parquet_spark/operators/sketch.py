@@ -110,3 +110,176 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
         F.coalesce(F.col("true_count"), F.lit(0)).cast("bigint").alias("true_count"),
     )
+
+
+# ------------------------------------------------------------------- HLL ---
+
+HLL_M = 64          # registers (p=6)
+HLL_CAP = 40        # rank cap: keeps 2^(CAP-rank) terms inside BIGINT
+# alpha_m * m^2 * 2^CAP, rounded once in Python so BOTH engines divide the
+# SAME exact integer (no float-literal folding differences).
+HLL_NUM = round(0.709 * HLL_M * HLL_M * 2**HLL_CAP)
+
+# leading-zero bits of the 64-bit word substr(md5, 9, 16): 4 per leading '0'
+# hex char plus 0-3 from the first non-zero hex digit.
+_EXTRA_CASE = (
+    "CASE substr(ltrimmed, 1, 1) WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+    "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {HLL_M} AS INT) AS bucket,
+         substr(md5(tok), 9, 16) AS w_hex
+  FROM toks
+),
+ranks AS (
+  SELECT bucket,
+         LEAST({HLL_CAP}, 4 * (16 - length(ltrimmed)) + {_EXTRA_CASE} + 1) AS rank
+  FROM (SELECT bucket, trim(LEADING '0' FROM w_hex) AS ltrimmed FROM hashed) t
+),
+regs AS (
+  SELECT bucket, MAX(rank) AS rmax FROM ranks GROUP BY bucket
+),
+harm AS (
+  SELECT SUM(CAST(1 AS BIGINT) << ({HLL_CAP} - rmax)) AS filled, COUNT(*) AS nb FROM regs
+)
+SELECT CAST({HLL_M} AS INT) AS m,
+       CAST(({HLL_NUM} * CAST(1000 AS BIGINT)) // (filled + ({HLL_M} - nb) * (CAST(1 AS BIGINT) << {HLL_CAP})) AS BIGINT) AS hll_est_x1000,
+       (SELECT COUNT(*) FROM toks) AS exact_distinct
+FROM harm
+""",
+    doc=f"HyperLogLog distinct-count sketch (m={HLL_M} registers, md5 hashes): "
+    "bucket = hash mod m, register = max leading-zero rank. The harmonic mean "
+    "is computed in EXACT integer arithmetic (sum of 2^(cap-rank) as BIGINT, "
+    "then one integer division) so Spark and DuckDB agree bit-for-bit — the "
+    "float estimate formula is order-nondeterministic, the scaled-integer one "
+    "is not. Registers are mergeable by cell-wise MAX across partitions/days; "
+    "the shuffle key space is m (bounded, skew-free) — the 100 TB-safe way to "
+    "count distincts without a giant exact GROUP BY.",
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).distinct()
+
+    h = F.md5(F.col("tok"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % HLL_M).cast("int")
+    w_hex = F.substring(h, 9, 16)
+    hashed = toks.select(bucket.alias("bucket"), w_hex.alias("w_hex"))
+
+    ranks = hashed.select(
+        "bucket", F.expr("trim(LEADING '0' FROM w_hex)").alias("ltrimmed")
+    ).select(
+        "bucket",
+        F.least(
+            F.lit(HLL_CAP),
+            F.lit(4) * (F.lit(16) - F.length("ltrimmed")) + F.expr(_EXTRA_CASE) + F.lit(1),
+        ).alias("rank"),
+    )
+    regs = ranks.groupBy("bucket").agg(F.max("rank").alias("rmax"))
+    harm = regs.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - rmax)")).alias("filled"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    exact = toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return harm.crossJoin(exact).select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        F.expr(
+            f"({HLL_NUM} * CAST(1000 AS BIGINT)) div "
+            f"(filled + ({HLL_M} - nb) * shiftleft(CAST(1 AS BIGINT), {HLL_CAP}))"
+        ).cast("bigint").alias("hll_est_x1000"),
+        "exact_distinct",
+    )
+
+
+# ----------------------------------------------------------------- Bloom ---
+
+BLOOM_M = 8192   # bits
+BLOOM_K = 3      # hash functions
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{i}|' || CAST({key} AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % {BLOOM_M} AS INT)"
+    )
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('o_custkey', i)} AS pos FROM orders" for i in range(BLOOM_K))}
+  ) t
+),
+probes AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
+),
+probe_bits AS (
+  {" UNION ALL ".join(f"SELECT c_custkey, {_bloom_pos_sql('c_custkey', i)} AS pos FROM probes" for i in range(BLOOM_K))}
+),
+hits AS (
+  SELECT c_custkey, COUNT(bits.pos) AS nhit
+  FROM probe_bits LEFT JOIN bits USING (pos)
+  GROUP BY c_custkey
+)
+SELECT h.c_custkey,
+       nhit = {BLOOM_K} AS bloom_present,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = h.c_custkey) AS truly_present
+FROM hits h
+""",
+    doc=f"Bloom-filter membership (m={BLOOM_M} bits, k={BLOOM_K} md5 hashes): the "
+    "bit set is built as DISTINCT positions over the build side (shuffle key "
+    "space bounded by m), then broadcast to probe-side lookups — the classic "
+    "semi-join pre-filter that skips shuffling the big side at 100 TB. "
+    "Output reports bloom_present next to ground truth; the no-false-negative "
+    "invariant is oracle-checked row by row.",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    customer = table(spark, sf_dir, "customer").select("c_custkey")
+
+    def pos(col: F.Column, i: int) -> F.Column:
+        hex8 = F.substring(F.md5(F.concat(F.lit(f"{i}|"), col.cast("string"))), 1, 8)
+        return (F.conv(hex8, 16, 10).cast("bigint") % BLOOM_M).cast("int")
+
+    bits = None
+    for i in range(BLOOM_K):
+        b = orders.select(pos(F.col("o_custkey"), i).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    bits = bits.distinct()  # ≤ BLOOM_M rows → broadcastable by construction
+
+    probes = customer.filter(F.col("c_custkey") % 10 == 0)
+    probe_bits = None
+    for i in range(BLOOM_K):
+        pb = probes.select("c_custkey", pos(F.col("c_custkey"), i).alias("pos"))
+        probe_bits = pb if probe_bits is None else probe_bits.unionAll(pb)
+
+    # count a marker from the bits side — the join key itself survives the
+    # left join even on misses, so counting it would always give K
+    hits = (
+        probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("hit")).alias("nhit"))
+    )
+    truth = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "truly_present", F.lit(True)
+    )
+    return (
+        hits.join(truth, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (F.col("nhit") == BLOOM_K).alias("bloom_present"),
+            F.coalesce(F.col("truly_present"), F.lit(False)).alias("truly_present"),
+        )
+    )

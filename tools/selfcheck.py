@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Driver-style correctness self-check.
+
+Runs every `queries()` entry on Spark at sf0.01 and the paired
+`oracle_sql()` on DuckDB over the same parquet tables, then compares
+row count, column-name set, and a value hash computed over columns
+sorted by name and rows sorted by all columns. This mirrors the
+driver's CORRECTNESS gate so mismatches surface before the round ends.
+
+Usage: python tools/selfcheck.py [name-substring ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round to tolerate float assoc differences between engines
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))) + "}"
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.6g}"
+    except Exception:
+        pass
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from pg2parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    names = [n for n in sorted(qs) if not filters or any(f in n for f in filters)]
+    failures = []
+    for name in names:
+        if name not in oracles:
+            print(f"SKIP  {name} (no oracle — rows-only check)")
+            try:
+                n_rows = qs[name](spark, SF_DIR).count()
+                print(f"      rows={n_rows}")
+            except Exception as exc:
+                failures.append(name)
+                print(f"ERROR {name}: {exc}")
+            continue
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+            rel = con.execute(oracles[name])
+            d_cols = [d[0] for d in rel.description]
+            d_rows = rel.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"ERROR {name}: {exc}")
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            sh = value_hash(s_rows, s_cols)
+            dh = value_hash(d_rows, d_cols)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name} ({len(s_rows)} rows)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
