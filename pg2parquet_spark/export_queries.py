@@ -41,3 +41,74 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
     )
+
+
+_SUPPLIER_AGG_ORACLE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+       MIN(s_name) AS first_name
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+def _supplier_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared body for the file-source gate queries: supplier → write fmt →
+    read back through sources.files.read_table with an explicit schema →
+    aggregate. Exercises the non-parquet source path (sources/files.py) end
+    to end inside the correctness gate; values must survive both directions.
+    """
+    from pg2parquet_spark.sources.files import read_table
+
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix=f"pg2parquet_src_{fmt}_") + f"/supplier.{fmt}"
+    (
+        sup.write.mode("overwrite")
+        .format("json" if fmt == "jsonl" else fmt)
+        .options(**({"header": "true"} if fmt == "csv" else {}))
+        .save(out)
+    )
+    back = read_table(
+        spark,
+        out,
+        schema="s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE",
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double").alias("sum_acctbal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=_SUPPLIER_AGG_ORACLE,
+    doc="File-source surface: supplier → CSV (header) → read back with an explicit "
+    "schema (production mode — inference would double-scan) → aggregate. CSV is "
+    "line-splittable, so the read parallelizes at scale.",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _supplier_roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "source_json_roundtrip",
+    oracle=_SUPPLIER_AGG_ORACLE,
+    doc="File-source surface: supplier → JSON-lines → read back with explicit "
+    "schema → aggregate (jsonl splits by line at scale; schema avoids inference scans).",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _supplier_roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=_SUPPLIER_AGG_ORACLE,
+    doc="File-source surface: supplier → ORC → read back → aggregate (columnar "
+    "alternative with predicate pushdown, same as the parquet path).",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _supplier_roundtrip(spark, sf_dir, "orc")

@@ -173,13 +173,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- MinHash + LSH --
 _K = 8        # minhash signature length
 _BANDS = 4    # 2 hashes per band
+_SEEDS = (_K + 3) // 4  # one md5 yields four independent 32-bit lanes
 
 
-def _sig_cols() -> list[Column]:
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"h{k}")
+def _sig_sql() -> str:
+    """sigs CTE shared by the LSH oracles: k-th hash = 8-hex lane k%4 of
+    md5('{k//4}|' || shingle) — 2 md5 calls per shingle instead of 8."""
+    lanes = ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{k // 4}|' || s), {1 + 8 * (k % 4)}, 8))) AS h{k}"
         for k in range(_K)
-    ]
+    )
+    return f"sigs AS (\n  SELECT doc_id, {lanes}\n  FROM shingled\n)"
 
 
 def _lsh_sigs_and_candidates(
@@ -191,10 +195,38 @@ def _lsh_sigs_and_candidates(
     the verify join; the 100 TB analog is a materialized signature table.
     """
     aug = augmented_documents(spark, sf_dir)
-    exploded = aug.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s")
+    shingled = aug.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
     )
-    sigs = exploded.groupBy("doc_id").agg(*_sig_cols()).persist()
+    # signature = per-document MAP work: array_min(transform(...)) keeps it in
+    # the scan stage with ZERO shuffles (the explode+groupBy alternative
+    # shuffles every (doc, shingle) row just to re-group by doc). md5 is the
+    # hot path — hash once per seed, then carve each 128-bit digest into four
+    # independent 32-bit (8-hex) lanes.
+    def seeded_md5(seed: int):
+        # single-arg closures: pyspark infers transform-lambda arity from the
+        # signature, so a bound default arg would flip it into (element, index)
+        prefix = F.lit(f"{seed}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    def lane(k: int):
+        off = 1 + 8 * (k % 4)
+        return lambda x: F.substring(x, off, 8)
+
+    hashed = shingled.select(
+        "doc_id",
+        *[
+            F.transform("sh", seeded_md5(seed)).alias(f"m{seed}")
+            for seed in range(_SEEDS)
+        ],
+    )
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col(f"m{k // 4}"), lane(k))).alias(f"h{k}")
+            for k in range(_K)
+        ],
+    ).persist()
     band_exprs = [
         F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bh"))
         for b in range(_BANDS)
@@ -221,11 +253,7 @@ def _lsh_sigs_and_candidates(
     "dedup_minhash_lsh",
     oracle=f"""
 WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
-sigs AS (
-  SELECT doc_id,
-         {", ".join(f"list_min(list_transform(sh, s -> md5('{k}|' || s))) AS h{k}" for k in range(_K))}
-  FROM shingled
-),
+{_sig_sql()},
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS bh FROM sigs" for b in range(_BANDS))}
 ),
@@ -466,11 +494,7 @@ FROM comp GROUP BY comp
     "dedup_cluster_components",
     oracle=f"""
 WITH RECURSIVE {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
-sigs AS (
-  SELECT doc_id,
-         {", ".join(f"list_min(list_transform(sh, s -> md5('{k}|' || s))) AS h{k}" for k in range(_K))}
-  FROM shingled
-),
+{_sig_sql()},
 bands AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS bh FROM sigs" for b in range(_BANDS))}
 ),
@@ -498,23 +522,26 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionAll(cand.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     bi = bi.persist()
+    # localCheckpoint (not just persist) each iteration: persist cuts
+    # re-EXECUTION but the logical plan still grows per round, so analysis/
+    # optimization time compounds. Truncating lineage keeps every iteration
+    # O(1) plan size — at real scale use reliable checkpoint() to DFS.
     labels = (
         bi.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).persist()
+    ).localCheckpoint()
     for _ in range(20):  # safety bound; loop exits at the fixpoint
         msgs = bi.join(labels, bi.b == labels.id).select(
             F.col("a").alias("id"), F.col("comp")
         )
         new_labels = (
             labels.unionAll(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -324,7 +324,10 @@ def kmeans_iterate(
                 ).alias("cemb")
             )
         )
-        cent = means
+        # k×dim rows: collect to the driver and rebuild — truncates the
+        # per-iteration lineage growth (plan analysis would compound) and is
+        # exactly the "broadcast next centroids" step of distributed Lloyd
+        cent = emb.sparkSession.createDataFrame(means.collect(), means.schema)
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return assign.select("vec_id", "cid").join(F.broadcast(sizes), "cid").select(
         "vec_id", "cid", "n_members"
