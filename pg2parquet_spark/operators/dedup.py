@@ -62,7 +62,9 @@ shingled AS (
 """
 
 
-def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def augmented_documents(
+    spark: SparkSession, sf_dir: str, widen: bool = True
+) -> DataFrame:
     from pg2parquet_spark.session import default_cpus
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -74,16 +76,14 @@ def augmented_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz0 zz1 zz2 zz3 zz4")).alias("text"),
     )
-    # the documents table is one small parquet file → 1-3 input splits; the
-    # downstream shingle/minhash work is CPU-heavy per row, so spread it
-    # across all cores. ONE exchange after the union (not one per branch —
+    # the documents table is one small parquet file → 1-3 input splits; when
+    # the downstream work is CPU-heavy per row (shingling, minhash), spread
+    # it across all cores. ONE exchange after the union (not one per branch —
     # union needs no co-partitioning); at 100 TB the source is already many
-    # splits and this repartition is dropped entirely.
-    return (
-        docs.unionAll(exact_copies)
-        .unionAll(near_copies)
-        .repartition(default_cpus())
-    )
+    # splits and this repartition is dropped entirely. Cheap-per-row callers
+    # (exact dedup: one md5 each) pass widen=False and skip the shuffle.
+    out = docs.unionAll(exact_copies).unionAll(near_copies)
+    return out.repartition(default_cpus()) if widen else out
 
 
 # ------------------------------------------------------------------ exact --
@@ -102,7 +102,7 @@ HAVING COUNT(*) > 1
     "One shuffle on the content hash; map-side partial agg bounds it.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_documents(spark, sf_dir)
+    aug = augmented_documents(spark, sf_dir, widen=False)
     h = F.md5(normalize_text(F.col("text")))
     return (
         aug.groupBy(h.alias("content_hash"))

@@ -61,8 +61,10 @@ def test_bounded_dims_broadcast(spark):
 
 def test_dedup_exact_single_shuffle(spark):
     plan = plan_of(spark, "dedup_exact")
-    # one repartition (corpus spread) + one agg exchange; no join shuffles
+    # exactly the one agg exchange (cheap-per-row path skips the corpus-spread
+    # repartition); no join shuffles
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange RoundRobinPartitioning" not in plan
     assert "SortMergeJoin" not in plan
 
 
@@ -70,6 +72,28 @@ def test_minhash_candidate_join_on_band_hash(spark):
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_signatures_are_map_only(spark):
+    # signature computation must stay in the scan stage: array_min over
+    # transformed shingle arrays, never an explode + re-group shuffle
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "array_min" in plan
+    # the signature subtree has no hash-agg over exploded (doc, shingle) rows
+    assert "partial_min" not in plan
+
+
+def test_bloom_bits_are_broadcast(spark):
+    plan = plan_of(spark, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_bounded_shuffles(spark):
+    # distinct tokens + register fold + final fold — nothing else
+    plan = plan_of(spark, "sketch_hll_distinct")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan
 
 
 def test_ann_broadcasts_query_side_only(spark):
