@@ -34,6 +34,21 @@ from pg2parquet_spark.operators.text import normalize_text, word_shingles
 from pg2parquet_spark.registry import register
 from pg2parquet_spark.tables import table
 
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    """RDD ids currently holding executor-storage blocks (JVM-side view)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Free storage blocks of specific RDD ids (for localCheckpoint blocks,
+    which ``Dataset.unpersist`` cannot reach — they live outside the SQL
+    CacheManager)."""
+    m = sc._jsc.getPersistentRDDs()
+    for k in m.keySet().toArray():
+        if int(k) in ids:
+            m.get(k).unpersist()
+
 # ------------------------------------------------------- augmented corpus --
 
 AUG_SQL = """
@@ -378,33 +393,91 @@ def _dot_sql(a: str, b: str, dim: int, zero_based: bool) -> str:
 
 EMB_DIM = 64
 
+# Independent sign-LSH hash tables for candidate generation: disjoint
+# deterministic hyperplane sets (plane ids shifted per table). 4 tables of
+# 4 planes ≈ 96% recall at cos 0.9, ~50% at the 0.4 decision boundary —
+# the recall dial is (tables, planes); at 100 TB you add planes (more,
+# smaller buckets → bounded skew) and tables (recall) together.
+_EMB_LSH_OFFSETS = (0, 100, 200, 300)
+_EMB_COS_THRESHOLD = 0.4
+
+
+def _emb_bucketed_sql() -> str:
+    from pg2parquet_spark.operators.similarity import bucket_sql_offset
+
+    cols = ", ".join(
+        f"{bucket_sql_offset('embedding', EMB_DIM, False, off)} AS k{t}"
+        for t, off in enumerate(_EMB_LSH_OFFSETS)
+    )
+    return f"SELECT vec_id, embedding, {cols} FROM embeddings"
+
+
+def _emb_pair_union_sql() -> str:
+    joins = [
+        f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} AS cos_sim
+  FROM bk a JOIN bk b ON a.k{t} = b.k{t} AND a.vec_id < b.vec_id"""
+        for t in range(len(_EMB_LSH_OFFSETS))
+    ]
+    return "\n  UNION ALL\n".join(joins)
+
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb FROM embeddings),
-     b AS (SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings)
-SELECT a_id, b_id, {_dot_sql('a_emb', 'b_emb', EMB_DIM, False)} AS cos_sim
-FROM a JOIN b ON a_id < b_id
-WHERE {_dot_sql('a_emb', 'b_emb', EMB_DIM, False)} >= 0.4
+WITH bk AS ({_emb_bucketed_sql()}),
+pairs AS (
+  {_emb_pair_union_sql()}
+)
+SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESHOLD}
 """,
-    doc="Embedding-cosine near-dup pairs (embeddings are L2-normalized → dot = cosine). "
-    "Exact unrolled fixed-order dot product — bit-identical across engines. The O(n²) "
-    "pair join is the verification stage; candidate generation at scale is the LSH path "
-    "(similarity.py).",
+    doc="Embedding-cosine near-dup pairs (embeddings are L2-normalized → dot = "
+    "cosine) the scale-safe way: multi-table sign-LSH candidate generation "
+    "(bucket id is the equi-join/shuffle key, one join per hash table) → exact "
+    "fixed-order re-score of candidates only → threshold → distinct. Never "
+    "materializes the O(n²) pair space; plan-tested to contain no "
+    "BroadcastNestedLoopJoin/CartesianProduct (tests/test_plans.py). Candidate "
+    "recall is the (tables × planes) dial documented at _EMB_LSH_OFFSETS; the "
+    "oracle computes the identical bucketed semantics so correctness is exact, "
+    "not recall-fuzzy.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.operators.similarity import dot_col
+    from pg2parquet_spark.operators.similarity import bucket_sql_offset, dot_col
 
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    dot = dot_col("a_emb", "b_emb")
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", dot.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
+    bk = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(bucket_sql_offset("embedding", EMB_DIM, True, off)).alias(f"k{t}")
+            for t, off in enumerate(_EMB_LSH_OFFSETS)
+        ],
     )
+    dot = dot_col("a_emb", "b_emb")
+    per_table = []
+    for t in range(len(_EMB_LSH_OFFSETS)):
+        a = bk.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col(f"k{t}").alias("ka"),
+        )
+        b = bk.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col(f"k{t}").alias("kb"),
+        )
+        per_table.append(
+            # equi-join on the bucket key; a_id < b_id is a cheap post-join
+            # residual, NOT the join condition — keeps this a hash/merge join
+            a.join(b, (F.col("ka") == F.col("kb")) & (F.col("a_id") < F.col("b_id")))
+            .select("a_id", "b_id", dot.alias("cos_sim"))
+        )
+    allp = per_table[0]
+    for p in per_table[1:]:
+        allp = allp.unionAll(p)
+    # a pair colliding in several tables yields bit-identical rows (same
+    # fixed-order dot) → distinct collapses them, both engines alike
+    return allp.filter(F.col("cos_sim") >= _EMB_COS_THRESHOLD).distinct()
 
 
 # ------------------------------------------- end-to-end curation pipeline --
@@ -526,25 +599,40 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-EXECUTION but the logical plan still grows per round, so analysis/
     # optimization time compounds. Truncating lineage keeps every iteration
     # O(1) plan size — at real scale use reliable checkpoint() to DFS.
+    # Dataset.unpersist() does NOT free a localCheckpoint's blocks (they back
+    # the lineage-truncated LogicalRDD, outside the CacheManager), so we track
+    # the RDD ids each checkpoint creates and free the superseded iteration's
+    # blocks through the JVM handle once `changed` has consumed them.
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
     labels = (
         bi.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
+    labels_rdd_ids = _persistent_rdd_ids(sc) - before
     for _ in range(20):  # safety bound; loop exits at the fixpoint
         msgs = bi.join(labels, bi.b == labels.id).select(
             F.col("a").alias("id"), F.col("comp")
         )
+        before = _persistent_rdd_ids(sc)
         new_labels = (
             labels.unionAll(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
+        new_rdd_ids = _persistent_rdd_ids(sc) - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels
+        # old labels fully consumed (new_labels materialized eagerly, changed
+        # counted) — free its executor-storage blocks now instead of waiting
+        # for Python GC + ContextCleaner across up to 20 iterations
+        _unpersist_rdd_ids(sc, labels_rdd_ids)
+        labels, labels_rdd_ids = new_labels, new_rdd_ids
         if changed == 0:
             break
+    # the FINAL labels checkpoint stays persisted: `out` below reads it and
+    # the truncated lineage cannot recompute; ContextCleaner reclaims it.
     out = labels.groupBy(F.col("comp").alias("cluster_rep")).agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.concat_ws(

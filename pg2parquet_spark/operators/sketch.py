@@ -163,7 +163,12 @@ FROM harm
     "float estimate formula is order-nondeterministic, the scaled-integer one "
     "is not. Registers are mergeable by cell-wise MAX across partitions/days; "
     "the shuffle key space is m (bounded, skew-free) — the 100 TB-safe way to "
-    "count distincts without a giant exact GROUP BY.",
+    "count distincts without a giant exact GROUP BY. NOTE: this is the RAW "
+    "estimator, deliberately omitting the small-range linear-counting "
+    "correction (which needs a float log) so Spark and DuckDB agree "
+    "bit-for-bit in integer arithmetic; below ~2.5m distinct values the raw "
+    "estimate is biased — production use at low fill should add the "
+    "linear-counting branch and drop the cross-engine-exactness constraint.",
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -185,19 +190,25 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(4) * (F.lit(16) - F.length("ltrimmed")) + F.expr(_EXTRA_CASE) + F.lit(1),
         ).alias("rank"),
     )
-    regs = ranks.groupBy("bucket").agg(F.max("rank").alias("rmax"))
+    # carry the per-bucket row count through the register agg so the exact
+    # distinct total (= rows of `ranks`, toks is already distinct) falls out
+    # of the SAME single pipeline — the expensive token-dedup shuffle runs
+    # once, with no second consumer of `toks` and no persist needed
+    regs = ranks.groupBy("bucket").agg(
+        F.max("rank").alias("rmax"), F.count(F.lit(1)).alias("cnt")
+    )
     harm = regs.agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - rmax)")).alias("filled"),
         F.count(F.lit(1)).alias("nb"),
+        F.sum("cnt").alias("exact_distinct"),
     )
-    exact = toks.agg(F.count(F.lit(1)).alias("exact_distinct"))
-    return harm.crossJoin(exact).select(
+    return harm.select(
         F.lit(HLL_M).cast("int").alias("m"),
         F.expr(
             f"({HLL_NUM} * CAST(1000 AS BIGINT)) div "
             f"(filled + ({HLL_M} - nb) * shiftleft(CAST(1 AS BIGINT), {HLL_CAP}))"
         ).cast("bigint").alias("hll_est_x1000"),
-        "exact_distinct",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
     )
 
 

@@ -83,6 +83,14 @@ def test_minhash_signatures_are_map_only(spark):
     assert "partial_min" not in plan
 
 
+def test_dedup_embedding_cosine_is_bucketed_not_allpairs(spark):
+    # LSH-candidates → exact re-score: every join must be an equi-join on a
+    # bucket key; the old all-pairs `a_id < b_id` BNLJ is the 100 TB killer
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bloom_bits_are_broadcast(spark):
     plan = plan_of(spark, "sketch_bloom_membership")
     assert "BroadcastHashJoin" in plan

@@ -32,8 +32,10 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round to tolerate float assoc differences between engines
-        return f"{v:.6g}"
+        # round to tolerate float assoc differences between engines, but keep
+        # enough digits (12) that real value drift still fails the mirror —
+        # the local check must be at least as strict as the driver's gate
+        return f"{v:.12g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):
@@ -44,7 +46,7 @@ def norm_cell(v) -> str:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.6g}"
+            return f"{float(v):.12g}"
     except Exception:
         pass
     return str(v)
