@@ -55,3 +55,63 @@ def audit_conversions(
         for n in names
     ]
     return wide.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def first_identifiable_column(df: DataFrame) -> str:
+    """The reference's 'first identifiable column' rule (postgresutils.rs:4-51):
+    when reporting the offending row, use the first column whose value can be
+    rendered as text — we take the first atomic-typed (non-binary, non-nested)
+    column in schema order."""
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if isinstance(
+            field.dataType,
+            (
+                T.StringType,
+                T.IntegerType,
+                T.LongType,
+                T.ShortType,
+                T.ByteType,
+                T.DoubleType,
+                T.FloatType,
+                T.DecimalType,
+                T.DateType,
+                T.TimestampType,
+                T.TimestampNTZType,
+                T.BooleanType,
+            ),
+        ):
+            return field.name
+    raise ValueError("no identifiable (atomic, non-binary) column in schema")
+
+
+def identify_bad_rows(
+    df: DataFrame,
+    conversions: dict[str, tuple[Column, Column]],
+    id_col: str,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Error-ROW identification (A37, ref cli/src/postgresutils.rs:4-51): for
+    every row where a conversion turned a non-null source value into NULL,
+    emit ``(col_name, row_id, bad_value)`` — the distributed analog of the
+    reference printing "error in row with <first identifiable column>=X".
+
+    One map-side pass: each row builds a null-compacted array of offending
+    (column, value) structs, explode drops clean rows entirely — no join, no
+    shuffle, scales as a pure filter.
+    """
+    marks = [
+        F.when(
+            src.isNotNull() & conv.isNull(),
+            F.struct(
+                F.lit(name).alias("col_name"), src.cast("string").alias("bad_value")
+            ),
+        )
+        for name, (src, conv) in conversions.items()
+    ]
+    arr = F.filter(F.array(*marks), lambda x: x.isNotNull())
+    out = df.select(F.col(id_col).alias("row_id"), F.explode(arr).alias("m")).select(
+        F.col("m.col_name").alias("col_name"), "row_id", F.col("m.bad_value").alias("bad_value")
+    )
+    return out.limit(max_rows) if max_rows is not None else out

@@ -128,7 +128,7 @@ def run_export(args: argparse.Namespace) -> int:
     import time
 
     t0 = time.time()
-    export(df, args.output_file, options)
+    export(df, args.output_file, options, quiet=args.quiet)
     if not args.quiet:
         from pg2parquet_spark.parquetinfo import write_stats
 

@@ -26,8 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pg2parquet_spark.options import ExportOptions
 
 
-def export(df: DataFrame, path: str, options: ExportOptions | None = None) -> None:
-    """Write ``df`` to ``path`` per the export options (parquet default)."""
+def export(
+    df: DataFrame, path: str, options: ExportOptions | None = None, quiet: bool = False
+) -> None:
+    """Write ``df`` to ``path`` per the export options (parquet default).
+
+    Like the reference, a live progress meter (A36: MiB written, MiB/s, task
+    completion — ref cli/src/parquet_writer.rs:100-151) prints to stderr
+    during the write by default; ``quiet=True`` (CLI ``--quiet``) suppresses.
+    """
+    from contextlib import nullcontext
+
+    from pg2parquet_spark.progress import ProgressReporter
+
     options = options or ExportOptions()
     if options.sort_by:
         df = df.orderBy(*options.sort_by)
@@ -45,14 +56,120 @@ def export(df: DataFrame, path: str, options: ExportOptions | None = None) -> No
     if options.partition_by:
         # hive-style layout: readers get partition pruning on these columns
         writer = writer.partitionBy(*options.partition_by)
-    if options.output_format == "parquet":
-        writer.parquet(path)
-    elif options.output_format == "csv":
-        writer.option("header", "true").csv(path)
-    elif options.output_format == "json":
-        writer.json(path)
+    meter = nullcontext() if quiet else ProgressReporter(df.sparkSession, path)
+    with meter:
+        if options.output_format == "parquet":
+            writer.parquet(path)
+        elif options.output_format == "csv":
+            writer.option("header", "true").csv(path)
+        elif options.output_format == "json":
+            writer.json(path)
+        else:
+            writer.orc(path)
+    if options.output_format == "parquet" and options.float16_handling == "float16":
+        _narrow_to_float16(path, options)
+
+
+def _narrow_to_float16(path: str, options: ExportOptions) -> None:
+    """A35 float16 mode (ref cli/src/postgres_cloner.rs:660-666): rewrite the
+    named columns to the Parquet FLOAT16 logical type (FLBA-2).
+
+    Spark's writer has no 16-bit float type, so f16 sources travel widened
+    to f32 (exactly — PG already rounded them to half precision) and this
+    pyarrow post-pass narrows the storage back per file. Handles scalar
+    float and list<float> (halfvec) columns. File-at-a-time, parallel-safe
+    per file; at scale this step runs as a distributed maintenance pass over
+    the file list instead of a driver loop.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        fsys, root = pafs.FileSystem.from_uri(path)
     else:
-        writer.orc(path)
+        fsys, root = pafs.LocalFileSystem(), path
+    files = [
+        fi.path
+        for fi in fsys.get_file_info(pafs.FileSelector(root, recursive=True))
+        if fi.is_file and fi.path.endswith(".parquet")
+    ]
+    wanted = set(options.float16_columns)
+    codec = options.spark_codec  # same name space as pyarrow's
+    for f in files:
+        t = pq.read_table(f, filesystem=fsys)
+        cols = {}
+        for name in t.schema.names:
+            col = t[name]
+            if name in wanted:
+                typ = col.type
+                if pa.types.is_float32(typ) or pa.types.is_float64(typ):
+                    col = pc.cast(col, pa.float16())
+                elif pa.types.is_list(typ):
+                    col = pc.cast(col, pa.list_(pa.float16()))
+                else:
+                    raise ValueError(
+                        f"float16_columns: column {name!r} has non-float type {typ}"
+                    )
+            cols[name] = col
+        pq.write_table(
+            pa.table(cols),
+            f,
+            filesystem=fsys,
+            compression="none" if codec == "uncompressed" else codec,
+        )
+
+
+class ConversionError(RuntimeError):
+    """A conversion silently nulled a non-null source value during export.
+
+    Mirrors the reference's abort-with-row-identification contract
+    (cli/src/postgresutils.rs:4-51): the message carries the first
+    identifiable key of the first offending row.
+    """
+
+
+def export_audited(
+    df: DataFrame,
+    path: str,
+    conversions: dict,
+    options: ExportOptions | None = None,
+    id_col: str | None = None,
+    fail_on_nulled: bool = True,
+) -> DataFrame:
+    """Export with error-row identification (SURVEY §2.A A37).
+
+    ``conversions`` maps output column name -> (source Column, converted
+    Column). The converted columns are appended/replaced on ``df`` and the
+    result written to ``path``. Before writing, a map-side audit pass finds
+    rows where a conversion turned a non-null source into NULL:
+
+    - ``fail_on_nulled=True`` (reference behavior): raise ConversionError
+      naming the offending column and the first identifiable key of the
+      first offending row — the distributed analog of the reference
+      printing the failing row before aborting.
+    - ``fail_on_nulled=False``: write anyway and return the full bad-row
+      report DataFrame (badRecordsPath-style capture) for the caller to
+      persist next to the dataset.
+    """
+    from pg2parquet_spark import audit
+
+    id_col = id_col or audit.first_identifiable_column(df)
+    bad = audit.identify_bad_rows(df, conversions, id_col)
+    if fail_on_nulled:
+        first = bad.limit(1).collect()  # bounded: one row
+        if first:
+            r = first[0]
+            raise ConversionError(
+                f"conversion to column {r.col_name!r} failed: source value "
+                f"{r.bad_value!r} became NULL in row with {id_col}={r.row_id!r}"
+            )
+    out = df
+    for name, (_src, conv) in conversions.items():
+        out = out.withColumn(name, conv)
+    export(out, path, options)
+    return bad
 
 
 def export_bucketed(
@@ -107,19 +224,35 @@ def compact(
     repartitioned so output files are uniform. Returns the new file count.
     Rewrites via a temp dir so a mid-compaction failure never corrupts the
     source dataset.
-    """
-    import glob
-    import math
-    import os
-    import shutil
 
-    current_bytes = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    All listing/measuring/deleting/renaming goes through the Hadoop
+    FileSystem API resolved from the path's own scheme — so the same code
+    compacts file://, hdfs:// and s3a:// datasets (the 100 TB deployment is
+    never a local filesystem; glob/os/shutil would silently report 0 bytes
+    there and delete nothing real).
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+
+    def parquet_sizes(p) -> list[int]:
+        return [
+            st.getLen()
+            for st in fs.listStatus(p)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        ]
+
+    current_bytes = sum(parquet_sizes(src))
     n_files = max(1, math.ceil(current_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "._compact_tmp"
-    export(df.repartition(n_files), tmp, options)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    tmp_str = path.rstrip("/") + "._compact_tmp"
+    export(df.repartition(n_files), tmp_str, options)
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_str)
+    if not fs.delete(src, True):  # recursive
+        raise IOError(f"compact: could not remove {path} before swap")
+    if not fs.rename(tmp, src):
+        raise IOError(f"compact: rename {tmp_str} -> {path} failed; data is at {tmp_str}")
+    return len(parquet_sizes(src))

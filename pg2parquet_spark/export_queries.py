@@ -43,6 +43,37 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audit_bad_rows",
+    oracle="""
+SELECT 'price' AS col_name, doc_id AS row_id, src AS bad_value
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR) ELSE text END AS src
+  FROM documents
+)
+WHERE src IS NOT NULL AND TRY_CAST(src AS DOUBLE) IS NULL
+""",
+    doc="A37 error-row identification (ref cli/src/postgresutils.rs:4-51): a "
+    "deterministic mixed-validity conversion (every 3rd doc numeric, the rest "
+    "prose) driven through audit.identify_bad_rows — per offending row, the "
+    "failing column, the row's identifying key, and the bad source value. "
+    "Map-side explode of a null-compacted marks array: no shuffle, no join.",
+)
+def audit_bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.audit import identify_bad_rows
+
+    docs = table(spark, sf_dir, "documents")
+    src = F.when(
+        F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string")
+    ).otherwise(F.col("text"))
+    frame = docs.select("doc_id", src.alias("src"))
+    conv = F.expr("try_cast(src AS double)")
+    return identify_bad_rows(
+        frame, {"price": (F.col("src"), conv)}, id_col="doc_id"
+    )
+
+
 _SUPPLIER_AGG_ORACLE = """
 SELECT s_nationkey,
        COUNT(*) AS n_suppliers,

@@ -76,6 +76,32 @@ shingled AS (
 )
 """
 
+# Stop-shingle max-df pre-filter: a shingle occurring in more than 1/N of all
+# documents is boilerplate (headers, license blurbs, planted suffixes) — it
+# generates quadratic join fan-out in the inverted index and drags minhash
+# signatures toward the corpus mode. Drop it from every shingle set BEFORE
+# candidate generation. Integer comparison (df·N > total) keeps both engines
+# bit-identical; the stop list is bounded (only ultra-frequent shingles) so
+# it broadcasts.
+_STOP_DF_N = 10  # stop when df > total_docs / 10
+
+STOPF_SQL = f"""
+sdf AS (
+  SELECT s, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+  GROUP BY s
+),
+tot AS (SELECT COUNT(*) AS total FROM shingled),
+stoplist AS (
+  SELECT COALESCE(list(s), []) AS stops
+  FROM sdf CROSS JOIN tot WHERE df * {_STOP_DF_N} > total
+),
+shingled_f AS (
+  SELECT sh0.doc_id, list_filter(sh0.sh, x -> NOT list_contains(st.stops, x)) AS sh
+  FROM shingled sh0 CROSS JOIN stoplist st
+)
+"""
+
 
 def augmented_documents(
     spark: SparkSession, sf_dir: str, widen: bool = True
@@ -99,6 +125,42 @@ def augmented_documents(
     # (exact dedup: one md5 each) pass widen=False and skip the shuffle.
     out = docs.unionAll(exact_copies).unionAll(near_copies)
     return out.repartition(default_cpus()) if widen else out
+
+
+def stop_filtered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with max-df stop-shingles removed — the shared front end
+    of the Jaccard and MinHash paths (mirrors the STOPF_SQL oracle chain).
+
+    One extra pass computes document frequency per shingle (explode +
+    bounded groupBy); the resulting stop list is tiny by construction and
+    broadcasts, so the filter itself is map-side. At 100 TB the df table is
+    computed once per corpus snapshot and reused by every dedup job.
+    """
+    aug = augmented_documents(spark, sf_dir)
+    shingled = aug.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+    ).persist()
+    sdf = (
+        shingled.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tot = shingled.agg(F.count(F.lit(1)).alias("total")).withColumn("j1", F.lit(1))
+    # The stop list collects to the driver — BOUNDED state, like the k-means
+    # centroids: a shingle needs df > total/N, and each document carries at
+    # most max_doc_len shingles, so at most N·max_doc_len shingles can ever
+    # qualify, independent of corpus size. Attaching it as a literal array
+    # keeps the filter a pure map (no join node at all; a 1-row crossJoin
+    # would plan as BroadcastNestedLoopJoin, which the plan tests ban).
+    stop_rows = (
+        sdf.withColumn("j1", F.lit(1))
+        .join(F.broadcast(tot), "j1")
+        .filter(F.col("df") * _STOP_DF_N > F.col("total"))
+        .select("s")
+        .collect()
+    )
+    stops = F.array(*[F.lit(r.s) for r in stop_rows]) if stop_rows else F.array().cast("array<string>")
+    return shingled.select("doc_id", F.array_except("sh", stops).alias("sh"))
 
 
 # ------------------------------------------------------------------ exact --
@@ -130,12 +192,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
-sizes AS (SELECT doc_id, len(sh) AS n FROM shingled),
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled_f),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled) a
-  JOIN (SELECT doc_id, unnest(sh) AS s FROM shingled) b
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled_f) a
+  JOIN (SELECT doc_id, unnest(sh) AS s FROM shingled_f) b
     ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -148,17 +210,15 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
 """,
     doc="Near-dup candidates via 3-gram shingle inverted-index join; Jaccard from distinct-"
-    "shingle counts (single integer division). At scale: pre-filter stop-shingles by "
-    "document frequency to kill join skew, then this same plan.",
+    "shingle counts (single integer division). The max-df stop-shingle pre-filter "
+    "(stop_filtered_shingles) runs first — boilerplate shingles are what skew this "
+    "join at scale; Jaccard is then computed over the filtered shingle sets.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_documents(spark, sf_dir)
     # persist: the shingle set feeds the inverted index AND both size lookups;
-    # without it the whole normalize+shingle subtree recomputes per branch
-    # (at 100 TB: write signatures to a checkpoint table instead)
-    sh = aug.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
-    ).persist()
+    # without it the whole normalize+shingle+df-filter subtree recomputes per
+    # branch (at 100 TB: write filtered shingles to a checkpoint table)
+    sh = stop_filtered_shingles(spark, sf_dir).persist()
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
     a = exploded.alias("a")
@@ -188,17 +248,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- MinHash + LSH --
 _K = 8        # minhash signature length
 _BANDS = 4    # 2 hashes per band
-_SEEDS = (_K + 3) // 4  # one md5 yields four independent 32-bit lanes
+# One md5 per shingle (the whole map-side CPU budget at 100 TB is this call):
+# the 128-bit digest is carved into four independent 32-bit int lanes; lanes
+# 4..7 are LCG rehashes of lanes 0..3 — the classic min-wise "universal
+# hashing over one base hash" trick (h_k(x) = a·x + b mod 2^32), expressible
+# identically in both engines' integer arithmetic.
+_LCG_A = 69069          # Marsaglia multiplier; 2^32·69069 < 2^63, no overflow
+_LCG_MOD = 4294967296   # 2^32
+
+
+def _lane_sql(k: int) -> str:
+    """k-th 32-bit signature lane of one md5 digest (DuckDB syntax)."""
+    base = f"CAST('0x' || substr(md5(s), {1 + 8 * (k % 4)}, 8) AS BIGINT)"
+    if k < 4:
+        return base
+    return f"(({base}) * {_LCG_A} + {k}) % {_LCG_MOD}"
 
 
 def _sig_sql() -> str:
-    """sigs CTE shared by the LSH oracles: k-th hash = 8-hex lane k%4 of
-    md5('{k//4}|' || shingle) — 2 md5 calls per shingle instead of 8."""
+    """sigs CTE shared by the LSH oracles: ONE md5 call per shingle, eight
+    integer lanes derived from the single digest."""
     lanes = ", ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{k // 4}|' || s), {1 + 8 * (k % 4)}, 8))) AS h{k}"
+        f"list_min(list_transform(sh, s -> {_lane_sql(k)})) AS h{k}"
         for k in range(_K)
     )
-    return f"sigs AS (\n  SELECT doc_id, {lanes}\n  FROM shingled\n)"
+    return f"sigs AS (\n  SELECT doc_id, {lanes}\n  FROM shingled_f\n)"
 
 
 def _lsh_sigs_and_candidates(
@@ -209,41 +283,45 @@ def _lsh_sigs_and_candidates(
     Signatures are persisted — they feed the band explode plus both sides of
     the verify join; the 100 TB analog is a materialized signature table.
     """
-    aug = augmented_documents(spark, sf_dir)
-    shingled = aug.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
-    )
+    shingled = stop_filtered_shingles(spark, sf_dir)
     # signature = per-document MAP work: array_min(transform(...)) keeps it in
     # the scan stage with ZERO shuffles (the explode+groupBy alternative
     # shuffles every (doc, shingle) row just to re-group by doc). md5 is the
-    # hot path — hash once per seed, then carve each 128-bit digest into four
-    # independent 32-bit (8-hex) lanes.
-    def seeded_md5(seed: int):
+    # hot path — hash each shingle ONCE, carve the digest into four 32-bit
+    # int lanes, derive lanes 4..7 by an LCG mix of lanes 0..3 (mirrors
+    # _lane_sql exactly; halves the per-shingle hash CPU vs two seeded md5s).
+    def lane(k: int):
         # single-arg closures: pyspark infers transform-lambda arity from the
         # signature, so a bound default arg would flip it into (element, index)
-        prefix = F.lit(f"{seed}|")
-        return lambda s: F.md5(F.concat(prefix, s))
-
-    def lane(k: int):
         off = 1 + 8 * (k % 4)
-        return lambda x: F.substring(x, off, 8)
 
-    hashed = shingled.select(
-        "doc_id",
-        *[
-            F.transform("sh", seeded_md5(seed)).alias(f"m{seed}")
-            for seed in range(_SEEDS)
-        ],
-    )
+        def expr(x):
+            base = F.conv(F.substring(x, off, 8), 16, 10).cast("bigint")
+            if k < 4:
+                return base
+            return (base * _LCG_A + k) % _LCG_MOD
+
+        return expr
+
+    hashed = shingled.select("doc_id", F.transform("sh", F.md5).alias("m0"))
     sigs = hashed.select(
         "doc_id",
         *[
-            F.array_min(F.transform(F.col(f"m{k // 4}"), lane(k))).alias(f"h{k}")
+            F.array_min(F.transform(F.col("m0"), lane(k))).alias(f"h{k}")
             for k in range(_K)
         ],
     ).persist()
     band_exprs = [
-        F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("bh"))
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(
+                    F.col(f"h{2*b}").cast("string"),
+                    F.lit("|"),
+                    F.col(f"h{2*b+1}").cast("string"),
+                )
+            ).alias("bh"),
+        )
         for b in range(_BANDS)
     ]
     bands = sigs.select(
@@ -267,10 +345,10 @@ def _lsh_sigs_and_candidates(
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
 {_sig_sql()},
 bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS bh FROM sigs" for b in range(_BANDS))}
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS bh FROM sigs" for b in range(_BANDS))}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -566,10 +644,10 @@ FROM comp GROUP BY comp
 @register(
     "dedup_cluster_components",
     oracle=f"""
-WITH RECURSIVE {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()},
+WITH RECURSIVE {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
 {_sig_sql()},
 bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || h{2 * b + 1}) AS bh FROM sigs" for b in range(_BANDS))}
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS bh FROM sigs" for b in range(_BANDS))}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -55,6 +55,11 @@ class ExportOptions:
     decimal_precision: int = 38         # main.rs:175-177
     array_handling: str = "plain"       # main.rs:178-180
     float16_handling: str = "float32"   # main.rs:181-183
+    # float16 mode needs the target columns named: Spark has no 16-bit float
+    # type, so f16 sources (halfvec) arrive widened to f32 and the writer
+    # cannot tell them from genuine float4 columns. The export post-pass
+    # narrows exactly these columns to Parquet FLOAT16 (FLBA-2) via pyarrow.
+    float16_columns: tuple[str, ...] = ()
     compression: str = "zstd"           # main.rs:59-64 (default zstd)
     compression_level: int | None = None  # zstd default level 3 in the reference
     # Ours-only (the reference is single-file by construction; at scale you
@@ -83,6 +88,15 @@ class ExportOptions:
         _check(self.output_format, ("parquet", "csv", "json", "orc"), "output_format")
         if self.single_file and self.partition_by:
             raise ValueError("single_file and partition_by are mutually exclusive")
+        if self.float16_handling == "float16" and not self.float16_columns:
+            # honesty over silent acceptance: the flag must never be ignored
+            raise ValueError(
+                "float16_handling='float16' requires float16_columns naming the "
+                "(widened-to-f32) columns to narrow: Spark's writer cannot emit "
+                "the FLOAT16 logical type itself, so export() rewrites exactly "
+                "those columns to FLBA(2)/Float16 in a pyarrow post-pass "
+                "(reference: cli/src/postgres_cloner.rs:660-666)"
+            )
         if self.decimal_precision > 38:
             raise ValueError(
                 "decimal_precision > 38 is not representable by Spark DecimalType; "

@@ -120,6 +120,86 @@ def test_rewrite_query_for_exotics():
     assert q.endswith("FROM (SELECT * FROM t) q")
 
 
+def test_exotic_rewrite_chains_into_typemap_parsers(spark):
+    """End-to-end JDBC exotic path without a live PG (SURVEY §7.3 step 4):
+    rewrite_query_for_exotics ships every exotic column as ::text; this
+    fixture is shaped exactly like the JDBC result of that rewritten query,
+    and each text column must rebuild its struct through the typemap parsers
+    — all five exotic kinds (enum, range, composite, vector+sparsevec,
+    multidim array)."""
+    from pyspark.sql import functions as F
+
+    from pg2parquet_spark.typemap.arrays import flatten_with_dims
+    from pg2parquet_spark.typemap.composites import parse_composite_fast
+    from pg2parquet_spark.typemap.enums import enum_to_int
+    from pg2parquet_spark.typemap.pgvector import parse_sparsevec, parse_vector
+    from pg2parquet_spark.typemap.ranges import parse_range
+
+    cols = ["id", "mood", "span", "addr", "emb", "semb", "grid"]
+    exotics = {
+        "mood": "enum",
+        "span": "range",
+        "addr": "composite",
+        "emb": "vector",
+        "semb": "sparsevec",
+        "grid": "multidim_array",
+    }
+    q = rewrite_query_for_exotics("SELECT * FROM t", cols, exotics)
+    # the rewritten query's output column list == the fixture's columns
+    for c in cols:
+        assert f'"{c}"' in q
+    assert '"grid__dims"' in q
+
+    jdbc_shaped = spark.createDataFrame(
+        [
+            (1, "happy", "[2,5)", "(main st,42)", "[1,2.5]", "{1:0.5,3:2}/4",
+             "{{1,2},{3,4}}", "[0:1][1:2]"),
+            (2, "sad", "empty", None, "[]", "{}/4", None, None),
+        ],
+        "id long, mood string, span string, addr string, emb string, "
+        "semb string, grid string, grid__dims string",
+    )
+    # PG array text '{{1,2},{3,4}}' → nested arrays; lower bounds from dims
+    nested = F.from_json(
+        F.translate("grid", "{}", "[]"), "array<array<bigint>>"
+    )
+    lb = F.when(
+        F.col("grid__dims").isNotNull(),
+        F.transform(
+            F.regexp_extract_all("grid__dims", F.lit(r"\[(-?\d+):"), 1),
+            lambda x: x.cast("int"),
+        ),
+    )
+    parsed = jdbc_shaped.select(
+        "id",
+        enum_to_int(F.col("mood"), ["happy", "sad"]).alias("mood"),
+        parse_range(F.col("span"), lambda c: c.cast("int")).alias("span"),
+        parse_composite_fast(
+            F.col("addr"), ["street", "num"], [lambda c: c, lambda c: c.cast("int")]
+        ).alias("addr"),
+        parse_vector(F.col("emb")).alias("emb"),
+        parse_sparsevec(F.col("semb")).alias("semb"),
+        flatten_with_dims(nested, 2, "dims-lb", lower_bound=lb).alias("grid"),
+    )
+    r1, r2 = parsed.orderBy("id").collect()
+    assert r1.mood == 1 and r2.mood == 2
+    assert r1.span.asDict() == {
+        "lower": 2, "upper": 5, "lower_inclusive": True,
+        "upper_inclusive": False, "is_empty": False,
+    }
+    assert r2.span.is_empty is True
+    assert r1.addr.street == "main st" and r1.addr.num == 42
+    assert r2.addr is None  # NULL composite ≠ struct of NULLs
+    assert r1.emb == [1.0, 2.5]
+    assert r2.emb == []  # '[]' ≠ NULL
+    assert r1.semb.entries == {1: 0.5, 3: 2.0} and r1.semb.dim == 4
+    assert r2.semb.entries == {} and r2.semb.dim == 4
+    assert r1.grid.data == [1, 2, 3, 4]
+    assert r1.grid.dims == [2, 2]
+    assert r1.grid.lower_bound == [0, 1]  # server-side array_dims preserved
+    assert r2.grid is None
+
+
 # --------------------------------------------------------------------- cli --
 def test_cli_export_fixture_mode(spark, sf_dir, tmp_path):
     from pg2parquet_spark.cli import main
@@ -321,6 +401,98 @@ def test_audit_conversions(spark):
     assert rows["b_short"].sample_bad in {"x", "9999999999"}
 
 
+def test_export_audited_identifies_error_row(spark, tmp_path):
+    """A37 (ref cli/src/postgresutils.rs:4-51): a failing export names the
+    offending column AND the first identifiable key of the offending row."""
+    from pyspark.sql import functions as F
+
+    from pg2parquet_spark.export import ConversionError, export_audited
+
+    df = spark.createDataFrame(
+        [(1, "10.5"), (2, "not-a-number"), (3, "3.25")], ["id", "raw"]
+    )
+    conversions = {"price": (F.col("raw"), F.col("raw").try_cast("double"))}
+    with pytest.raises(ConversionError) as exc:
+        export_audited(df, str(tmp_path / "out"), conversions)
+    msg = str(exc.value)
+    assert "'price'" in msg and "'not-a-number'" in msg and "id=2" in msg
+    assert not (tmp_path / "out").exists()  # aborted before writing
+
+    # capture mode: write anyway, return the bad-row report
+    report = export_audited(
+        df, str(tmp_path / "out2"), conversions, fail_on_nulled=False
+    )
+    rows = report.collect()
+    assert len(rows) == 1 and rows[0].row_id == 2 and rows[0].bad_value == "not-a-number"
+    back = spark.read.parquet(str(tmp_path / "out2"))
+    assert back.filter(F.col("price").isNull()).count() == 1
+
+
+def test_float16_mode_emits_flba2(spark, tmp_path):
+    """A35: float16_handling='float16' + named columns → the parquet files
+    carry the FLOAT16 logical type (FLBA-2), scalar and halfvec-list alike."""
+    df = spark.createDataFrame(
+        [(1, 1.5, [0.5, 2.25]), (2, -3.0, [1.0])],
+        "id long, val float, emb array<float>",
+    )
+    out = str(tmp_path / "f16")
+    export(
+        df,
+        out,
+        ExportOptions(
+            float16_handling="float16",
+            float16_columns=("val", "emb"),
+            compression="zstd",
+        ),
+        quiet=True,
+    )
+    f = glob.glob(f"{out}/*.parquet")[0]
+    schema = str(pq.ParquetFile(f).schema)
+    assert schema.count("fixed_len_byte_array(2)") == 2
+    assert "(Float16)" in schema
+    back = pq.read_table(out).sort_by("id")
+    # f16-representable values survive the round trip exactly
+    assert [float(x.as_py()) for x in back["val"]] == [1.5, -3.0]
+
+
+def test_float16_mode_requires_columns():
+    """The float16 flag must never be silently ignored."""
+    with pytest.raises(ValueError, match="float16_columns"):
+        ExportOptions(float16_handling="float16")
+
+
+def test_progress_reporter_emits_during_write(spark, sf_dir, tmp_path):
+    """A36: the live meter reports MiB written + MiB/s while export() runs
+    (ref cli/src/parquet_writer.rs:100-151); quiet=True suppresses it."""
+    from pg2parquet_spark.progress import ProgressReporter
+
+    lines: list[str] = []
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "metered")
+    with ProgressReporter(spark, out, interval_s=0.05, sink=lines.append):
+        export(li, out, ExportOptions(compression="snappy"), quiet=True)
+    assert lines, "reporter emitted nothing"
+    assert all("MiB written" in l and "MiB/s" in l for l in lines)
+    assert "done" in lines[-1]  # final summary line
+    # the final tick sees the committed bytes
+    assert any(not l.split("MiB written")[0].rstrip().endswith(" 0.0") for l in lines)
+
+
+def test_export_default_meter_on_stderr(spark, sf_dir, tmp_path, capsys):
+    li = spark.read.parquet(f"{sf_dir}/region.parquet")
+    export(li, str(tmp_path / "loud"))  # default: meter on
+    assert "[export]" in capsys.readouterr().err
+    export(li, str(tmp_path / "silent"), quiet=True)
+    assert "[export]" not in capsys.readouterr().err
+
+
+def test_first_identifiable_column_skips_binary(spark):
+    from pg2parquet_spark.audit import first_identifiable_column
+
+    df = spark.createDataFrame([(b"\x00", 7, "x")], "blob binary, k long, s string")
+    assert first_identifiable_column(df) == "k"
+
+
 def test_compact_small_files(spark, sf_dir, tmp_path):
     from pg2parquet_spark.export import compact, export
     from pg2parquet_spark.options import ExportOptions
@@ -332,6 +504,21 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     n = compact(spark, out, target_file_mb=512)
     assert n == 1  # sf0.001 lineitem ≪ 512 MB
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_compact_via_filesystem_uri(spark, sf_dir, tmp_path):
+    """compact() resolves the FileSystem from the path's own scheme — an
+    explicit file:// URI must work identically (the HDFS/S3 code path)."""
+    from pg2parquet_spark.export import compact, export
+    from pg2parquet_spark.options import ExportOptions
+
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = f"file://{tmp_path}/fragmented_uri"
+    export(ords.repartition(8), out, ExportOptions(compression="snappy"))
+    n = compact(spark, out, target_file_mb=512)
+    assert n == 1
+    assert spark.read.parquet(out).count() == ords.count()
+    assert not (tmp_path / "fragmented_uri._compact_tmp").exists()
 
 
 def test_parquet_info_and_write_stats(spark, sf_dir, tmp_path):

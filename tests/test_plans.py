@@ -83,6 +83,14 @@ def test_minhash_signatures_are_map_only(spark):
     assert "partial_min" not in plan
 
 
+def test_stop_shingle_df_filter_in_minhash_and_jaccard_plans(spark):
+    # the max-df stop-shingle pre-filter must be present in both candidate
+    # generators: array_except(sh, stops) with a broadcast stop list
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = plan_of(spark, name)
+        assert "array_except" in plan, f"{name} lost the stop-shingle filter"
+
+
 def test_dedup_embedding_cosine_is_bucketed_not_allpairs(spark):
     # LSH-candidates → exact re-score: every join must be an equi-join on a
     # bucket key; the old all-pairs `a_id < b_id` BNLJ is the 100 TB killer
