@@ -67,26 +67,65 @@ def export(
         else:
             writer.orc(path)
     if options.output_format == "parquet" and options.float16_handling == "float16":
-        _narrow_to_float16(path, options)
+        _narrow_to_float16(df.sparkSession, path, options)
 
 
-def _narrow_to_float16(path: str, options: ExportOptions) -> None:
-    """A35 float16 mode (ref cli/src/postgres_cloner.rs:660-666): rewrite the
-    named columns to the Parquet FLOAT16 logical type (FLBA-2).
+def _rewrite_one_float16(path: str, uri_scheme: bool, wanted: frozenset, codec: str) -> str:
+    """Rewrite ONE parquet file's ``wanted`` columns to Float16 (FLBA-2).
 
-    Spark's writer has no 16-bit float type, so f16 sources travel widened
-    to f32 (exactly — PG already rounded them to half precision) and this
-    pyarrow post-pass narrows the storage back per file. Handles scalar
-    float and list<float> (halfvec) columns. File-at-a-time, parallel-safe
-    per file; at scale this step runs as a distributed maintenance pass over
-    the file list instead of a driver loop.
+    Runs as a Spark TASK — never on the driver: the file list of a 100 TB
+    export is thousands of files, and a serial driver loop over read_table/
+    write_table would be the export's long pole. The guard below pins that
+    contract (and the pytest relies on it).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
+    from pyspark import TaskContext
 
-    if "://" in path:
+    if TaskContext.get() is None:
+        raise RuntimeError("float16 narrowing must run as a Spark task, not on the driver")
+    fsys = pafs.FileSystem.from_uri(path)[0] if uri_scheme else pafs.LocalFileSystem()
+    t = pq.read_table(path, filesystem=fsys)
+    cols = {}
+    for name in t.schema.names:
+        col = t[name]
+        if name in wanted:
+            typ = col.type
+            if pa.types.is_float32(typ) or pa.types.is_float64(typ):
+                col = pc.cast(col, pa.float16())
+            elif pa.types.is_list(typ):
+                col = pc.cast(col, pa.list_(pa.float16()))
+            else:
+                raise ValueError(
+                    f"float16_columns: column {name!r} has non-float type {typ}"
+                )
+        cols[name] = col
+    pq.write_table(
+        pa.table(cols),
+        path,
+        filesystem=fsys,
+        compression="none" if codec == "uncompressed" else codec,
+    )
+    return path
+
+
+def _narrow_to_float16(spark: SparkSession, path: str, options: ExportOptions) -> None:
+    """A35 float16 mode (ref cli/src/postgres_cloner.rs:660-666): rewrite the
+    named columns to the Parquet FLOAT16 logical type (FLBA-2).
+
+    Spark's writer has no 16-bit float type, so f16 sources travel widened
+    to f32 (exactly — PG already rounded them to half precision) and this
+    pyarrow post-pass narrows the storage back per file. The driver only
+    LISTS the files; the per-file read→cast→write runs distributed, one
+    Spark task per file (`sc.parallelize(files, len(files))`), so the pass
+    scales with the cluster instead of serializing on the driver.
+    """
+    from pyarrow import fs as pafs
+
+    uri_scheme = "://" in path
+    if uri_scheme:
         fsys, root = pafs.FileSystem.from_uri(path)
     else:
         fsys, root = pafs.LocalFileSystem(), path
@@ -95,30 +134,18 @@ def _narrow_to_float16(path: str, options: ExportOptions) -> None:
         for fi in fsys.get_file_info(pafs.FileSelector(root, recursive=True))
         if fi.is_file and fi.path.endswith(".parquet")
     ]
-    wanted = set(options.float16_columns)
+    if not files:
+        return
+    wanted = frozenset(options.float16_columns)
     codec = options.spark_codec  # same name space as pyarrow's
-    for f in files:
-        t = pq.read_table(f, filesystem=fsys)
-        cols = {}
-        for name in t.schema.names:
-            col = t[name]
-            if name in wanted:
-                typ = col.type
-                if pa.types.is_float32(typ) or pa.types.is_float64(typ):
-                    col = pc.cast(col, pa.float16())
-                elif pa.types.is_list(typ):
-                    col = pc.cast(col, pa.list_(pa.float16()))
-                else:
-                    raise ValueError(
-                        f"float16_columns: column {name!r} has non-float type {typ}"
-                    )
-            cols[name] = col
-        pq.write_table(
-            pa.table(cols),
-            f,
-            filesystem=fsys,
-            compression="none" if codec == "uncompressed" else codec,
-        )
+    sc = spark.sparkContext
+    done = (
+        sc.parallelize(files, len(files))
+        .map(lambda f: _rewrite_one_float16(f, uri_scheme, wanted, codec))
+        .collect()  # bounded: one path string per file
+    )
+    if sorted(done) != sorted(files):
+        raise RuntimeError("float16 narrowing: task results do not cover the file list")
 
 
 class ConversionError(RuntimeError):
@@ -155,21 +182,34 @@ def export_audited(
     """
     from pg2parquet_spark import audit
 
-    id_col = id_col or audit.first_identifiable_column(df)
-    bad = audit.identify_bad_rows(df, conversions, id_col)
-    if fail_on_nulled:
-        first = bad.limit(1).collect()  # bounded: one row
-        if first:
-            r = first[0]
-            raise ConversionError(
-                f"conversion to column {r.col_name!r} failed: source value "
-                f"{r.bad_value!r} became NULL in row with {id_col}={r.row_id!r}"
-            )
-    out = df
-    for name, (_src, conv) in conversions.items():
-        out = out.withColumn(name, conv)
-    export(out, path, options)
-    return bad
+    # ONE source scan feeds audit + write + (capture mode) the report: for a
+    # JDBC source, audit-then-write without a cache point re-reads the whole
+    # Postgres table per consumer. Persist for the duration, release on exit.
+    df = df.persist()
+    try:
+        id_col = id_col or audit.first_identifiable_column(df)
+        bad = audit.identify_bad_rows(df, conversions, id_col)
+        if fail_on_nulled:
+            first = bad.limit(1).collect()  # bounded: one row
+            if first:
+                r = first[0]
+                raise ConversionError(
+                    f"conversion to column {r.col_name!r} failed: source value "
+                    f"{r.bad_value!r} became NULL in row with {id_col}={r.row_id!r}"
+                )
+        else:
+            # materialize the report off the cached source NOW — the caller
+            # consumes it after df is unpersisted, which would otherwise be
+            # a third full read of the source
+            bad = bad.persist()
+            bad.count()
+        out = df
+        for name, (_src, conv) in conversions.items():
+            out = out.withColumn(name, conv)
+        export(out, path, options)
+        return bad
+    finally:
+        df.unpersist()
 
 
 def export_bucketed(
@@ -222,8 +262,18 @@ def compact(
 
     File count = ceil(current_bytes / target); data is round-robin
     repartitioned so output files are uniform. Returns the new file count.
-    Rewrites via a temp dir so a mid-compaction failure never corrupts the
-    source dataset.
+
+    Crash safety: the rewrite lands in a temp dir, then the swap is
+    rename-aside (src → src._compact_old), rename-into-place (tmp → src),
+    delete-old-last — at every instant the data exists in full at src, the
+    old path, or the tmp path, and a failed rename-in rolls the old dir
+    back. (delete-then-rename would leave src EMPTY if the process died
+    between the two.)
+
+    Hive-partitioned datasets are rejected explicitly: a flat repartition
+    would destroy the partition layout (and a non-recursive size probe
+    would see 0 bytes and compact 100 TB into one file). Partition-wise
+    compaction is `compact(part_dir)` per leaf directory.
 
     All listing/measuring/deleting/renaming goes through the Hadoop
     FileSystem API resolved from the path's own scheme — so the same code
@@ -238,12 +288,22 @@ def compact(
     src = jvm.org.apache.hadoop.fs.Path(path)
     fs = src.getFileSystem(hconf)
 
+    for st in fs.listStatus(src):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"compact: {path} is hive-partitioned ({st.getPath().getName()!r}); "
+                "flat compaction would drop the partition layout — compact each "
+                "leaf partition directory instead"
+            )
+
     def parquet_sizes(p) -> list[int]:
-        return [
-            st.getLen()
-            for st in fs.listStatus(p)
-            if st.isFile() and st.getPath().getName().endswith(".parquet")
-        ]
+        sizes = []
+        it = fs.listFiles(p, True)  # recursive: nested task dirs still count
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                sizes.append(st.getLen())
+        return sizes
 
     current_bytes = sum(parquet_sizes(src))
     n_files = max(1, math.ceil(current_bytes / (target_file_mb * 1024 * 1024)))
@@ -251,8 +311,12 @@ def compact(
     tmp_str = path.rstrip("/") + "._compact_tmp"
     export(df.repartition(n_files), tmp_str, options)
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_str)
-    if not fs.delete(src, True):  # recursive
-        raise IOError(f"compact: could not remove {path} before swap")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_old")
+    fs.delete(old, True)  # stale leftover from a previous crashed compaction
+    if not fs.rename(src, old):
+        raise IOError(f"compact: could not move {path} aside; dataset untouched")
     if not fs.rename(tmp, src):
-        raise IOError(f"compact: rename {tmp_str} -> {path} failed; data is at {tmp_str}")
+        fs.rename(old, src)  # roll back: restore the original dataset
+        raise IOError(f"compact: rename {tmp_str} -> {path} failed; dataset restored")
+    fs.delete(old, True)
     return len(parquet_sizes(src))

@@ -12,8 +12,10 @@ composition of built-in DataFrame ops — no Python in the hot path:
                   bucket collisions pair up, so the join is near-linear; the
                   band hash is the shuffle key.
 - SimHash:       32-bit sign-of-weighted-sum signature per doc.
-- embedding:     cosine near-dup pairs over the embeddings table (exact,
-                  unrolled dot product — see similarity.py for the ANN path).
+- embedding:     cosine near-dup pairs over the embeddings table — an exact
+                  all-pairs variant (quadratic by contract) and a sign-LSH
+                  bucketed variant whose recall is measured against it (see
+                  similarity.py for the ANN path).
 
 The test corpus has no duplicates, so the dedup queries run over an
 AUGMENTED corpus: the 500 documents plus case/whitespace-mutated copies
@@ -159,6 +161,11 @@ def stop_filtered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s")
         .collect()
     )
+    # the stop-list pass was the only eager consumer — release the cache NOW
+    # so a long-lived session never accumulates shingle storage across dedup
+    # jobs (the consuming query recomputes the map-only shingle subtree once;
+    # at 100 TB the filtered shingles live in a checkpoint table instead)
+    shingled.unpersist()
     stops = F.array(*[F.lit(r.s) for r in stop_rows]) if stop_rows else F.array().cast("array<string>")
     return shingled.select("doc_id", F.array_except("sh", stops).alias("sh"))
 
@@ -215,34 +222,36 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
     "join at scale; Jaccard is then computed over the filtered shingle sets.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: the shingle set feeds the inverted index AND both size lookups;
-    # without it the whole normalize+shingle+df-filter subtree recomputes per
-    # branch (at 100 TB: write filtered shingles to a checkpoint table)
-    sh = stop_filtered_shingles(spark, sf_dir).persist()
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    # The shingle-set SIZE rides along through the explode (it is functionally
+    # dependent on doc_id, so adding it to the groupBy keys changes nothing),
+    # which removes the two post-agg size-lookup joins of the naive shape —
+    # and with them the need to persist the shingle frame at all: the two
+    # sides of the inverted-index self-join are identical subtrees, so Spark
+    # plans one Exchange and a ReusedExchange, computing the shingles once.
+    # No executor-storage footprint survives the query (pinned by
+    # tests/test_pipeline_ops.py::test_dedup_leaves_no_persistent_rdds).
+    sh = stop_filtered_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("common"))
-    return (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "common",
-            (F.col("sa.n") + F.col("sb.n") - F.col("common")).alias("union_cnt"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.6)
-    )
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "common",
+        (F.col("na") + F.col("nb") - F.col("common")).alias("union_cnt"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.6)
 
 
 # ----------------------------------------------------------- MinHash + LSH --
@@ -275,13 +284,18 @@ def _sig_sql() -> str:
     return f"sigs AS (\n  SELECT doc_id, {lanes}\n  FROM shingled_f\n)"
 
 
-def _lsh_sigs_and_candidates(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Shared LSH front end: (signatures, candidate pairs doc_a < doc_b).
+def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH front end: band-bucket collisions with BOTH documents' full
+    signatures riding in-row (columns doc_a, doc_b, ha0..ha7, hb0..hb7).
 
-    Signatures are persisted — they feed the band explode plus both sides of
-    the verify join; the 100 TB analog is a materialized signature table.
+    Carrying the 8 signature ints through the band join means the verify step
+    is a pure projection — the naive shape re-joins a persisted signature
+    table twice. This one needs no persist at all: the two sides of the band
+    self-join are identical subtrees, so Spark computes the signature
+    pipeline once (Exchange + ReusedExchange) and no executor storage
+    outlives the query. At 100 TB the signatures would live in a
+    materialized table; here the whole front end stays map-side until the
+    single (band_idx, band_hash) shuffle.
     """
     shingled = stop_filtered_shingles(spark, sf_dir)
     # signature = per-document MAP work: array_min(transform(...)) keeps it in
@@ -310,7 +324,7 @@ def _lsh_sigs_and_candidates(
             F.array_min(F.transform(F.col("m0"), lane(k))).alias(f"h{k}")
             for k in range(_K)
         ],
-    ).persist()
+    )
     band_exprs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -325,21 +339,28 @@ def _lsh_sigs_and_candidates(
         for b in range(_BANDS)
     ]
     bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_exprs)).alias("band")
-    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.bh").alias("bh"))
+        "doc_id",
+        *[F.col(f"h{k}") for k in range(_K)],
+        F.explode(F.array(*band_exprs)).alias("band"),
+    ).select(
+        "doc_id",
+        *[F.col(f"h{k}") for k in range(_K)],
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.bh").alias("bh"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        *[F.col(f"a.h{k}").alias(f"ha{k}") for k in range(_K)],
+        *[F.col(f"b.h{k}").alias(f"hb{k}") for k in range(_K)],
     )
-    return sigs, cand
 
 
 @register(
@@ -367,23 +388,20 @@ JOIN sigs sb ON sb.doc_id = doc_b
     "band hash is the shuffle key (the 100 TB-safe shape).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs, cand = _lsh_sigs_and_candidates(spark, sf_dir)
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
+    pairs = _lsh_band_collisions(spark, sf_dir)
     matches = None
     for k in range(_K):
-        term = F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0)
+        term = F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
         matches = term if matches is None else matches + term
-    return (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            matches.cast("bigint").alias("matching_hashes"),
-            (matches.cast("double") / _K).alias("est_jaccard"),
-        )
-    )
+    # a pair colliding in several bands yields bit-identical rows (the match
+    # count depends only on the two signatures) → distinct collapses them,
+    # matching the oracle's DISTINCT-candidates-then-verify semantics
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        matches.cast("bigint").alias("matching_hashes"),
+        (matches.cast("double") / _K).alias("est_jaccard"),
+    ).distinct()
 
 
 # ---------------------------------------------------------------- SimHash --
@@ -501,7 +519,37 @@ def _emb_pair_union_sql() -> str:
 
 
 @register(
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD}
+""",
+    doc="EXACT embedding-cosine near-dup pairs: ALL pairs with cos_sim >= "
+    f"{_EMB_COS_THRESHOLD}, no candidate pruning. Quadratic BY CONTRACT — the "
+    "plan is a broadcast nested-loop self-join, which is the honest shape for "
+    "an exact all-pairs answer and is only runnable when one side fits in "
+    "memory (fixture corpora, re-scoring a pre-filtered bucket). At 100 TB "
+    "use dedup_embedding_cosine_lsh; this query exists so the exact contract "
+    "keeps a name (and so the LSH variant's recall is MEASURED against it — "
+    "tests/test_pipeline_ops.py::test_embedding_lsh_recall).",
+)
+def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.similarity import dot_col
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", dot_col("a_emb", "b_emb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _EMB_COS_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
     oracle=f"""
 WITH bk AS ({_emb_bucketed_sql()}),
 pairs AS (
@@ -515,11 +563,14 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "fixed-order re-score of candidates only → threshold → distinct. Never "
     "materializes the O(n²) pair space; plan-tested to contain no "
     "BroadcastNestedLoopJoin/CartesianProduct (tests/test_plans.py). Candidate "
-    "recall is the (tables × planes) dial documented at _EMB_LSH_OFFSETS; the "
-    "oracle computes the identical bucketed semantics so correctness is exact, "
-    "not recall-fuzzy.",
+    "recall vs dedup_embedding_cosine_exact is MEASURED on the fixture corpus "
+    "(test_embedding_lsh_recall): ~0.48 at the 0.4 decision boundary with 4 "
+    "tables × 4 planes, zero false positives (the re-score is exact). The "
+    "recall dial is (tables × planes) at _EMB_LSH_OFFSETS; the oracle computes "
+    "the identical bucketed semantics so the correctness gate is exact, while "
+    "the recall test keeps the contract gap measured, not asserted.",
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2parquet_spark.operators.similarity import bucket_sql_offset, dot_col
 
     emb = table(spark, sf_dir, "embeddings")
@@ -657,21 +708,52 @@ cand AS (
 {_CC_SQL_BODY.strip()}
 """,
     doc="Near-dup CLUSTERS, not just pairs: connected components over the LSH "
-    "candidate graph via distributed min-label propagation (iterate: every "
-    "vertex takes the min label among itself and its neighbors, until a "
-    "fixpoint — the unique minimum-reachable-id labeling, so the result is "
-    "deterministic regardless of execution order). Each iteration is one "
-    "shuffle join; dup clusters are near-cliques so convergence takes "
-    "O(diameter) ≈ 2-3 rounds. This is the step that turns pair output into "
-    "pick-one-representative dedup at 100 TB (the alternating large-star/"
-    "small-star variant bounds rounds to O(log n) on adversarial graphs). "
-    "Oracle: DuckDB WITH RECURSIVE transitive closure.",
+    "candidate graph via min-label propagation WITH pointer doubling (every "
+    "round a vertex adopts the min of its own label, its neighbors' labels, "
+    "and its label's label — same-component transitivity makes the last one "
+    "sound). Doubling covers a 2^k-hop neighborhood after k rounds, so "
+    "convergence is O(log diameter) even on adversarial path graphs (64-node "
+    "chain pinned in tests), and non-convergence RAISES instead of silently "
+    "returning partial labels. The fixpoint is the unique minimum-reachable-"
+    "id labeling → deterministic regardless of execution order. This is the "
+    "step that turns pair output into pick-one-representative dedup at 100 "
+    "TB. Oracle: DuckDB WITH RECURSIVE transitive closure.",
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, cand = _lsh_sigs_and_candidates(spark, sf_dir)
-    bi = cand.select(
+    cand = _lsh_band_collisions(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    labels = connected_components(cand)
+    return labels.groupBy(F.col("comp").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.collect_list("id")), lambda x: x.cast("string"))
+        ).alias("members"),
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 20, strict: bool = True
+) -> DataFrame:
+    """Label every vertex of the undirected ``edges`` graph (columns
+    ``doc_a``, ``doc_b``) with the minimum vertex id reachable from it.
+    Returns (id, comp).
+
+    Min-label propagation alone moves a label ONE hop per round — a path
+    graph of diameter d needs d rounds, so any fixed bound silently
+    mislabels adversarial long-chain graphs. Each round here therefore also
+    POINTER-DOUBLES: every vertex additionally adopts ``comp(comp(id))``
+    (valid because same-component is transitive), which doubles the hop
+    distance covered per round → O(log diameter) convergence; a 64-node
+    chain converges in ~7 rounds (pinned by
+    tests/test_pipeline_ops.py::test_cluster_components_long_chain).
+
+    ``strict=True`` raises if the fixpoint is not reached within
+    ``max_rounds`` — returning unconverged labels would be silent wrong
+    answers, the worst failure mode at 100 TB.
+    """
+    spark = edges.sparkSession
+    bi = edges.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).unionAll(cand.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    ).unionAll(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     bi = bi.persist()
     # localCheckpoint (not just persist) each iteration: persist cuts
     # re-EXECUTION but the logical plan still grows per round, so analysis/
@@ -687,13 +769,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
     labels_rdd_ids = _persistent_rdd_ids(sc) - before
-    for _ in range(20):  # safety bound; loop exits at the fixpoint
+    converged = False
+    for _ in range(max_rounds):  # loop exits at the fixpoint
         msgs = bi.join(labels, bi.b == labels.id).select(
             F.col("a").alias("id"), F.col("comp")
         )
+        # pointer doubling: comp values are themselves vertex ids, so every
+        # comp(id) has a labels row — adopt its label too. After round k the
+        # best label is min over a 2^k-hop neighborhood, not a k-hop one.
+        dbl = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.id"))
+            .select(F.col("l1.id").alias("id"), F.col("l2.comp").alias("comp"))
+        )
         before = _persistent_rdd_ids(sc)
         new_labels = (
-            labels.unionAll(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+            labels.unionAll(msgs).unionAll(dbl).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
         new_rdd_ids = _persistent_rdd_ids(sc) - before
         changed = (
@@ -704,18 +795,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # old labels fully consumed (new_labels materialized eagerly, changed
         # counted) — free its executor-storage blocks now instead of waiting
-        # for Python GC + ContextCleaner across up to 20 iterations
+        # for Python GC + ContextCleaner across many iterations
         _unpersist_rdd_ids(sc, labels_rdd_ids)
         labels, labels_rdd_ids = new_labels, new_rdd_ids
         if changed == 0:
+            converged = True
             break
-    # the FINAL labels checkpoint stays persisted: `out` below reads it and
-    # the truncated lineage cannot recompute; ContextCleaner reclaims it.
-    out = labels.groupBy(F.col("comp").alias("cluster_rep")).agg(
-        F.count(F.lit(1)).alias("cluster_size"),
-        F.concat_ws(
-            ",", F.transform(F.sort_array(F.collect_list("id")), lambda x: x.cast("string"))
-        ).alias("members"),
-    )
     bi.unpersist()
-    return out
+    if not converged and strict:
+        _unpersist_rdd_ids(sc, labels_rdd_ids)
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_rounds} rounds"
+        )
+    # the FINAL labels checkpoint stays persisted: callers read it and the
+    # truncated lineage cannot recompute; ContextCleaner reclaims it on GC.
+    return labels

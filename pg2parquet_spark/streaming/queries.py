@@ -28,9 +28,12 @@ _counter = itertools.count()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of tables._events (nanos → µs timestamps)."""
+    """Streaming twin of tables._events — tolerates both corpus generations
+    (ts as nanos-long vs native µs timestamp), mirroring tables._events."""
     import os
     import tempfile
+
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -41,7 +44,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(static.schema).parquet(stream_dir)
     # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so values
     # match the batch NTZ view — outputs cast back to NTZ for the oracle
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(static.schema["ts"].dataType, LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(agg: DataFrame, name: str) -> None:

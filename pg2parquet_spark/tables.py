@@ -38,19 +38,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects. Read it as a long (legacy conf) and rebuild an NTZ timestamp;
-    the corpus has no sub-microsecond components, so ns→µs is lossless."""
+    """events.ts has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    generations — Spark's vectorized reader rejects that, so it is read as a
+    long (legacy conf) and rebuilt into an NTZ timestamp (the corpus has no
+    sub-microsecond components, so ns→µs is lossless). Generations that ship
+    µs timestamps load natively; both land on the same timestamp_ntz type."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact
-    # range, so float division would round the last microsecond digit
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53
+        # exact range, so float division would round the last µs digit
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    if isinstance(ts_type, TimestampNTZType):
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

@@ -430,11 +430,15 @@ def test_export_audited_identifies_error_row(spark, tmp_path):
 
 def test_float16_mode_emits_flba2(spark, tmp_path):
     """A35: float16_handling='float16' + named columns → the parquet files
-    carry the FLOAT16 logical type (FLBA-2), scalar and halfvec-list alike."""
+    carry the FLOAT16 logical type (FLBA-2), scalar and halfvec-list alike.
+    MULTI-file on purpose: the narrowing pass ships the file list to
+    executors (one Spark task per file — `_rewrite_one_float16` RAISES if it
+    ever runs driver-side via its TaskContext guard), so a 3-file dataset
+    proves the distributed path rewrites every file, not just the first."""
     df = spark.createDataFrame(
-        [(1, 1.5, [0.5, 2.25]), (2, -3.0, [1.0])],
+        [(1, 1.5, [0.5, 2.25]), (2, -3.0, [1.0]), (3, 0.25, [4.0])],
         "id long, val float, emb array<float>",
-    )
+    ).repartition(3)
     out = str(tmp_path / "f16")
     export(
         df,
@@ -446,13 +450,16 @@ def test_float16_mode_emits_flba2(spark, tmp_path):
         ),
         quiet=True,
     )
-    f = glob.glob(f"{out}/*.parquet")[0]
-    schema = str(pq.ParquetFile(f).schema)
-    assert schema.count("fixed_len_byte_array(2)") == 2
-    assert "(Float16)" in schema
+    files = glob.glob(f"{out}/*.parquet")
+    # multi-file: every file must get the rewrite (AQE may coalesce 3→2)
+    assert len(files) >= 2
+    for f in files:
+        schema = str(pq.ParquetFile(f).schema)
+        assert schema.count("fixed_len_byte_array(2)") == 2
+        assert "(Float16)" in schema
     back = pq.read_table(out).sort_by("id")
     # f16-representable values survive the round trip exactly
-    assert [float(x.as_py()) for x in back["val"]] == [1.5, -3.0]
+    assert [float(x.as_py()) for x in back["val"]] == [1.5, -3.0, 0.25]
 
 
 def test_float16_mode_requires_columns():

@@ -91,10 +91,12 @@ def test_stop_shingle_df_filter_in_minhash_and_jaccard_plans(spark):
         assert "array_except" in plan, f"{name} lost the stop-shingle filter"
 
 
-def test_dedup_embedding_cosine_is_bucketed_not_allpairs(spark):
+def test_dedup_embedding_cosine_lsh_is_bucketed_not_allpairs(spark):
     # LSH-candidates → exact re-score: every join must be an equi-join on a
-    # bucket key; the old all-pairs `a_id < b_id` BNLJ is the 100 TB killer
-    plan = plan_of(spark, "dedup_embedding_cosine")
+    # bucket key; an all-pairs `a_id < b_id` BNLJ is the 100 TB killer
+    # (dedup_embedding_cosine_exact carries that shape ON PURPOSE — its
+    # contract is the quadratic exact answer; only the _lsh variant is pinned)
+    plan = plan_of(spark, "dedup_embedding_cosine_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
