@@ -47,8 +47,21 @@ def main() -> None:
         if n in registry
     ]
 
-    # warm the JVM + parquet footers once so timings measure the query, not boot
+    # warm the JVM + parquet footers once so timings measure the query, not
+    # boot; also one tiny zstd write so the sink query's timing measures the
+    # roundtrip, not one-time codec/output-committer initialization
     registry[headline[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    import tempfile
+
+    from pg2parquet_spark.export import export
+    from pg2parquet_spark.options import ExportOptions
+
+    export(
+        spark.range(1),
+        tempfile.mkdtemp(prefix="bench_warm_") + "/warm.parquet",
+        ExportOptions(compression="zstd", compression_level=3),
+        quiet=True,
+    )
 
     timings: dict[str, float] = {}
     for name in headline:

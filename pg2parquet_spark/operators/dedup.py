@@ -129,44 +129,61 @@ def augmented_documents(
     return out.repartition(default_cpus()) if widen else out
 
 
+# Stop list memo, keyed by corpus dir. The stop list is corpus-level
+# metadata ("computed once per corpus snapshot, reused by every dedup job"
+# is exactly the 100 TB deployment shape — there it is a materialized df
+# table); recomputing its explode+groupBy pass per query made the stop job
+# the dominant cost of every shingle-based dedup query in one session.
+# Bounded by construction (≤ N·max_doc_len entries per corpus), so the memo
+# can never grow past a few such lists. Corpus dirs here are immutable;
+# a production snapshot id would key the memo instead.
+_STOP_MEMO: dict[str, list[str]] = {}
+
+
 def stop_filtered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) with max-df stop-shingles removed — the shared front end
     of the Jaccard and MinHash paths (mirrors the STOPF_SQL oracle chain).
 
-    One extra pass computes document frequency per shingle (explode +
-    bounded groupBy); the resulting stop list is tiny by construction and
-    broadcasts, so the filter itself is map-side. At 100 TB the df table is
-    computed once per corpus snapshot and reused by every dedup job.
+    One extra pass (memoized per corpus dir) computes document frequency per
+    shingle (explode + bounded groupBy); the resulting stop list is tiny by
+    construction and ships as a literal, so the filter itself is map-side.
     """
     aug = augmented_documents(spark, sf_dir)
     shingled = aug.select(
         "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
-    ).persist()
-    sdf = (
-        shingled.select(F.explode("sh").alias("s"))
-        .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
     )
-    tot = shingled.agg(F.count(F.lit(1)).alias("total")).withColumn("j1", F.lit(1))
-    # The stop list collects to the driver — BOUNDED state, like the k-means
-    # centroids: a shingle needs df > total/N, and each document carries at
-    # most max_doc_len shingles, so at most N·max_doc_len shingles can ever
-    # qualify, independent of corpus size. Attaching it as a literal array
-    # keeps the filter a pure map (no join node at all; a 1-row crossJoin
-    # would plan as BroadcastNestedLoopJoin, which the plan tests ban).
-    stop_rows = (
-        sdf.withColumn("j1", F.lit(1))
-        .join(F.broadcast(tot), "j1")
-        .filter(F.col("df") * _STOP_DF_N > F.col("total"))
-        .select("s")
-        .collect()
+    if sf_dir not in _STOP_MEMO:
+        # persist only for the duration of the stop-list pass: the df agg and
+        # the total-count subtree both consume `shingled`
+        cached = shingled.persist()
+        sdf = (
+            cached.select(F.explode("sh").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        tot = cached.agg(F.count(F.lit(1)).alias("total")).withColumn("j1", F.lit(1))
+        # The stop list collects to the driver — BOUNDED state, like the
+        # k-means centroids: a shingle needs df > total/N, and each document
+        # carries at most max_doc_len shingles, so at most N·max_doc_len
+        # shingles can ever qualify, independent of corpus size. Attaching it
+        # as a literal array keeps the filter a pure map (no join node at
+        # all; a 1-row crossJoin would plan as BroadcastNestedLoopJoin,
+        # which the plan tests ban).
+        stop_rows = (
+            sdf.withColumn("j1", F.lit(1))
+            .join(F.broadcast(tot), "j1")
+            .filter(F.col("df") * _STOP_DF_N > F.col("total"))
+            .select("s")
+            .collect()
+        )
+        cached.unpersist()
+        _STOP_MEMO[sf_dir] = sorted(r.s for r in stop_rows)
+    stop_vals = _STOP_MEMO[sf_dir]
+    stops = (
+        F.array(*[F.lit(s) for s in stop_vals])
+        if stop_vals
+        else F.array().cast("array<string>")
     )
-    # the stop-list pass was the only eager consumer — release the cache NOW
-    # so a long-lived session never accumulates shingle storage across dedup
-    # jobs (the consuming query recomputes the map-only shingle subtree once;
-    # at 100 TB the filtered shingles live in a checkpoint table instead)
-    shingled.unpersist()
-    stops = F.array(*[F.lit(r.s) for r in stop_rows]) if stop_rows else F.array().cast("array<string>")
     return shingled.select("doc_id", F.array_except("sh", stops).alias("sh"))
 
 

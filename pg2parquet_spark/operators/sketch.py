@@ -212,6 +212,122 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Linear-counting table: with m registers and V of them empty, the standard
+# small-range correction is m·ln(m/V). V only takes values 0..m, so the whole
+# float computation happens ONCE here in Python and ships to BOTH engines as
+# the same integer CASE table — cross-engine agreement stays bit-exact
+# without either engine evaluating a log.
+import math as _math
+
+_LC_X1000 = {v: round(1000 * HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M)}
+_LC_CASE = (
+    "CASE v "
+    + " ".join(f"WHEN {v} THEN {est}" for v, est in _LC_X1000.items())
+    + " END"
+)
+# standard HLL switch point: use linear counting when the raw estimate is
+# below 2.5·m and at least one register is empty
+_LC_THRESHOLD_X1000 = 2500 * HLL_M
+
+
+@register(
+    "sketch_hll_corrected",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {HLL_M} AS INT) AS bucket,
+         substr(md5(tok), 9, 16) AS w_hex
+  FROM toks
+),
+ranks AS (
+  SELECT bucket,
+         LEAST({HLL_CAP}, 4 * (16 - length(ltrimmed)) + {_EXTRA_CASE} + 1) AS rank
+  FROM (SELECT bucket, trim(LEADING '0' FROM w_hex) AS ltrimmed FROM hashed) t
+),
+regs AS (
+  SELECT bucket, MAX(rank) AS rmax FROM ranks GROUP BY bucket
+),
+harm AS (
+  SELECT SUM(CAST(1 AS BIGINT) << ({HLL_CAP} - rmax)) AS filled, COUNT(*) AS nb FROM regs
+),
+est AS (
+  SELECT CAST(({HLL_NUM} * CAST(1000 AS BIGINT)) // (filled + ({HLL_M} - nb) * (CAST(1 AS BIGINT) << {HLL_CAP})) AS BIGINT) AS raw_x1000,
+         {HLL_M} - nb AS v
+  FROM harm
+)
+SELECT CAST({HLL_M} AS INT) AS m,
+       CAST(v AS BIGINT) AS empty_registers,
+       raw_x1000 AS raw_est_x1000,
+       CAST(CASE WHEN v > 0 AND raw_x1000 <= {_LC_THRESHOLD_X1000}
+                 THEN {_LC_CASE}
+                 ELSE raw_x1000 END AS BIGINT) AS hll_est_x1000,
+       (SELECT COUNT(*) FROM toks) AS exact_distinct
+FROM est
+""",
+    doc="HyperLogLog WITH the small-range linear-counting correction the raw "
+    "query deliberately omits: when the raw estimate is below 2.5·m and V "
+    "registers are empty, the estimate switches to m·ln(m/V). V only takes "
+    "integer values 0..m, so the log table is precomputed once in Python and "
+    "shipped to both engines as one integer CASE expression — the correction "
+    "costs no float evaluation in either engine and the cross-engine gate "
+    "stays bit-exact. Use this variant below ~2.5m distincts per sketch "
+    "(where the raw estimator is biased); use sketch_hll_distinct when raw "
+    "register semantics are wanted. Same bounded m-key shuffle shape.",
+)
+def sketch_hll_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    ).distinct()
+
+    h = F.md5(F.col("tok"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % HLL_M).cast("int")
+    w_hex = F.substring(h, 9, 16)
+    hashed = toks.select(bucket.alias("bucket"), w_hex.alias("w_hex"))
+
+    ranks = hashed.select(
+        "bucket", F.expr("trim(LEADING '0' FROM w_hex)").alias("ltrimmed")
+    ).select(
+        "bucket",
+        F.least(
+            F.lit(HLL_CAP),
+            F.lit(4) * (F.lit(16) - F.length("ltrimmed")) + F.expr(_EXTRA_CASE) + F.lit(1),
+        ).alias("rank"),
+    )
+    regs = ranks.groupBy("bucket").agg(
+        F.max("rank").alias("rmax"), F.count(F.lit(1)).alias("cnt")
+    )
+    harm = regs.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - rmax)")).alias("filled"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("cnt").alias("exact_distinct"),
+    )
+    est = harm.select(
+        F.expr(
+            f"({HLL_NUM} * CAST(1000 AS BIGINT)) div "
+            f"(filled + ({HLL_M} - nb) * shiftleft(CAST(1 AS BIGINT), {HLL_CAP}))"
+        ).cast("bigint").alias("raw_x1000"),
+        (F.lit(HLL_M) - F.col("nb")).alias("v"),
+        "exact_distinct",
+    )
+    return est.select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        F.col("v").cast("bigint").alias("empty_registers"),
+        F.col("raw_x1000").alias("raw_est_x1000"),
+        F.when(
+            (F.col("v") > 0) & (F.col("raw_x1000") <= _LC_THRESHOLD_X1000),
+            F.expr(_LC_CASE),
+        )
+        .otherwise(F.col("raw_x1000"))
+        .cast("bigint")
+        .alias("hll_est_x1000"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+    )
+
+
 # ----------------------------------------------------------------- Bloom ---
 
 BLOOM_M = 8192   # bits

@@ -17,8 +17,11 @@ key is pathologically hot, and hot-key aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pg2parquet_spark.registry import register
+from pg2parquet_spark.tables import table
 
 
 def salted_join(
@@ -60,3 +63,64 @@ def two_phase_agg(
         .agg(F.sum(agg_col).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(f"sum_{agg_col}"))
+
+
+# --------------------------------------------------- oracle-gated queries --
+# The point of both gates: salting/two-phase must be SEMANTICS-INVISIBLE —
+# the oracle is the plain join / plain GROUP BY, with no salt anywhere.
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+SELECT s.s_nationkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+    doc="Skew-mitigated dimension join: lineitem⋈supplier through "
+    "salted_join (small side exploded over 8 salt buckets, large side's key "
+    "salted by a deterministic row hash) then a per-nation aggregate. The "
+    "oracle is the PLAIN unsalted join — salting must not change a single "
+    "row. This is the AQE-can't-help case: a broadcast-ineligible dim whose "
+    "fact-side key is pathologically hot spreads over n_salts tasks instead "
+    "of one straggler. Plan-tested to carry the salt explode "
+    "(tests/test_plans.py).",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_two_phase_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Hot-key aggregation through two_phase_agg: SUM per l_returnflag "
+    "(3 distinct values over all of lineitem — maximal key skew) executed "
+    "as (key, salt) partials then a key-level re-sum. The oracle is the "
+    "plain one-shot GROUP BY — the two-phase rewrite must be invisible. "
+    "Decimal arithmetic keeps both phases exact, so the salt-bucket "
+    "summation order cannot drift the result. Plan-tested to contain both "
+    "exchanges (tests/test_plans.py).",
+)
+def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(12,2)").alias("qty")
+    )
+    out = two_phase_agg(li, "l_returnflag", "qty", n_salts=8)
+    return out.select(
+        "l_returnflag", F.col("sum_qty").cast("double").alias("sum_qty")
+    )

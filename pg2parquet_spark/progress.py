@@ -48,18 +48,62 @@ class ProgressReporter:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self._t0 = 0.0
+        # committed task/output files are immutable once visible — size each
+        # exactly once. {path-string: bytes}
+        self._committed: dict[str, int] = {}
+        # per-tick probe telemetry (unit-tested): dir listings performed and
+        # how many file sizes came from cache vs fresh listing entries
+        self.last_probe: dict[str, int] = {}
 
     # -- probes ------------------------------------------------------------
     def _bytes_written(self) -> int:
+        """Incremental probe. The old shape — ``getContentSummary(root)`` per
+        tick — is a full server-side recursive walk of everything written so
+        far, O(total files) per tick on an object store. This one:
+
+        - lists each live directory once per tick (one LIST RPC each, sizes
+          come with the entries — never a recursive content summary),
+        - caches committed-file sizes forever (task outputs are immutable
+          once visible, so a cached size can never go stale),
+        - recurses only under ``_temporary`` (in-flight task attempts) and
+          any nested partition dirs, reusing the same cache.
+
+        Remote round trips per tick are O(live directories), not a
+        recursive walk of every byte landed so far; per-entry work for
+        already-committed files is a cache hit.
+        """
+        stats = {"dirs_listed": 0, "files_new": 0, "files_cached": 0}
         try:
             jvm = self._spark._jvm
-            p = jvm.org.apache.hadoop.fs.Path(self._path)
-            fs = p.getFileSystem(self._spark._jsc.hadoopConfiguration())
-            if not fs.exists(p):
+            root = jvm.org.apache.hadoop.fs.Path(self._path)
+            fs = root.getFileSystem(self._spark._jsc.hadoopConfiguration())
+            if not fs.exists(root):
+                self.last_probe = stats
                 return 0
-            return fs.getContentSummary(p).getLength()
+            inflight = 0
+            pending = [root]
+            while pending:
+                d = pending.pop()
+                stats["dirs_listed"] += 1
+                for st in fs.listStatus(d):
+                    if st.isDirectory():
+                        pending.append(st.getPath())
+                        continue
+                    key = st.getPath().toString()
+                    if "_temporary" in key:
+                        # in-flight attempt files get rewritten/renamed —
+                        # never cache, always count the listed size
+                        inflight += st.getLen()
+                    elif key in self._committed:
+                        stats["files_cached"] += 1
+                    else:
+                        stats["files_new"] += 1
+                        self._committed[key] = st.getLen()
+            self.last_probe = stats
+            return sum(self._committed.values()) + inflight
         except Exception:  # never let the meter kill the write
-            return 0
+            self.last_probe = stats
+            return sum(self._committed.values())
 
     def _task_progress(self) -> tuple[int, int]:
         try:

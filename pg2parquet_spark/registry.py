@@ -100,6 +100,7 @@ def load_all() -> dict[str, QuerySpec]:
         asof,
         dedup,
         sketch,
+        skew,
         multimodal,
         text,
         relational,

@@ -555,3 +555,28 @@ def test_salted_left_join_keeps_unmatched(spark):
         (r.k, r.v, r.w) for r in salted_join(large, small, "k", n_salts=4, how="left").collect()
     )
     assert got == [(1, "a", "x"), (2, "b", "y"), (99, "zz", None)]
+
+
+def test_progress_probe_is_incremental(spark, tmp_path):
+    """The byte probe must cache committed-file sizes: a second tick over an
+    unchanged dataset re-sizes ZERO files, and the listing count tracks
+    directories, not files — the per-tick cost that matters on an object
+    store where the old getContentSummary shape was a full recursive walk
+    of everything written so far."""
+    from pg2parquet_spark.progress import ProgressReporter
+
+    df = spark.range(1000).withColumnRenamed("id", "v").repartition(6)
+    out = str(tmp_path / "probe")
+    df.write.mode("overwrite").parquet(out)
+
+    rep = ProgressReporter(spark, out)
+    total1 = rep._bytes_written()
+    first = dict(rep.last_probe)
+    total2 = rep._bytes_written()
+    second = dict(rep.last_probe)
+
+    assert total1 == total2 > 0
+    assert first["files_new"] > 0
+    assert second["files_new"] == 0  # every committed size served from cache
+    assert second["files_cached"] == first["files_new"] + first["files_cached"]
+    assert second["dirs_listed"] == 1  # flat dataset: one LIST RPC per tick

@@ -157,3 +157,25 @@ def test_embedding_lsh_recall(spark, sf_dir):
     assert all(exact[p] == got[p] for p in got)  # bit-identical scores
     recall = len(got) / len(exact)
     assert recall >= 0.40, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_hll_linear_counting_branch(spark, tmp_path):
+    """sketch_hll_corrected must actually TAKE the linear-counting branch on
+    a low-cardinality corpus (many empty registers) and land closer to the
+    exact count than the raw estimator, whose low-fill bias is the reason
+    the branch exists."""
+    from pg2parquet_spark.operators import sketch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i % 6}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = sketch.sketch_hll_corrected(spark, str(tmp_path)).collect()[0]
+    assert row.exact_distinct == 10  # alpha..delta + tok0..tok5
+    assert row.empty_registers > 0
+    assert row.hll_est_x1000 != row.raw_est_x1000  # correction applied
+    err_corr = abs(row.hll_est_x1000 / 1000 - row.exact_distinct)
+    err_raw = abs(row.raw_est_x1000 / 1000 - row.exact_distinct)
+    assert err_corr < err_raw
+    assert err_corr / row.exact_distinct < 0.35  # within LC's expected error

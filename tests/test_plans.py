@@ -162,3 +162,19 @@ def test_cluster_components_candidate_join_is_equi(spark):
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_carries_salt_explode(spark):
+    # the salt replication must survive optimization (Generate/explode on the
+    # small side) and the salt column must never leak into the output
+    plan = plan_of(spark, "q_salted_join")
+    assert "Generate explode" in plan, "salt replication optimized away"
+    df = load_all()["q_salted_join"].fn(spark, SF)
+    assert "_salt" not in df.columns
+
+
+def test_two_phase_agg_has_both_exchanges(spark):
+    # phase 1 shuffles on (key, salt), phase 2 on key — collapsing them back
+    # into one exchange would silently undo the skew mitigation
+    plan = plan_of(spark, "q_two_phase_agg")
+    assert plan.count("Exchange hashpartitioning") >= 2, plan
