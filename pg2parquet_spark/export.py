@@ -320,3 +320,47 @@ def compact(
         raise IOError(f"compact: rename {tmp_str} -> {path} failed; dataset restored")
     fs.delete(old, True)
     return len(parquet_sizes(src))
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 512,
+    options: ExportOptions | None = None,
+) -> dict[str, int]:
+    """Partition-wise compaction for hive-layout datasets: walk the
+    ``key=value`` directory tree to its leaves and run :func:`compact` on
+    each leaf independently. The partition layout is untouched — each leaf
+    is rewritten in place through the same crash-safe rename-aside swap.
+
+    Returns {leaf path: new file count}. Leaves are independent, so a
+    cluster deployment runs them concurrently (thread pool over this loop —
+    each iteration is mostly cluster work, the driver only coordinates
+    renames); sequential here keeps the test-bed behavior deterministic.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+
+    leaves: list[str] = []
+
+    def walk(p) -> None:
+        subdirs = [
+            st.getPath()
+            for st in fs.listStatus(p)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if subdirs:
+            for d in subdirs:
+                walk(d)
+        elif p is not root:
+            leaves.append(p.toString())
+
+    walk(root)
+    if not leaves:
+        raise ValueError(
+            f"compact_partitioned: {path} has no key=value partition dirs — "
+            "use compact() for flat datasets"
+        )
+    return {leaf: compact(spark, leaf, target_file_mb, options) for leaf in leaves}

@@ -1,0 +1,163 @@
+"""Corpus-curation operators for training-data pipelines (beyond-reference
+surface): benchmark decontamination and sequence packing.
+
+- Decontamination: the step every serious pretraining pipeline runs before
+  training — find training documents that share n-gram shingles with an
+  evaluation/benchmark set, so eval data can be excluded from the corpus.
+  The benchmark side is tiny by construction (benchmarks are thousands of
+  documents; corpora are billions), so its distinct shingle set broadcasts
+  and the training side is touched exactly once: explode → broadcast
+  semi-overlap join → one groupBy(doc_id) shuffle. No all-pairs anything.
+
+- Sequence packing: assign documents to fixed-token-budget training
+  sequences. Packing is inherently order-dependent, so the deterministic
+  contract is: documents are processed in doc_id order WITHIN a hash
+  bucket, and a document's sequence is floor(prev_cum_tokens / SEQ_LEN) —
+  token-contiguous filling where a document may straddle a boundary (it
+  opens the next sequence). Bucketing makes the window distributed — each
+  bucket's prefix sum is independent, so 100 TB packs as N parallel
+  windows instead of one global sort — and the bucket count is the
+  parallelism dial.
+
+Determinism: counts and integer divisions only; the single ratio column is
+one division of two exact ints (identical IEEE result in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.operators.text import normalize_text, word_shingles
+from pg2parquet_spark.registry import register
+from pg2parquet_spark.tables import table
+
+# benchmark set: every 97th document stands in for the eval benchmark
+_BENCH_MOD = 97
+# a training doc is flagged when it shares at least this many distinct
+# 3-gram shingles with the benchmark set
+_CONTAM_MIN_OVERLAP = 3
+
+SEQ_LEN = 512   # token budget per packed training sequence
+N_BUCKETS = 16  # independent packing streams (the parallelism dial)
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=rf"""
+WITH normed AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm FROM documents
+),
+shingled AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM normed)
+),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM shingled WHERE doc_id % {_BENCH_MOD} = 0),
+train AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s
+  FROM shingled WHERE doc_id % {_BENCH_MOD} <> 0
+),
+overlap AS (
+  SELECT doc_id, n_shingles, COUNT(*) AS n_overlap
+  FROM train JOIN bench USING (s)
+  GROUP BY doc_id, n_shingles
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio
+FROM overlap WHERE n_overlap >= {_CONTAM_MIN_OVERLAP}
+""",
+    doc="Benchmark decontamination: training documents sharing >= "
+    f"{_CONTAM_MIN_OVERLAP} distinct 3-gram shingles with the benchmark "
+    f"subset (doc_id % {_BENCH_MOD} == 0). The benchmark shingle set is "
+    "small by construction (benchmarks don't grow with the corpus) and "
+    "broadcasts; the training side is exploded once and aggregated in a "
+    "single doc_id shuffle — the corpus is never self-joined. At 100 TB "
+    "the benchmark set is the same broadcast and the cost stays one pass "
+    "over the corpus.",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s")
+    )
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= _CONTAM_MIN_OVERLAP)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
+                "overlap_ratio"
+            ),
+        )
+    )
+
+
+@register(
+    "pipeline_sequence_pack",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, doc_id % {N_BUCKETS} AS bucket,
+         len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM t
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(cum_prev // {SEQ_LEN} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY bucket, seq_id
+""",
+    doc=f"Sequence packing for training batches: documents fill {SEQ_LEN}-token "
+    f"sequences in doc_id order within {N_BUCKETS} independent hash buckets "
+    "(seq = floor(prev-cumulative-tokens / budget); a straddling doc opens "
+    "the next sequence). The bucket is the window PARTITION key, so the "
+    "prefix sum is a distributed window — never a single global sort — and "
+    "bucket count scales the parallelism at 100 TB. Output is per-sequence "
+    "occupancy stats (docs, tokens, doc-id span).",
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_BUCKETS).alias("bucket"),
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn("cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        packed.groupBy(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.expr(f"cum_prev div {SEQ_LEN}").cast("bigint").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

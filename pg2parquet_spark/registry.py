@@ -98,6 +98,7 @@ def load_all() -> dict[str, QuerySpec]:
     from pg2parquet_spark.operators import (  # noqa: F401
         similarity,
         asof,
+        curation,
         dedup,
         sketch,
         skew,

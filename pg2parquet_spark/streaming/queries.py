@@ -197,6 +197,56 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_click_purchase_join",
+    oracle="""
+SELECT c.user_id, COUNT(*) AS n_pairs
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+GROUP BY c.user_id
+""",
+    doc="STREAM-STREAM inner join: clicks joined to purchases by the same "
+    "user within 30 minutes, both sides watermarked (1 h) so the join state "
+    "is bounded by the watermark horizon — Spark drops a buffered click "
+    "once no qualifying purchase can still arrive. The time-range predicate "
+    "is what makes state finite; user_id is the shuffle key. Pairs land in "
+    "the sink in append mode; the per-user count is a batch aggregate over "
+    "the sink (same post-agg pattern as stream_sessionize). Oracle is the "
+    "batch range join — streaming must produce exactly the batch pairs.",
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = f"stream_cpjoin_{next(_counter)}"
+    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
     "stream_dedup_exact",
     oracle="""
 WITH normed AS (

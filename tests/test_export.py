@@ -580,3 +580,31 @@ def test_progress_probe_is_incremental(spark, tmp_path):
     assert second["files_new"] == 0  # every committed size served from cache
     assert second["files_cached"] == first["files_new"] + first["files_cached"]
     assert second["dirs_listed"] == 1  # flat dataset: one LIST RPC per tick
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    """Partition-wise compaction: per-leaf file counts drop, the key=value
+    layout survives, and the data reads back identically. Flat compact()
+    must keep rejecting the partitioned root."""
+    from pg2parquet_spark.export import compact, compact_partitioned
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "part_ds")
+    df.repartition(8).write.partitionBy("p").parquet(out)
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact(spark, out, target_file_mb=512)
+
+    before = spark.read.parquet(out)
+    rows_before = sorted((r.id, r.p, r.v) for r in before.collect())
+    per_leaf_before = len(glob.glob(f"{out}/p=0/*.parquet"))
+    assert per_leaf_before > 1  # 8 input partitions → multiple files per leaf
+
+    result = compact_partitioned(spark, out, target_file_mb=512)
+    assert len(result) == 3 and all(n == 1 for n in result.values())
+    assert sorted(os.path.basename(p) for p in result) == ["p=0", "p=1", "p=2"]
+    assert len(glob.glob(f"{out}/p=0/*.parquet")) == 1
+    after = spark.read.parquet(out)
+    assert sorted((r.id, r.p, r.v) for r in after.collect()) == rows_before

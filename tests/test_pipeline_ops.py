@@ -179,3 +179,51 @@ def test_hll_linear_counting_branch(spark, tmp_path):
     err_raw = abs(row.raw_est_x1000 / 1000 - row.exact_distinct)
     assert err_corr < err_raw
     assert err_corr / row.exact_distinct < 0.35  # within LC's expected error
+
+
+def test_decontaminate_semantics(spark, sf_dir):
+    """Contamination flags only non-benchmark docs, ratios are sane, and a
+    PLANTED contamination (a training doc sharing a benchmark doc's exact
+    text) is caught — checked on a synthetic corpus where ground truth is
+    constructed, plus shape invariants on the fixture corpus."""
+    from pg2parquet_spark.operators import curation
+
+    rows = curation.pipeline_decontaminate(spark, sf_dir).collect()
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(0 < r.overlap_ratio <= 1.0 for r in rows)
+    assert all(r.n_overlap <= r.n_shingles for r in rows)
+
+
+def test_decontaminate_catches_planted_copy(spark, tmp_path):
+    from pg2parquet_spark.operators import curation
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, bench_text)]                      # benchmark doc (0 % 97 == 0)
+        + [(i, f"noise{i} filler words only here nothing shared number {i}")
+           for i in range(1, 9)]
+        + [(9, bench_text)],                   # planted contaminated doc
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           curation.pipeline_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(out) == {9}  # exactly the planted copy, none of the noise
+    assert out[9].overlap_ratio == 1.0
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Every doc lands in exactly one sequence; per-bucket seq_ids are
+    contiguous from 0; every sequence's token occupancy stays under
+    budget + one straddling doc."""
+    from pg2parquet_spark.operators import curation
+    from pg2parquet_spark.tables import table as load_table
+
+    rows = curation.pipeline_sequence_pack(spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.seq_id)
+    for bucket, seqs in by_bucket.items():
+        assert sorted(seqs) == list(range(len(seqs))), f"bucket {bucket} has gaps"

@@ -178,3 +178,19 @@ def test_two_phase_agg_has_both_exchanges(spark):
     # into one exchange would silently undo the skew mitigation
     plan = plan_of(spark, "q_two_phase_agg")
     assert plan.count("Exchange hashpartitioning") >= 2, plan
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    # the benchmark shingle set must broadcast (it never grows with the
+    # corpus); the training corpus must not be self-joined or shuffled twice
+    plan = plan_of(spark, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_pack_window_is_distributed(spark):
+    # the packing prefix-sum must run per hash bucket — a global (single
+    # partition) window is the 100 TB killer
+    plan = plan_of(spark, "pipeline_sequence_pack")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
