@@ -787,37 +787,51 @@ def connected_components(
     ).localCheckpoint()
     labels_rdd_ids = _persistent_rdd_ids(sc) - before
     converged = False
-    for _ in range(max_rounds):  # loop exits at the fixpoint
+    # Fixpoint detection without a per-round join: min-label propagation is
+    # MONOTONE — every vertex's comp can only decrease — so (count, sum(comp))
+    # is a sound convergence signature: the count is constant and the sum
+    # strictly decreases until the fixpoint; sum unchanged ⇔ no vertex
+    # changed. One cheap scan of the fresh checkpoint replaces the old
+    # labels⋈new_labels diff join (a whole extra shuffle per round).
+    def _sig(frame: DataFrame) -> tuple[int, int]:
+        r = frame.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("comp").alias("s")
+        ).collect()[0]
+        return (r.n, r.s)
+
+    prev_sig = _sig(labels)
+    for rnd in range(max_rounds):  # loop exits at the fixpoint
         msgs = bi.join(labels, bi.b == labels.id).select(
             F.col("a").alias("id"), F.col("comp")
         )
         # pointer doubling: comp values are themselves vertex ids, so every
         # comp(id) has a labels row — adopt its label too. After round k the
         # best label is min over a 2^k-hop neighborhood, not a k-hop one.
-        dbl = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.id"))
-            .select(F.col("l1.id").alias("id"), F.col("l2.comp").alias("comp"))
-        )
+        # Round 0 skips it: labels are the identity map there, so
+        # comp(comp(id)) == comp(id) and the join would be pure overhead.
+        merged = labels.unionAll(msgs)
+        if rnd > 0:
+            dbl = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.id"))
+                .select(F.col("l1.id").alias("id"), F.col("l2.comp").alias("comp"))
+            )
+            merged = merged.unionAll(dbl)
         before = _persistent_rdd_ids(sc)
         new_labels = (
-            labels.unionAll(msgs).unionAll(dbl).groupBy("id").agg(F.min("comp").alias("comp"))
+            merged.groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
         new_rdd_ids = _persistent_rdd_ids(sc) - before
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        # old labels fully consumed (new_labels materialized eagerly, changed
-        # counted) — free its executor-storage blocks now instead of waiting
+        new_sig = _sig(new_labels)
+        # old labels fully consumed (new_labels materialized eagerly, sig
+        # computed) — free its executor-storage blocks now instead of waiting
         # for Python GC + ContextCleaner across many iterations
         _unpersist_rdd_ids(sc, labels_rdd_ids)
         labels, labels_rdd_ids = new_labels, new_rdd_ids
-        if changed == 0:
+        if new_sig == prev_sig:
             converged = True
             break
+        prev_sig = new_sig
     bi.unpersist()
     if not converged and strict:
         _unpersist_rdd_ids(sc, labels_rdd_ids)
