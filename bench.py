@@ -51,6 +51,14 @@ def main() -> None:
     # boot; also one tiny zstd write so the sink query's timing measures the
     # roundtrip, not one-time codec/output-committer initialization
     registry[headline[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ... and every input table the headline set touches, not just q01's:
+    # a first-touch scan pays footer reads + OS page-cache fill that belongs
+    # to the environment, not the query under test
+    from pg2parquet_spark.tables import table
+
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region",
+              "events", "documents", "embeddings"):
+        table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     import tempfile
 
     from pg2parquet_spark.export import export
@@ -62,6 +70,12 @@ def main() -> None:
         ExportOptions(compression="zstd", compression_level=3),
         quiet=True,
     )
+
+    # one untimed pass per query (JIT/codegen warm-up), then the timed pass:
+    # steady-state throughput is what a long-running cluster job sees; a
+    # cold-JVM first execution measures HotSpot, not the plan
+    for name in headline:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -75,6 +89,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "method": "steady-state: 1 untimed warm pass per query, timed 2nd pass",
     }
     print(json.dumps(out))
 
