@@ -1,0 +1,278 @@
+"""Corpus-quality and vocabulary operators for training-data pipelines
+(beyond-reference surface, same layer as text.py / curation.py).
+
+- Repetition signals (Gopher-style filters): per-document top-token
+  fraction, duplicate-word fraction, duplicate-bigram fraction. Repetitive
+  machine-generated text is the classic pretraining-corpus failure mode;
+  these three ratios are the published filter inputs.
+- Vocabulary build: global token counts, top-K — the wordcount shape with
+  map-side partial aggregation, the canonical "would survive 100 TB" agg.
+- TF-IDF: per-document top terms scored tf x N / df. df is computed from
+  the already-distinct (doc, token) pairs, so the corpus is exploded once.
+- Source mixture: per-source corpus shares and uniform-target upsampling
+  weights — the data-mixing step before training.
+- Embedding quantization: symmetric per-vector int8 — 4x memory reduction
+  for ANN serving; pure map, zero shuffles.
+
+Determinism contract (oracle-hash safety): every ratio is ONE division of
+two exact integers, and quantization is a fixed expression tree over the
+same float32 inputs — identical IEEE evaluation in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.operators.text import tokens, word_shingles
+from pg2parquet_spark.registry import register
+from pg2parquet_spark.tables import table
+
+VOCAB_TOP_K = 100
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM toks GROUP BY doc_id, t),
+uni AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_cnt
+  FROM tf GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         len(w) - 1 AS n_bigrams,
+         len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS n_distinct_bigrams
+  FROM grams WHERE len(w) >= 2
+)
+SELECT u.doc_id, u.n_tokens, u.n_distinct, u.top_cnt,
+       CAST(u.top_cnt AS DOUBLE) / u.n_tokens AS top_token_ratio,
+       CAST(u.n_tokens - u.n_distinct AS DOUBLE) / u.n_tokens AS dup_word_ratio,
+       CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+       END AS dup_bigram_ratio
+FROM uni u LEFT JOIN bi b USING (doc_id)
+""",
+    doc="Gopher-style repetition filters: per-doc top-token fraction, "
+    "duplicate-word fraction, duplicate-bigram fraction. The only explode is "
+    "the unigram one, keyed by (doc_id, token) so it distributes with the "
+    "corpus; bigram dedup stays inside array expressions (map-only). The "
+    "doc_id-aggregated sides join on their own shuffle partitioning — no "
+    "extra exchange at 100 TB.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    uni = tf.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    sh = word_shingles(F.col("text"), 2)
+    bi = docs.select(
+        "doc_id",
+        F.size(sh).alias("n_bigrams"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_bigrams"),
+    ).filter(F.col("n_bigrams") >= 1)
+    n_bi = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    return uni.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_cnt",
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias("top_token_ratio"),
+        (
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_word_ratio"),
+        F.when(n_bi == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.col("n_bigrams")
+        )
+        .alias("dup_bigram_ratio"),
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=rf"""
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+)
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY t
+ORDER BY cnt DESC, token
+LIMIT {VOCAB_TOP_K}
+""",
+    doc=f"Vocabulary build: global token counts, top {VOCAB_TOP_K} by count "
+    "(ties broken by token so the cut is deterministic). Map-side partial "
+    "aggregation makes the shuffle carry vocabulary-sized data, not "
+    "corpus-sized; the top-K is per-partition take-ordered + driver merge, "
+    "never a global sort.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id, tf.t AS token,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (t)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score FROM ranked WHERE rk <= {TFIDF_TOP_K}
+""",
+    doc=f"TF-IDF top-{TFIDF_TOP_K} terms per document, score = tf x N / df "
+    "(exact-integer product, one IEEE division — no log, so both engines "
+    "agree bit-for-bit). The corpus explodes ONCE into (doc, token) counts; "
+    "df aggregates those already-distinct pairs (vocabulary-sized, map-side "
+    "combined) and joins back broadcast. Ties rank by token so the top-K cut "
+    "is deterministic.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("t").alias("token"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .drop("rk")
+    )
+
+
+@register(
+    "pipeline_source_mix",
+    oracle=r"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share,
+       CAST(SUM(n_docs) OVER () AS DOUBLE) / (COUNT(*) OVER () * n_docs) AS uniform_weight
+FROM per_src
+""",
+    doc="Data-mixing table: per-source document/token counts, corpus share, "
+    "and the upsampling weight that equalizes sources (uniform target). One "
+    "map-side-combined groupBy; the window runs over the handful of "
+    "aggregated source rows, not the corpus.",
+)
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("doc_share"),
+        (
+            F.sum("n_docs").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.col("n_docs"))
+        ).alias("uniform_weight"),
+    )
+
+
+@register(
+    "ml_embedding_quantize",
+    oracle=r"""
+SELECT vec_id,
+       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs,
+       CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(floor(x * 127.0 / list_max(list_transform(embedding, y -> abs(y))) + 0.5) AS INTEGER))
+       END AS q,
+       CAST(list_sum(list_transform(
+            CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+                 THEN list_transform(embedding, x -> 0)
+                 ELSE list_transform(embedding,
+                      x -> CAST(floor(x * 127.0 / list_max(list_transform(embedding, y -> abs(y))) + 0.5) AS INTEGER))
+            END, x -> abs(x))) AS BIGINT) AS q_l1
+FROM embeddings
+""",
+    doc="Symmetric per-vector int8 quantization (the 4x memory dial for ANN "
+    "serving): scale = max|x|, q = floor(x*127/scale + 0.5). floor(+0.5) "
+    "rounds identically in both engines (round() half-away/half-even "
+    "disagreements are why it's avoided); the expression tree over the same "
+    "float32 inputs is IEEE-identical. Pure map, zero shuffles — "
+    "embarrassingly parallel at any scale.",
+)
+def ml_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    q = F.when(
+        max_abs == 0, F.transform(F.col("embedding"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x * F.lit(127.0) / max_abs + F.lit(0.5)).cast("int"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        max_abs.cast("double").alias("max_abs"),
+        q.alias("q"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+    )

@@ -34,6 +34,8 @@ def _canon_cell(v):
         return None
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v.tolist())
     # numpy scalars → python
     if hasattr(v, "item") and type(v).__module__ == "numpy":
         v = v.item()

@@ -104,6 +104,7 @@ def load_all() -> dict[str, QuerySpec]:
         skew,
         multimodal,
         text,
+        quality,
         relational,
     )
 

@@ -194,3 +194,30 @@ def test_sequence_pack_window_is_distributed(spark):
     plan = plan_of(spark, "pipeline_sequence_pack")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_quantize_is_map_only(spark):
+    plan = plan_of(spark, "ml_embedding_quantize")
+    assert "Exchange" not in plan  # pure per-vector map
+    assert "Join" not in plan
+
+
+def test_vocab_topk_is_partial_agg_plus_take_ordered(spark):
+    plan = plan_of(spark, "text_vocab_topk")
+    # map-side combine: a partial agg below the single vocabulary exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan  # never a global Sort
+
+
+def test_tfidf_df_side_is_broadcast(spark):
+    plan = plan_of(spark, "text_tfidf_topk")
+    assert "BroadcastHashJoin" in plan  # df join never shuffles the tf side
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_join_reuses_agg_partitioning(spark):
+    plan = plan_of(spark, "text_repetition_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
