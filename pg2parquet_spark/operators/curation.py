@@ -161,3 +161,90 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+CHUNK_TOKENS = 64   # tokens per training chunk
+CHUNK_STRIDE = 56   # overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+ks AS (
+  SELECT doc_id, toks, unnest(range(0, (len(toks) - 1) // {CHUNK_STRIDE} + 1)) AS k
+  FROM t
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                 least(k * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(toks)))) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                 least(k * {CHUNK_STRIDE} + {CHUNK_TOKENS}, len(toks))), ' ')) AS chunk_hash
+FROM ks
+""",
+    doc=f"Document chunking for training/RAG: overlapping {CHUNK_TOKENS}-token "
+    f"windows at stride {CHUNK_STRIDE} (8-token overlap), emitted as "
+    "(doc_id, chunk_idx, token count, content hash). The window index list "
+    "is computed per row and exploded — a pure map with no shuffle, so "
+    "chunking 100 TB is embarrassingly parallel and output size is "
+    "amplified only by the overlap factor.",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    n = F.size(F.col("toks"))
+    ks = F.sequence(F.lit(0), ((n - 1) / F.lit(CHUNK_STRIDE)).cast("int"))
+    chunk = F.slice(
+        F.col("toks"), F.col("k") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(ks).alias("k"))
+        .select(
+            "doc_id",
+            F.col("k").cast("bigint").alias("chunk_idx"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+@register(
+    "pipeline_upsert_latest",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+FROM ranked WHERE rk = 1
+""",
+    doc="CDC latest-wins compaction (the MERGE/upsert snapshot step of an "
+    "incremental pipeline): collapse an event stream to the newest row per "
+    "(user_id, event_type) key, ties broken by event_id so replays are "
+    "deterministic. One shuffle on the key; at 100 TB this is the standard "
+    "log-to-snapshot compaction and partitions by the same key the "
+    "snapshot is stored under.",
+)
+def pipeline_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").cast("decimal(12,2)").cast("double").alias("last_value"),
+        )
+    )

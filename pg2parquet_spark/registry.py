@@ -105,6 +105,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         text,
         quality,
+        layout,
         relational,
     )
 

@@ -221,3 +221,38 @@ def test_repetition_stats_join_reuses_agg_partitioning(spark):
     plan = plan_of(spark, "text_repetition_stats")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    plan = plan_of(spark, "pipeline_chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan  # the per-doc window explode
+
+
+def test_upsert_latest_single_key_shuffle(spark):
+    plan = plan_of(spark, "pipeline_upsert_latest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_partition_prune_reaches_directory_level(spark):
+    plan = plan_of(spark, "layout_partition_prune")
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert " = click)" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # disable auto-broadcast: at test scale the dim side would broadcast and
+    # hide the property under test — that the BUCKET LAYOUT removes the
+    # shuffle, which is what matters when both sides are 100 TB fact tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "layout_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # neither join side shuffles: bucket layouts line up
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
