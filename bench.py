@@ -41,6 +41,8 @@ def main() -> None:
             "dedup_exact",
             "dedup_minhash_lsh",
             "text_quality_stats",
+            "text_tfidf_topk",
+            "pipeline_chunk_documents",
             "ann_cosine_topk",
             "sink_roundtrip",
         )
