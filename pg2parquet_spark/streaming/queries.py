@@ -284,3 +284,82 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "n_unique", F.lit(n_docs).cast("bigint").alias("n_docs")
     )
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+WITH p AS (SELECT max(ts) AS mx FROM events)
+SELECT date_trunc('hour', e.ts) AS window_start, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e, p
+WHERE NOT (e.event_id % 7 = 0 AND e.ts < p.mx - INTERVAL 2 HOUR)
+GROUP BY 1, 2, p.mx
+HAVING date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= p.mx - INTERVAL 30 MINUTE
+""",
+    doc="Watermark LATE-DATA semantics, end to end: the event stream replays "
+    "as three real micro-batches (maxFilesPerTrigger=1, file mtimes pin the "
+    "order) — (1) everything except the newest hour and a sprinkle of "
+    "withheld rows (event_id % 7, more than 2 h old), (2) the newest hour, "
+    "which advances the watermark to max(ts) - 30 min and finalizes every "
+    "closed window, (3) the withheld rows, now LATE: their windows were "
+    "already emitted, so Spark MUST drop all of them (append mode cannot "
+    "revise an emitted window). Three batches matter: Spark filters late "
+    "rows against the PREVIOUS batch's eviction watermark — a row is only "
+    "dropped once its window has actually been finalized, which takes a "
+    "batch boundary after the watermark-raising data. The oracle states the "
+    "resulting contract in batch SQL: aggregate all non-withheld rows over "
+    "windows closed by the final watermark; the late rows contribute "
+    "NOTHING. This is the bounded-state / no-double-emit guarantee that "
+    "lets the same pipeline point at an unbounded Kafka topic.",
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pg2parquet_spark.tables import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    newest = F.col("ts") > F.lit(mx) - F.expr("INTERVAL 1 HOUR")
+    late = (F.col("event_id") % 7 == 0) & (
+        F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    )
+    stream_dir = tempfile.mkdtemp(prefix="events_late_")
+    stage_dir = tempfile.mkdtemp(prefix="events_late_stage_")
+    batches = ((1, ev.filter(~newest & ~late)), (2, ev.filter(newest)), (3, ev.filter(late)))
+    for i, part in batches:
+        d = f"{stage_dir}/b{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = f"{stream_dir}/batch{i}.parquet"
+        shutil.move(_glob.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (1000 * i, 1000 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"stream_late_{next(_counter)}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

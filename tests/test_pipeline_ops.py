@@ -227,3 +227,57 @@ def test_sequence_pack_invariants(spark, sf_dir):
         by_bucket.setdefault(r.bucket, []).append(r.seq_id)
     for bucket, seqs in by_bucket.items():
         assert sorted(seqs) == list(range(len(seqs))), f"bucket {bucket} has gaps"
+
+
+def test_stream_late_data_actually_drops_rows(spark, sf_dir):
+    """The oracle equality proves late rows are EXCLUDED; this pins that they
+    were excluded by the watermark DROP path (numRowsDroppedByWatermark > 0),
+    not by accident of batch composition. Guards the 3-batch replay design:
+    Spark filters late rows against the previous batch's eviction watermark,
+    so a 2-batch replay would silently admit every late row."""
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pg2parquet_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    newest = F.col("ts") > F.lit(mx) - F.expr("INTERVAL 1 HOUR")
+    late = (F.col("event_id") % 7 == 0) & (
+        F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    )
+    n_late = ev.filter(late).count()
+    assert n_late > 0  # fixture must actually contain withheld rows
+    sd = tempfile.mkdtemp(prefix="late_test_")
+    st = tempfile.mkdtemp(prefix="late_test_stage_")
+    for i, part in ((1, ev.filter(~newest & ~late)), (2, ev.filter(newest)), (3, ev.filter(late))):
+        d = f"{st}/b{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        dst = f"{sd}/batch{i}.parquet"
+        shutil.move(g.glob(f"{d}/part-*.parquet")[0], dst)
+        os.utime(dst, (1000 * i, 1000 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sd)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_drop_t").start()
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+            for p in q.recentProgress
+        )
+    finally:
+        q.stop()
+    assert dropped == n_late
