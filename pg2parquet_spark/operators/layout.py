@@ -96,3 +96,69 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+def zorder16(x8, y8):
+    """Interleave two 8-bit ints into a 16-bit Z-value (Morton code) with
+    plain integer arithmetic — identical in any engine, no UDF."""
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x8, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y8, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(df: DataFrame, out: str, zcol, n_files: int) -> None:
+    """Range-partition + sort by the Z-value and write: each output file
+    covers one compact Z-curve segment ≈ one rectangle of the 2-D domain,
+    so a box predicate on EITHER dimension prunes files/row-groups by
+    min-max stats. The scale dial is n_files; the sort is the one-time
+    layout cost a repeatedly-range-queried 100 TB table amortizes."""
+    (
+        df.repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+@register(
+    "layout_zorder_cluster",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         CAST(user_id % 256 AS INT) AS x8,
+         CAST((extract(day FROM ts) * 24 + extract(hour FROM ts)) % 256 AS INT) AS y8
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM e
+WHERE x8 BETWEEN 16 AND 47 AND y8 BETWEEN 32 AND 95
+GROUP BY event_type
+""",
+    doc="Z-order (Morton) clustering: events written range-partitioned by "
+    "the bit-interleave of (user bucket, hour-of-month bucket), then read "
+    "back with a 2-D box predicate on the STORED dimension columns — "
+    "min-max row-group stats prune on both dimensions at once, which a "
+    "single-column sort can only do for one. The clustering win is "
+    "MEASURED in tests (per-file spans vs a time-sorted layout), not "
+    "asserted. Pure integer arithmetic, no UDF.",
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x8 = (F.col("user_id") % 256).cast("int")
+    y8 = ((F.dayofmonth("ts") * 24 + F.hour("ts")) % 256).cast("int")
+    staged = ev.select("event_type", "value", x8.alias("x8"), y8.alias("y8"))
+    out = tempfile.mkdtemp(prefix="pg2parquet_zorder_") + "/events_z"
+    write_zordered(staged.withColumn("z", zorder16(F.col("x8"), F.col("y8"))), out, F.col("z"), 4)
+    back = spark.read.parquet(out).filter(
+        F.col("x8").between(16, 47) & F.col("y8").between(32, 95)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+    )

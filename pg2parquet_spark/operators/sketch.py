@@ -410,3 +410,83 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("truly_present"), F.lit(False)).alias("truly_present"),
         )
     )
+
+
+@register(
+    "sketch_hll_by_source",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT source,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT source,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {{HLL_M}} AS INT) AS bucket,
+         substr(md5(tok), 9, 16) AS w_hex
+  FROM toks
+),
+ranks AS (
+  SELECT source, bucket,
+         LEAST({{HLL_CAP}}, 4 * (16 - length(ltrimmed)) + {{_EXTRA_CASE}} + 1) AS rank
+  FROM (SELECT source, bucket, trim(LEADING '0' FROM w_hex) AS ltrimmed FROM hashed) t
+),
+regs AS (
+  SELECT source, bucket, MAX(rank) AS rmax, COUNT(*) AS cnt
+  FROM ranks GROUP BY source, bucket
+),
+harm AS (
+  SELECT source,
+         SUM(CAST(1 AS BIGINT) << ({{HLL_CAP}} - rmax)) AS filled,
+         COUNT(*) AS nb,
+         CAST(SUM(cnt) AS BIGINT) AS exact_distinct
+  FROM regs GROUP BY source
+)
+SELECT source,
+       CAST(({{HLL_NUM}} * CAST(1000 AS BIGINT)) // (filled + ({{HLL_M}} - nb) * (CAST(1 AS BIGINT) << {{HLL_CAP}})) AS BIGINT) AS hll_est_x1000,
+       exact_distinct
+FROM harm
+""".format(HLL_M=HLL_M, HLL_CAP=HLL_CAP, HLL_NUM=HLL_NUM, _EXTRA_CASE=_EXTRA_CASE),
+    doc="GROUPED HyperLogLog: one register set per source (the realistic "
+    "shape - distinct counts per domain/day/shard in one pass). Register "
+    "state is (groups x m) and mergeable by cell-wise MAX, so a 100 TB "
+    "corpus rolls up per-partition sketches without ever shuffling raw "
+    "values; the same exact-integer harmonic mean as sketch_hll_distinct "
+    "keeps both engines bit-identical. The exact per-source distinct rides "
+    "the same pipeline for error accounting.",
+)
+def sketch_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).distinct()
+    h = F.md5(F.col("tok"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % HLL_M).cast("int")
+    hashed = toks.select("source", bucket.alias("bucket"), F.substring(h, 9, 16).alias("w_hex"))
+    ranks = hashed.select(
+        "source", "bucket", F.expr("trim(LEADING '0' FROM w_hex)").alias("ltrimmed")
+    ).select(
+        "source",
+        "bucket",
+        F.least(
+            F.lit(HLL_CAP),
+            F.lit(4) * (F.lit(16) - F.length("ltrimmed")) + F.expr(_EXTRA_CASE) + F.lit(1),
+        ).alias("rank"),
+    )
+    regs = ranks.groupBy("source", "bucket").agg(
+        F.max("rank").alias("rmax"), F.count(F.lit(1)).alias("cnt")
+    )
+    harm = regs.groupBy("source").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - rmax)")).alias("filled"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("cnt").cast("bigint").alias("exact_distinct"),
+    )
+    return harm.select(
+        "source",
+        F.expr(
+            f"({HLL_NUM} * CAST(1000 AS BIGINT)) div "
+            f"(filled + ({HLL_M} - nb) * shiftleft(CAST(1 AS BIGINT), {HLL_CAP}))"
+        ).cast("bigint").alias("hll_est_x1000"),
+        "exact_distinct",
+    )

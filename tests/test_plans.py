@@ -256,3 +256,20 @@ def test_bucketed_join_is_exchange_free(spark):
     # neither join side shuffles: bucket layouts line up
     assert "Exchange hashpartitioning(o_custkey" not in plan
     assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_zorder_read_pushes_box_predicate(spark):
+    plan = optimized_of(spark, "layout_zorder_cluster")
+    # both dimensions reach the parquet scan → row-group stats prune 2-D
+    # (the printed PushedFilters list is ellipsis-truncated; check via the
+    # executed plan's full filter condition instead of the pushed list)
+    assert "GreaterThanOrEqual(x8,16), LessThanOrEqual(x8,47)" in plan
+    exec_plan = plan_of(spark, "layout_zorder_cluster")
+    assert ">= 32)" in exec_plan and "<= 95)" in exec_plan  # y8 bounds survive
+
+
+def test_grouped_hll_shuffles_are_register_bounded(spark):
+    plan = plan_of(spark, "sketch_hll_by_source")
+    # distinct + (source,bucket) agg + source agg — never a raw-value join
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
