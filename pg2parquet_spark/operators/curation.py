@@ -248,3 +248,126 @@ def pipeline_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(12,2)").cast("double").alias("last_value"),
         )
     )
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS d FROM base
+),
+-- quality gate: >=15 tokens and dup-word ratio < 0.64, as EXACT integer
+-- arithmetic (25*(n-d) < 16*n) so no float boundary can disagree
+quality AS (
+  SELECT * FROM stats WHERE n >= 15 AND 25 * (n - d) < 16 * n
+),
+-- near-exact dedup: first-8-token fingerprint, keep the lowest doc_id
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(array_to_string(list_slice(w, 1, 8), ' '))
+      ORDER BY doc_id) AS rk
+    FROM quality
+  ) WHERE rk = 1
+),
+-- benchmark shingles come from the FULL corpus (the benchmark is external)
+bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM base WHERE doc_id % {_BENCH_MOD} = 0
+),
+contaminated AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id, unnest(list_distinct(list_transform(range(1, len(d.w) - 1),
+           i -> d.w[i] || ' ' || d.w[i+1] || ' ' || d.w[i+2]))) AS s
+    FROM deduped d
+  ) t JOIN bench USING (s)
+  GROUP BY doc_id HAVING COUNT(*) >= {_CONTAM_MIN_OVERLAP}
+),
+survivors AS (
+  SELECT * FROM deduped
+  WHERE doc_id % {_BENCH_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INT) < 80
+            THEN 'train' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(SUM((n - 1) // {CHUNK_STRIDE} + 1) AS BIGINT) AS n_chunks
+FROM survivors GROUP BY 1
+""",
+    doc="The full training-data pipeline as ONE query — quality gate "
+    "(integer-exact dup-word ratio), first-8-token fingerprint dedup "
+    "(keep-lowest window), benchmark decontamination (broadcast bench "
+    "shingles, >= 3 distinct overlaps evicts), hash-stable 80/20 split, "
+    "per-split doc/token/chunk totals. Every stage is the registered "
+    "operator's shape composed end to end: one fingerprint shuffle, one "
+    "doc_id overlap shuffle, a broadcast anti-join, one final agg — the "
+    "whole corpus is read ONCE and never self-joined. This is the query a "
+    "pretraining ingest actually runs.",
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    stats = base.select(
+        "doc_id", "w", F.size("w").alias("n"), F.size(F.array_distinct("w")).alias("d")
+    )
+    quality = stats.filter(
+        (F.col("n") >= 15) & (25 * (F.col("n") - F.col("d")) < 16 * F.col("n"))
+    )
+    fp = F.md5(F.array_join(F.slice("w", 1, 8), " "))
+    wnd = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = quality.withColumn("rk", F.row_number().over(wnd)).filter(F.col("rk") == 1)
+
+    shingles = F.array_distinct(
+        F.transform(
+            F.arrays_zip(
+                F.slice("w", 1, F.greatest(F.size("w") - 2, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 2, F.lit(0))),
+                F.slice("w", 3, F.greatest(F.size("w") - 2, F.lit(0))),
+            ),
+            lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]),
+        )
+    )
+    bench = (
+        base.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode(shingles).alias("s"))
+        .distinct()
+    )
+    # decontamination consumes `deduped` exactly ONCE: explode its shingles,
+    # LEFT-join the broadcast bench set (a marker column, so non-matching
+    # rows survive), and regroup by doc_id with the token count riding
+    # along. The naive shape — derive a contaminated-id set from deduped,
+    # then anti-join deduped against it — consumes the subtree twice, and
+    # Spark recomputes the whole scan+window per consumer (verified: no
+    # ReusedExchange in that plan). At 100 TB that is two corpus passes.
+    marked = (
+        deduped.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id", "n", F.explode(shingles).alias("s"))
+        .join(F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left")
+    )
+    survivors = (
+        marked.groupBy("doc_id", "n")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"))
+        .filter(F.col("n_overlap") < _CONTAM_MIN_OVERLAP)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    return (
+        survivors.select(
+            F.when(bucket < 80, "train").otherwise("test").alias("split"),
+            "n",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+            F.sum(F.expr(f"(n - 1) div {CHUNK_STRIDE} + 1")).cast("bigint").alias("n_chunks"),
+        )
+    )

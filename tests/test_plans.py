@@ -273,3 +273,13 @@ def test_grouped_hll_shuffles_are_register_bounded(spark):
     # distinct + (source,bucket) agg + source agg — never a raw-value join
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_end_to_end_pipeline_reads_corpus_once_per_side(spark):
+    plan = plan_of(spark, "pipeline_end_to_end")
+    # main path scans documents once; the benchmark subset is the only other
+    # scan (it's an external table in production) — the anti-join shape that
+    # consumed the dedup subtree twice would show 3 scans here
+    assert plan.count("FileScan parquet") <= 2, plan.count("FileScan parquet")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
