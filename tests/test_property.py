@@ -88,3 +88,44 @@ def test_composite_udf_matches_tokenizer_on_generated_corpus(spark):
     got = [[r.s.f1, r.s.f2, r.s.f3] for r in parsed.collect()]
     want = [(f + [None] * 3)[:3] for f in corpus]
     assert got == want
+
+
+def test_range_grammar_exhaustive_matrix(spark):
+    """Exhaustive matrix over the documented range-text contract (scalar
+    subtype, no embedded commas): every combination of present/absent
+    bounds x inclusivity, plus 'empty' and SQL NULL. Expected structs are
+    computed independently in Python, mirroring PG's canonical output rules
+    (absent bound is never inclusive)."""
+    from pyspark.sql import functions as F
+
+    from pg2parquet_spark.typemap.ranges import parse_range
+
+    bounds = [None, -5, 0, 7, 123456]
+    cases = []      # (text, expected (lower, upper, lo_inc, up_inc, empty))
+    for lo in bounds:
+        for hi in bounds:
+            for lo_br, lo_inc in (("[", True), ("(", False)):
+                for hi_br, up_inc in (("]", True), (")", False)):
+                    txt = (
+                        lo_br
+                        + ("" if lo is None else str(lo))
+                        + ","
+                        + ("" if hi is None else str(hi))
+                        + hi_br
+                    )
+                    cases.append(
+                        (txt, (lo, hi, lo_inc and lo is not None, up_inc and hi is not None, False))
+                    )
+    cases.append(("empty", (None, None, False, False, True)))
+    cases.append((None, None))
+
+    rows = [(i, t) for i, (t, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    parsed = df.select(
+        "id", parse_range(F.col("txt"), lambda c: c.cast("int")).alias("r")
+    ).orderBy("id")
+    for r, (txt, want) in zip(parsed.collect(), cases):
+        got = None if r.r is None else (
+            r.r.lower, r.r.upper, r.r.lower_inclusive, r.r.upper_inclusive, r.r.is_empty
+        )
+        assert got == want, (txt, got, want)
