@@ -26,10 +26,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops)."""
-    from pg2parquet_spark.registry import load_all
+    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops).
 
-    return {name: spec.fn for name, spec in load_all().items()}
+    Each callable first applies the engine's runtime session tuning (UTC
+    session timezone, AQE) — the driver may call queries() without entry(),
+    and the timestamp queries' oracle parity depends on the UTC pin.
+    """
+    from pg2parquet_spark.registry import load_all
+    from pg2parquet_spark.session import tune_existing
+
+    def tuned(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(tune_existing(spark), sf_dir)
+
+        return run
+
+    return {name: tuned(spec.fn) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
