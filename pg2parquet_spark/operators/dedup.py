@@ -321,20 +321,35 @@ def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot path — hash each shingle ONCE, carve the digest into four 32-bit
     # int lanes, derive lanes 4..7 by an LCG mix of lanes 0..3 (mirrors
     # _lane_sql exactly; halves the per-shingle hash CPU vs two seeded md5s).
+    # parse each digest's four 32-bit lanes ONCE into a struct; the eight
+    # array_min passes then read parsed ints (lanes 4..7 apply their LCG to
+    # the parsed base) instead of re-running conv(substring(...)) — 4 hex
+    # parses per shingle, not 8 (conv is the next-hottest expression after
+    # md5 itself)
+    def parse4(x):
+        return F.struct(
+            *[
+                F.conv(F.substring(x, 1 + 8 * j, 8), 16, 10)
+                .cast("bigint")
+                .alias(f"c{j}")
+                for j in range(4)
+            ]
+        )
+
     def lane(k: int):
         # single-arg closures: pyspark infers transform-lambda arity from the
         # signature, so a bound default arg would flip it into (element, index)
-        off = 1 + 8 * (k % 4)
-
-        def expr(x):
-            base = F.conv(F.substring(x, off, 8), 16, 10).cast("bigint")
+        def expr(h):
+            base = h[f"c{k % 4}"]
             if k < 4:
                 return base
             return (base * _LCG_A + k) % _LCG_MOD
 
         return expr
 
-    hashed = shingled.select("doc_id", F.transform("sh", F.md5).alias("m0"))
+    hashed = shingled.select(
+        "doc_id", F.transform("sh", lambda s: parse4(F.md5(s))).alias("m0")
+    )
     sigs = hashed.select(
         "doc_id",
         *[
