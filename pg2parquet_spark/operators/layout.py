@@ -56,6 +56,31 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sweep_stale_bucket_tables(spark: SparkSession, max_age_s: int = 3600) -> None:
+    """Delete b_orders_*/b_customer_* warehouse dirs older than max_age_s.
+
+    Per-pid table names keep concurrent runs from clobbering each other, but
+    every process leaves two table dirs behind; a long-lived harness would
+    accumulate them without bound. Age-gating the sweep keeps it safe under
+    concurrency (a live run's tables are seconds old)."""
+    import shutil
+    import time
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh.removeprefix("file:")
+    if not os.path.isdir(wh):
+        return
+    cutoff = time.time() - max_age_s
+    for d in os.listdir(wh):
+        if d.startswith(("b_orders_", "b_customer_")):
+            p = os.path.join(wh, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+
 @register(
     "layout_bucketed_join",
     oracle="""
@@ -73,6 +98,7 @@ GROUP BY c_mktsegment
 )
 def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique table names per process: concurrent runs share spark-warehouse/
+    _sweep_stale_bucket_tables(spark)
     pid = os.getpid()
     t_orders, t_cust = f"b_orders_{pid}", f"b_customer_{pid}"
     for name, df, key in (

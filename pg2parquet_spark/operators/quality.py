@@ -162,8 +162,11 @@ SELECT doc_id, token, tf, df, score FROM ranked WHERE rk <= {TFIDF_TOP_K}
     "(exact-integer product, one IEEE division — no log, so both engines "
     "agree bit-for-bit). The corpus explodes ONCE into (doc, token) counts; "
     "df aggregates those already-distinct pairs (vocabulary-sized, map-side "
-    "combined) and joins back broadcast. Ties rank by token so the top-K cut "
-    "is deterministic.",
+    "combined) and joins back broadcast — valid while the vocabulary fits "
+    "the broadcast threshold (natural-language vocabularies grow "
+    "sublinearly); an open vocabulary (URLs, ids) should drop the broadcast "
+    "hint and let AQE pick the shuffle join. Ties rank by token so the "
+    "top-K cut is deterministic.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
