@@ -73,17 +73,21 @@ def main() -> None:
         quiet=True,
     )
 
-    # one untimed pass per query (JIT/codegen warm-up), then the timed pass:
-    # steady-state throughput is what a long-running cluster job sees; a
-    # cold-JVM first execution measures HotSpot, not the plan
+    # one untimed pass per query (JIT/codegen warm-up), then three timed
+    # passes reported as the per-query MEDIAN: steady-state throughput is
+    # what a long-running cluster job sees (a cold-JVM first execution
+    # measures HotSpot, not the plan), and the median keeps one GC pause or
+    # scheduler hiccup from defining the recorded number either way
     for name in headline:
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {n: [] for n in headline}
+    for _ in range(3):
+        for name in headline:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(sorted(ts)[1], 3) for n, ts in samples.items()}
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -91,7 +95,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "method": "steady-state: 1 untimed warm pass per query, timed 2nd pass",
+        "method": "steady-state: 1 untimed warm pass, median of 3 timed passes",
     }
     print(json.dumps(out))
 
