@@ -1812,3 +1812,71 @@ SELECT months.m_idx,
 FROM months LEFT JOIN rev ON months.m_idx = rev.m_idx
 """
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+SELECT 1 AS funnel, COUNT(*) AS n_users,
+       CAST(SUM(viewed) AS BIGINT) AS n_viewed,
+       CAST(SUM(clicked_after_view) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(purchased_after_click) AS BIGINT) AS n_purchased_after_click
+FROM (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         MAX(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END) AS clicked_after_view,
+         MAX(CASE WHEN event_type = 'purchase' AND seen_click_after_view = 1 THEN 1 ELSE 0 END) AS purchased_after_click
+  FROM (
+    SELECT user_id, event_type,
+           seen_view,
+           MAX(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seen_click_after_view
+    FROM (
+      SELECT user_id, event_type, ts, event_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seen_view
+      FROM events
+    )
+  ) GROUP BY user_id
+)
+""",
+    doc="Event funnel (view -> click-after-view -> purchase-after-click) in "
+    "ONE pass: cumulative running-max flags over a per-user time window "
+    "chain the stages, then one per-user aggregate counts conversions. A "
+    "single shuffle on user_id — the naive per-stage self-join shape scans "
+    "and shuffles the events table once per funnel stage. Ordering ties "
+    "break on event_id so replays are deterministic.",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tables import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seen_view = F.max(
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+    ).over(w)
+    flagged = ev.select("user_id", "event_type", "ts", "event_id", seen_view.alias("seen_view"))
+    seen_cav = F.max(
+        F.when((F.col("event_type") == "click") & (F.col("seen_view") == 1), 1).otherwise(0)
+    ).over(w)
+    staged = flagged.select("user_id", "event_type", "seen_view", seen_cav.alias("seen_click_after_view"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+        F.max(
+            F.when((F.col("event_type") == "click") & (F.col("seen_view") == 1), 1).otherwise(0)
+        ).alias("clicked_after_view"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("seen_click_after_view") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("purchased_after_click"),
+    )
+    return per_user.agg(
+        F.lit(1).alias("funnel"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("viewed").cast("bigint").alias("n_viewed"),
+        F.sum("clicked_after_view").cast("bigint").alias("n_clicked_after_view"),
+        F.sum("purchased_after_click").cast("bigint").alias("n_purchased_after_click"),
+    )

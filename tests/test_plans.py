@@ -283,3 +283,12 @@ def test_end_to_end_pipeline_reads_corpus_once_per_side(spark):
     assert plan.count("FileScan parquet") <= 2, plan.count("FileScan parquet")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_is_single_pass(spark):
+    # the stage chain must be window flags over ONE user_id partitioning —
+    # a per-stage self-join would scan events once per funnel stage
+    plan = plan_of(spark, "q_events_funnel")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
