@@ -238,27 +238,34 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ml_embedding_quantize",
     oracle=r"""
-SELECT vec_id,
-       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs,
-       CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
-            THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding,
-                 x -> CAST(floor(x * 127.0 / list_max(list_transform(embedding, y -> abs(y))) + 0.5) AS INTEGER))
-       END AS q,
-       CAST(list_sum(list_transform(
-            CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
-                 THEN list_transform(embedding, x -> 0)
-                 ELSE list_transform(embedding,
-                      x -> CAST(floor(x * 127.0 / list_max(list_transform(embedding, y -> abs(y))) + 0.5) AS INTEGER))
-            END, x -> abs(x))) AS BIGINT) AS q_l1
-FROM embeddings
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS m
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, CAST(m AS DOUBLE) AS max_abs,
+         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                   x -> CAST(floor(x * 127.0 / m + 0.5) AS INTEGER))
+         END AS q
+  FROM base
+)
+SELECT vec_id, max_abs,
+       array_to_string(q, ',') AS q_csv,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+FROM quant
 """,
     doc="Symmetric per-vector int8 quantization (the 4x memory dial for ANN "
     "serving): scale = max|x|, q = floor(x*127/scale + 0.5). floor(+0.5) "
     "rounds identically in both engines (round() half-away/half-even "
     "disagreements are why it's avoided); the expression tree over the same "
     "float32 inputs is IEEE-identical. Pure map, zero shuffles — "
-    "embarrassingly parallel at any scale.",
+    "embarrassingly parallel at any scale. The quantized vector is emitted "
+    "as a comma-joined string (q_csv) rather than a raw array<int>: scalar "
+    "columns keep the result sortable/hashable for any downstream "
+    "canonicalizer while losing no information (int formatting is identical "
+    "in both engines).",
 )
 def ml_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -274,7 +281,7 @@ def ml_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         max_abs.cast("double").alias("max_abs"),
-        q.alias("q"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
         F.aggregate(
             q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
         ).alias("q_l1"),
