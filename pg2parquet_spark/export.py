@@ -70,13 +70,26 @@ def export(
         _narrow_to_float16(df.sparkSession, path, options)
 
 
-def _rewrite_one_float16(path: str, uri_scheme: bool, wanted: frozenset, codec: str) -> str:
+def _rewrite_one_float16(path: str, root_uri: str | None, wanted: frozenset, codec: str) -> str:
     """Rewrite ONE parquet file's ``wanted`` columns to Float16 (FLBA-2).
 
     Runs as a Spark TASK — never on the driver: the file list of a 100 TB
     export is thousands of files, and a serial driver loop over read_table/
     write_table would be the export's long pole. The guard below pins that
     contract (and the pytest relies on it).
+
+    ``path`` is the filesystem-native path as returned by the DRIVER's
+    ``get_file_info`` listing (scheme-less, e.g. ``bucket/key/part.parquet``
+    for s3://). The filesystem is therefore reconstructed from ``root_uri``
+    — the export root's original URI, whose scheme+authority resolve the
+    right backend — never ``from_uri(path)``, which would misparse a
+    scheme-less listing path as local.
+
+    Crash safety: a task killed mid-write (speculation, preemption, OOM)
+    must not leave a truncated file for the retry to trip over, so the
+    rewrite lands at ``<path>.f16tmp`` and is renamed into place, mirroring
+    :func:`compact`'s rename-aside swap. A retry that finds a stale tmp
+    simply overwrites it.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -86,7 +99,11 @@ def _rewrite_one_float16(path: str, uri_scheme: bool, wanted: frozenset, codec: 
 
     if TaskContext.get() is None:
         raise RuntimeError("float16 narrowing must run as a Spark task, not on the driver")
-    fsys = pafs.FileSystem.from_uri(path)[0] if uri_scheme else pafs.LocalFileSystem()
+    fsys = (
+        pafs.FileSystem.from_uri(root_uri)[0]
+        if root_uri is not None
+        else pafs.LocalFileSystem()
+    )
     t = pq.read_table(path, filesystem=fsys)
     cols = {}
     for name in t.schema.names:
@@ -102,12 +119,14 @@ def _rewrite_one_float16(path: str, uri_scheme: bool, wanted: frozenset, codec: 
                     f"float16_columns: column {name!r} has non-float type {typ}"
                 )
         cols[name] = col
+    tmp = path + ".f16tmp"
     pq.write_table(
         pa.table(cols),
-        path,
+        tmp,
         filesystem=fsys,
         compression="none" if codec == "uncompressed" else codec,
     )
+    fsys.move(tmp, path)
     return path
 
 
@@ -124,8 +143,11 @@ def _narrow_to_float16(spark: SparkSession, path: str, options: ExportOptions) -
     """
     from pyarrow import fs as pafs
 
-    uri_scheme = "://" in path
-    if uri_scheme:
+    # Resolve the filesystem ONCE from the export root's full URI; tasks get
+    # that same root URI (not the scheme-less per-file listing paths, which
+    # from_uri would misparse) and rebuild an equivalent filesystem from it.
+    root_uri: str | None = path if "://" in path else None
+    if root_uri is not None:
         fsys, root = pafs.FileSystem.from_uri(path)
     else:
         fsys, root = pafs.LocalFileSystem(), path
@@ -141,7 +163,7 @@ def _narrow_to_float16(spark: SparkSession, path: str, options: ExportOptions) -
     sc = spark.sparkContext
     done = (
         sc.parallelize(files, len(files))
-        .map(lambda f: _rewrite_one_float16(f, uri_scheme, wanted, codec))
+        .map(lambda f: _rewrite_one_float16(f, root_uri, wanted, codec))
         .collect()  # bounded: one path string per file
     )
     if sorted(done) != sorted(files):
@@ -200,9 +222,13 @@ def export_audited(
         else:
             # materialize the report off the cached source NOW — the caller
             # consumes it after df is unpersisted, which would otherwise be
-            # a third full read of the source
-            bad = bad.persist()
-            bad.count()
+            # a third full read of the source. localCheckpoint (not persist):
+            # it truncates lineage so the report outlives the source cache,
+            # and its blocks are released by the ContextCleaner when the
+            # frame is garbage-collected — a persist() here would leak
+            # executor storage for the session lifetime unless every caller
+            # remembered to unpersist the returned frame.
+            bad = bad.localCheckpoint(eager=True)
         out = df
         for name, (_src, conv) in conversions.items():
             out = out.withColumn(name, conv)
@@ -327,16 +353,20 @@ def compact_partitioned(
     path: str,
     target_file_mb: int = 512,
     options: ExportOptions | None = None,
+    max_concurrency: int = 8,
 ) -> dict[str, int]:
     """Partition-wise compaction for hive-layout datasets: walk the
     ``key=value`` directory tree to its leaves and run :func:`compact` on
     each leaf independently. The partition layout is untouched — each leaf
     is rewritten in place through the same crash-safe rename-aside swap.
 
-    Returns {leaf path: new file count}. Leaves are independent, so a
-    cluster deployment runs them concurrently (thread pool over this loop —
-    each iteration is mostly cluster work, the driver only coordinates
-    renames); sequential here keeps the test-bed behavior deterministic.
+    Returns {leaf path: new file count}. Leaves are independent, so they run
+    ``max_concurrency`` at a time through a driver-side thread pool: each
+    leaf's work is mostly cluster work (a read+repartition+write job), so
+    overlapping leaves keeps the executors busy while one leaf is in its
+    metadata-only rename phase. Spark job submission is thread-safe; each
+    leaf writes to its own tmp dir, so no two threads ever touch the same
+    path. ``max_concurrency=1`` degrades to the sequential loop.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -363,4 +393,12 @@ def compact_partitioned(
             f"compact_partitioned: {path} has no key=value partition dirs — "
             "use compact() for flat datasets"
         )
-    return {leaf: compact(spark, leaf, target_file_mb, options) for leaf in leaves}
+    if max_concurrency <= 1 or len(leaves) == 1:
+        return {leaf: compact(spark, leaf, target_file_mb, options) for leaf in leaves}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_concurrency, len(leaves))) as pool:
+        counts = list(
+            pool.map(lambda leaf: compact(spark, leaf, target_file_mb, options), leaves)
+        )
+    return dict(zip(leaves, counts))

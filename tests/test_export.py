@@ -608,3 +608,74 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
     assert len(glob.glob(f"{out}/p=0/*.parquet")) == 1
     after = spark.read.parquet(out)
     assert sorted((r.id, r.p, r.v) for r in after.collect()) == rows_before
+
+
+def test_float16_rewrite_leaves_no_tmp_files(spark, tmp_path):
+    """The crash-safe tmp+rename swap must clean up after itself: a finished
+    narrowing pass leaves only .parquet files (a stale .f16tmp would be read
+    by directory-scanning readers as a corrupt footer)."""
+    df = spark.createDataFrame([(1, 1.5), (2, 0.25)], "id long, val float")
+    out = str(tmp_path / "f16_clean")
+    export(
+        df,
+        out,
+        ExportOptions(float16_handling="float16", float16_columns=("val",)),
+        quiet=True,
+    )
+    assert glob.glob(f"{out}/*.f16tmp") == []
+    assert len(glob.glob(f"{out}/*.parquet")) >= 1
+
+
+def test_compact_partitioned_concurrent(spark, tmp_path):
+    """max_concurrency > 1 runs independent leaves through a thread pool and
+    must produce byte-identical results to the sequential path: same leaf
+    set, same per-leaf file counts, same data."""
+    from pg2parquet_spark.export import compact_partitioned
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 5).alias("p"), (F.col("id") * 3).alias("v")
+    )
+    out = str(tmp_path / "part_conc")
+    df.repartition(8).write.partitionBy("p").parquet(out)
+    rows_before = sorted((r.id, r.p, r.v) for r in spark.read.parquet(out).collect())
+    assert len(glob.glob(f"{out}/p=0/*.parquet")) > 1
+
+    result = compact_partitioned(spark, out, target_file_mb=512, max_concurrency=4)
+    assert len(result) == 5 and all(n == 1 for n in result.values())
+    assert sorted(os.path.basename(p) for p in result) == [f"p={i}" for i in range(5)]
+    for i in range(5):
+        assert len(glob.glob(f"{out}/p={i}/*.parquet")) == 1
+        assert glob.glob(f"{out}/p={i}._compact_*") == []
+    after = sorted((r.id, r.p, r.v) for r in spark.read.parquet(out).collect())
+    assert after == rows_before
+
+
+def test_sweep_reaps_dead_pid_bucket_tables(spark):
+    """Bucket tables named for a dead pid are dropped THROUGH the catalog
+    (DROP TABLE removes metastore entry + data dir together — an rmtree-only
+    sweep leaves dangling catalog entries that break spark.table forever);
+    the live process's own tables survive regardless of age."""
+    import subprocess
+
+    from pg2parquet_spark.operators.layout import _sweep_stale_bucket_tables
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead = f"b_orders_{p.pid}"
+    mine = f"b_customer_{os.getpid()}"
+    for name in (dead, mine):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.range(10).selectExpr("id AS o_custkey").write.mode(
+            "overwrite"
+        ).bucketBy(2, "o_custkey").saveAsTable(name)
+    try:
+        _sweep_stale_bucket_tables(spark)
+        names = {t.name for t in spark.catalog.listTables()}
+        assert dead not in names, "dead-pid table must be dropped"
+        assert mine in names, "own table must survive"
+        wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+        assert not os.path.isdir(os.path.join(wh, dead))
+        spark.table(mine).count()  # catalog entry still usable
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {mine}")
+        spark.sql(f"DROP TABLE IF EXISTS {dead}")
