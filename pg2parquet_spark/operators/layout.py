@@ -56,29 +56,64 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - exists but owned elsewhere
+        return True
+    return True
+
+
 def _sweep_stale_bucket_tables(spark: SparkSession, max_age_s: int = 3600) -> None:
-    """Delete b_orders_*/b_customer_* warehouse dirs older than max_age_s.
+    """Reap b_orders_*/b_customer_* bucket tables left by finished runs.
 
     Per-pid table names keep concurrent runs from clobbering each other, but
-    every process leaves two table dirs behind; a long-lived harness would
-    accumulate them without bound. Age-gating the sweep keeps it safe under
-    concurrency (a live run's tables are seconds old)."""
+    every process leaves two tables behind; a long-lived harness would
+    accumulate them without bound. A table is stale when its owning pid is
+    dead (the common case — reaps a same-hour burst of driver + selfcheck +
+    bench + pytest runs immediately) or, as a fallback for pid reuse, when
+    its data dir is older than ``max_age_s``.
+
+    Stale CATALOG entries are dropped with ``DROP TABLE IF EXISTS`` — which
+    removes both the metastore row and the managed data dir; deleting the
+    dir directly would leave a dangling catalog entry that breaks
+    ``SHOW TABLES`` / ``spark.table`` forever. Orphan DIRS with no catalog
+    entry (a previous session's metastore_db is gone) have nothing to drop,
+    so those are rmtree'd under the same staleness gate.
+    """
     import shutil
     import time
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    wh = wh.removeprefix("file:")
+    def _stale(name: str, data_dir: str) -> bool:
+        pid_s = name.rsplit("_", 1)[-1]
+        if pid_s.isdigit() and not _pid_alive(int(pid_s)):
+            return True
+        try:
+            return os.path.getmtime(data_dir) < time.time() - max_age_s
+        except OSError:
+            return True  # dir already gone: catalog entry is dangling
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    mine = (f"b_orders_{os.getpid()}", f"b_customer_{os.getpid()}")
+    cataloged = set()
+    for t in spark.catalog.listTables():
+        n = t.name
+        if n.startswith(("b_orders_", "b_customer_")):
+            cataloged.add(n)
+            if n not in mine and _stale(n, os.path.join(wh, n)):
+                spark.sql(f"DROP TABLE IF EXISTS {n}")
     if not os.path.isdir(wh):
         return
-    cutoff = time.time() - max_age_s
     for d in os.listdir(wh):
-        if d.startswith(("b_orders_", "b_customer_")):
-            p = os.path.join(wh, d)
-            try:
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+        if (
+            d.startswith(("b_orders_", "b_customer_"))
+            and d not in cataloged
+            and d not in mine
+            and _stale(d, os.path.join(wh, d))
+        ):
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
 @register(
