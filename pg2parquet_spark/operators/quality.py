@@ -162,23 +162,60 @@ SELECT doc_id, token, tf, df, score FROM ranked WHERE rk <= {TFIDF_TOP_K}
     "(exact-integer product, one IEEE division — no log, so both engines "
     "agree bit-for-bit). The corpus explodes ONCE into (doc, token) counts; "
     "df aggregates those already-distinct pairs (vocabulary-sized, map-side "
-    "combined) and joins back broadcast — valid while the vocabulary fits "
-    "the broadcast threshold (natural-language vocabularies grow "
-    "sublinearly); an open vocabulary (URLs, ids) should drop the broadcast "
-    "hint and let AQE pick the shuffle join. Ties rank by token so the "
-    "top-K cut is deterministic.",
+    "combined) and joins back broadcast. The broadcast is a PARAMETER of "
+    "tfidf_topk (default on — natural-language vocabularies grow "
+    "sublinearly per Heaps' law): open vocabularies (URLs, ids) pass "
+    "vocab_broadcast=False for an AQE-chosen shuffle join, or None to "
+    "auto-gate on approx_count_distinct. Ties rank by token so the top-K "
+    "cut is deterministic.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    return tfidf_topk(table(spark, sf_dir, "documents"))
+
+
+# Above this many distinct tokens (≈ a few hundred MiB of broadcast rows)
+# the vocabulary is treated as OPEN and never broadcast — an executor-OOM
+# guard for id/URL-shaped token streams.
+TFIDF_VOCAB_BROADCAST_LIMIT = 5_000_000
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = TFIDF_TOP_K,
+    vocab_broadcast: bool | None = True,
+    vocab_broadcast_limit: int = TFIDF_VOCAB_BROADCAST_LIMIT,
+) -> DataFrame:
+    """TF-IDF top-``k`` terms per document over a ``(doc_id, text)`` frame.
+
+    ``vocab_broadcast`` is the join-strategy dial for the df (document
+    frequency) side:
+
+    - ``True`` (default): hint ``F.broadcast(df)``. Right for
+      natural-language vocabularies, which grow sublinearly (Heaps' law)
+      and stay broadcast-sized even at corpus scale.
+    - ``False``: no hint — AQE picks the shuffle join. Right for OPEN
+      vocabularies (URLs, ids, hashes) where df is corpus-sized and a
+      forced broadcast is an executor-OOM.
+    - ``None`` (auto): spend one cheap ``approx_count_distinct`` pass to
+      measure the vocabulary, then broadcast only if it is under
+      ``vocab_broadcast_limit``. Costs an extra corpus scan, so callers
+      that know their token shape should pass True/False directly.
+    """
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    if vocab_broadcast is None:
+        n_vocab = docs.select(
+            F.explode(tokens(F.col("text"))).alias("t")
+        ).agg(F.approx_count_distinct("t")).first()[0]
+        vocab_broadcast = n_vocab <= vocab_broadcast_limit
+    df_side = F.broadcast(df_) if vocab_broadcast else df_
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "t")
+        tf.join(df_side, "t")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -193,7 +230,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .filter(F.col("rk") <= k)
         .drop("rk")
     )
 

@@ -292,3 +292,32 @@ def test_funnel_is_single_pass(spark):
     assert "Join" not in plan
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_vocab_broadcast_is_a_dial(spark):
+    """The df (document-frequency) side join strategy must follow the
+    vocab_broadcast parameter: hinted broadcast for closed natural-language
+    vocabularies, AQE-chosen shuffle join for open vocabularies (the
+    executor-OOM guard at 100 TB)."""
+    from pg2parquet_spark.operators.quality import tfidf_topk
+    from pg2parquet_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+
+    # kill size-based auto-broadcast so the plans show the DIAL, not the
+    # tiny test corpus: with the threshold off, only the explicit hint can
+    # produce a BroadcastHashJoin
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        closed = tfidf_topk(docs, vocab_broadcast=True)
+        plan = closed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # the hint, by construction
+
+        open_ = tfidf_topk(docs, vocab_broadcast=False)
+        plan = open_._jdf.queryExecution().executedPlan().toString()
+        # the corpus-sized tf<->df join must NOT be a forced broadcast; only
+        # the single-row n_docs scalar may broadcast
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
