@@ -45,6 +45,8 @@ def main() -> None:
             "pipeline_chunk_documents",
             "ann_cosine_topk",
             "sink_roundtrip",
+            "q_events_funnel",
+            "pipeline_end_to_end",
         )
         if n in registry
     ]
