@@ -305,14 +305,22 @@ def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared LSH front end: band-bucket collisions with BOTH documents' full
     signatures riding in-row (columns doc_a, doc_b, ha0..ha7, hb0..hb7).
 
-    Carrying the 8 signature ints through the band join means the verify step
-    is a pure projection — the naive shape re-joins a persisted signature
-    table twice. This one needs no persist at all: the two sides of the band
-    self-join are identical subtrees, so Spark computes the signature
-    pipeline once (Exchange + ReusedExchange) and no executor storage
-    outlives the query. At 100 TB the signatures would live in a
-    materialized table; here the whole front end stays map-side until the
-    single (band_idx, band_hash) shuffle.
+    Carrying the 8 signature ints through the band stage means the verify
+    step is a pure projection — the naive shape re-joins a persisted
+    signature table twice. Candidate generation is group-by-bucket, not a
+    self-join: shuffle the banded rows ONCE on (band_idx, band_hash),
+    collect each bucket's members, and emit the i<j pairs with an in-bucket
+    array expression. A self-join of two identical signature subtrees looks
+    equivalent on paper but in practice plans as two full signature
+    pipelines (exchange reuse does not reliably kick in across the join's
+    two sides), i.e. every shingle is md5-hashed twice and the corpus is
+    shuffled twice. The grouped shape computes signatures once, shuffles
+    once, and needs no persist. Pair fan-out is quadratic in BUCKET size —
+    identical to the join shape's bucket-collision fan-out, and bounded in
+    practice because the max-df stop filter removes the boilerplate
+    shingles that create mega-buckets. At 100 TB the signatures would live
+    in a materialized table; here the whole front end stays map-side until
+    the single (band_idx, band_hash) shuffle.
     """
     shingled = stop_filtered_shingles(spark, sf_dir)
     # signature = per-document MAP work: array_min(transform(...)) keeps it in
@@ -380,18 +388,34 @@ def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.bh").alias("bh"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.bh") == F.col("b.bh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        *[F.col(f"a.h{k}").alias(f"ha{k}") for k in range(_K)],
-        *[F.col(f"b.h{k}").alias(f"hb{k}") for k in range(_K)],
+    # ONE shuffle: bucket members by (band_idx, bh), then emit every i<j
+    # member pair in-bucket. Pairs are orientation-normalized by doc_id
+    # (a = smaller id) so the output is independent of collect_list order.
+    member = F.struct(F.col("doc_id"), *[F.col(f"h{k}") for k in range(_K)])
+    buckets = (
+        bands.groupBy("band_idx", "bh")
+        .agg(F.collect_list(member).alias("m"))
+        .filter(F.size("m") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("m"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("m"), i + F.lit(2), F.size(F.col("m"))),
+                    lambda y: F.struct(
+                        F.when(x["doc_id"] < y["doc_id"], x).otherwise(y).alias("a"),
+                        F.when(x["doc_id"] < y["doc_id"], y).otherwise(x).alias("b"),
+                    ),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        *[F.col(f"p.a.h{k}").alias(f"ha{k}") for k in range(_K)],
+        *[F.col(f"p.b.h{k}").alias(f"hb{k}") for k in range(_K)],
     )
 
 

@@ -74,6 +74,19 @@ def test_minhash_candidate_join_on_band_hash(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_computes_signatures_once(spark):
+    # candidate generation is group-by-bucket + in-bucket pair explode, NOT a
+    # band self-join: the self-join shape plans the full md5 signature
+    # pipeline twice (once per side — exchange reuse does not reliably
+    # dedupe the two sides) and shuffles the corpus twice. Pin: the corpus
+    # is scanned exactly once (3 scans = the 3 augmented-union branches) and
+    # there is no join node at all before the verify projection.
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert plan.count("Scan parquet") == 3, plan.count("Scan parquet")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan
+
+
 def test_minhash_signatures_are_map_only(spark):
     # signature computation must stay in the scan stage: array_min over
     # transformed shingle arrays, never an explode + re-group shuffle
