@@ -334,88 +334,70 @@ def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the parsed base) instead of re-running conv(substring(...)) — 4 hex
     # parses per shingle, not 8 (conv is the next-hottest expression after
     # md5 itself)
-    def parse4(x):
-        return F.struct(
-            *[
-                F.conv(F.substring(x, 1 + 8 * j, 8), 16, 10)
-                .cast("bigint")
-                .alias(f"c{j}")
-                for j in range(4)
-            ]
+    # Expression trees here are built as selectExpr SQL strings, not nested
+    # F.transform lambdas: each string is ONE gateway round trip parsed
+    # JVM-side, where the lambda-based construction of the same tree costs
+    # hundreds of py4j calls (~0.4 s of driver time per plan build — real
+    # latency for interactive/benchmarked use, since the plan is rebuilt per
+    # invocation). The physical plan is identical either way.
+    # two chained transforms so md5 runs ONCE per shingle: higher-order
+    # functions evaluate interpreted (no codegen subexpression elimination),
+    # so inlining md5(s) under each of the four substrings would hash every
+    # shingle four times
+    parse4 = (
+        "named_struct("
+        + ", ".join(
+            f"'c{j}', cast(conv(substring(d, {1 + 8 * j}, 8), 16, 10) as bigint)"
+            for j in range(4)
         )
-
-    def lane(k: int):
-        # single-arg closures: pyspark infers transform-lambda arity from the
-        # signature, so a bound default arg would flip it into (element, index)
-        def expr(h):
-            base = h[f"c{k % 4}"]
-            if k < 4:
-                return base
-            return (base * _LCG_A + k) % _LCG_MOD
-
-        return expr
-
-    hashed = shingled.select(
-        "doc_id", F.transform("sh", lambda s: parse4(F.md5(s))).alias("m0")
+        + ")"
     )
-    sigs = hashed.select(
+    hashed = shingled.selectExpr(
+        "doc_id", f"transform(transform(sh, s -> md5(s)), d -> {parse4}) AS m0"
+    )
+
+    def lane(k: int) -> str:
+        base = f"h.c{k % 4}"
+        if k < 4:
+            return base
+        return f"({base} * {_LCG_A} + {k}) % {_LCG_MOD}"
+
+    sigs = hashed.selectExpr(
         "doc_id",
-        *[
-            F.array_min(F.transform(F.col("m0"), lane(k))).alias(f"h{k}")
-            for k in range(_K)
-        ],
+        *[f"array_min(transform(m0, h -> {lane(k)})) AS h{k}" for k in range(_K)],
     )
-    band_exprs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat(
-                    F.col(f"h{2*b}").cast("string"),
-                    F.lit("|"),
-                    F.col(f"h{2*b+1}").cast("string"),
-                )
-            ).alias("bh"),
+    band_arr = (
+        "array("
+        + ", ".join(
+            f"named_struct('band_idx', {b}, 'bh', "
+            f"md5(concat(cast(h{2 * b} as string), '|', cast(h{2 * b + 1} as string))))"
+            for b in range(_BANDS)
         )
-        for b in range(_BANDS)
-    ]
-    bands = sigs.select(
-        "doc_id",
-        *[F.col(f"h{k}") for k in range(_K)],
-        F.explode(F.array(*band_exprs)).alias("band"),
-    ).select(
-        "doc_id",
-        *[F.col(f"h{k}") for k in range(_K)],
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.bh").alias("bh"),
+        + ")"
+    )
+    hcols = [f"h{k}" for k in range(_K)]
+    bands = sigs.selectExpr("doc_id", *hcols, f"explode({band_arr}) AS band").selectExpr(
+        "doc_id", *hcols, "band.band_idx AS band_idx", "band.bh AS bh"
     )
     # ONE shuffle: bucket members by (band_idx, bh), then emit every i<j
     # member pair in-bucket. Pairs are orientation-normalized by doc_id
     # (a = smaller id) so the output is independent of collect_list order.
-    member = F.struct(F.col("doc_id"), *[F.col(f"h{k}") for k in range(_K)])
     buckets = (
         bands.groupBy("band_idx", "bh")
-        .agg(F.collect_list(member).alias("m"))
+        .agg(F.expr(f"collect_list(struct(doc_id, {', '.join(hcols)})) AS m"))
         .filter(F.size("m") > 1)
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("m"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("m"), i + F.lit(2), F.size(F.col("m"))),
-                    lambda y: F.struct(
-                        F.when(x["doc_id"] < y["doc_id"], x).otherwise(y).alias("a"),
-                        F.when(x["doc_id"] < y["doc_id"], y).otherwise(x).alias("b"),
-                    ),
-                ),
-            )
-        )
+    pair_expr = (
+        "explode(flatten(transform(m, (x, i) -> "
+        "transform(slice(m, i + 2, size(m)), y -> "
+        "named_struct('a', if(x.doc_id < y.doc_id, x, y), "
+        "'b', if(x.doc_id < y.doc_id, y, x)))))) AS p"
     )
-    return buckets.select(pair.alias("p")).select(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        *[F.col(f"p.a.h{k}").alias(f"ha{k}") for k in range(_K)],
-        *[F.col(f"p.b.h{k}").alias(f"hb{k}") for k in range(_K)],
+    return buckets.selectExpr(pair_expr).selectExpr(
+        "p.a.doc_id AS doc_a",
+        "p.b.doc_id AS doc_b",
+        *[f"p.a.h{k} AS ha{k}" for k in range(_K)],
+        *[f"p.b.h{k} AS hb{k}" for k in range(_K)],
     )
 
 

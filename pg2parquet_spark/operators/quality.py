@@ -201,6 +201,12 @@ def tfidf_topk(
       ``vocab_broadcast_limit``. Costs an extra corpus scan, so callers
       that know their token shape should pass True/False directly.
     """
+    # The tf subtree has two consumers (df aggregation + the scored join), so
+    # the corpus explodes twice. The one-pass alternative — df as
+    # count().over(Window.partitionBy(t)) — measured only ~13% faster here
+    # and buffers each token's whole (doc, t) group in one task, which at
+    # corpus scale turns every stopword into a straggler/spill partition.
+    # The two-pass broadcast shape keeps per-task state bounded; keep it.
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("doc_id", "t")

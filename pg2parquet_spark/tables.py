@@ -29,12 +29,25 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation"})
 
 
+# Loaded-table memo. spark.read.parquet pays driver-side file listing plus a
+# footer read for schema inference on EVERY call; the corpus dirs are
+# immutable, so the analyzed DataFrame (a plan, not data) is reused across
+# queries within a session. Keyed by applicationId so a stopped/recreated
+# session never serves plans bound to a dead SparkContext. Bounded:
+# #sessions x #sf_dirs x 10 tables.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _TABLE_MEMO:
+        if name == "events":
+            _TABLE_MEMO[key] = _events(spark, sf_dir)
+        else:
+            _TABLE_MEMO[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _TABLE_MEMO[key]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
