@@ -371,3 +371,84 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr(f"(n - 1) div {CHUNK_STRIDE} + 1")).cast("bigint").alias("n_chunks"),
         )
     )
+
+
+# ------------------------------------------------------ semantic dedup --
+# SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely, then
+# within each cluster drop every vector that has a sufficiently-similar
+# lower-id neighbor, keeping one representative per semantic neighborhood.
+SEMDEDUP_COS = 0.35
+_SEM_PLANES = 6       # 64 cells on the fixture corpus; the cluster-count dial
+_SEM_PLANE_OFFSET = 700  # fresh deterministic hyperplane set (disjoint from
+                         # the near-dup LSH tables at offsets 0..300)
+
+
+def _sem_cell_sql(emb: str, zero_based: bool) -> str:
+    from pg2parquet_spark.operators.similarity import EMB_DIM, plane_dot_sql
+
+    bits = [
+        f"(CASE WHEN {plane_dot_sql(emb, j + _SEM_PLANE_OFFSET, EMB_DIM, zero_based)} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(_SEM_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sem_oracle() -> str:
+    from pg2parquet_spark.operators.similarity import EMB_DIM, dot_sql
+
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding, {_sem_cell_sql('embedding', False)} AS cell FROM embeddings
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} >= {SEMDEDUP_COS}
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
+
+
+@register(
+    "pipeline_semantic_dedup",
+    oracle=_sem_oracle(),
+    doc=f"SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster "
+    f"the embedding space ({_SEM_PLANES}-bit sign-LSH cells standing in for "
+    "the paper's k-means — deterministic, so the oracle can mirror it), "
+    "then within each cell drop every vector with a lower-id neighbor at "
+    f"cosine >= {SEMDEDUP_COS}, keeping one representative per semantic "
+    "neighborhood. Output is the full keep/drop labeling. Plan: cell "
+    "assignment is map-side; ONE shuffle groups each cell; the drop test "
+    "is an in-cell exists() over collected members — no self-join, no "
+    "BNLJ. Work is quadratic per CELL (SemDeDup's own contract); the "
+    "plane count is the cluster-size dial, and a 100 TB deployment swaps "
+    "the cells for k-means centroid ids + a size cap, keeping the shape.",
+)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.selectExpr(
+        "vec_id", "embedding", f"{_sem_cell_sql('embedding', True)} AS cell"
+    )
+    grouped = cells.groupBy("cell").agg(
+        F.expr("collect_list(struct(vec_id, embedding)) AS m")
+    )
+    # exists() re-derives the pairwise dot with the same left-fold order as
+    # the oracle's unrolled sum (0.0 + t1 == t1, so the folds agree
+    # bit-for-bit); NOT exists(lower-id neighbor >= threshold) == kept
+    marked = grouped.selectExpr(
+        "cell",
+        "explode(transform(m, x -> named_struct("
+        "'vec_id', x.vec_id, "
+        "'kept', NOT exists(m, y -> y.vec_id < x.vec_id AND "
+        "aggregate(zip_with(x.embedding, y.embedding, "
+        "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= {SEMDEDUP_COS})))) AS s",
+    )
+    return marked.selectExpr(
+        "s.vec_id AS vec_id",
+        "CAST(cell AS BIGINT) AS cell",
+        "CAST(s.kept AS BIGINT) AS kept",
+    )

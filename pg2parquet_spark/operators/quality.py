@@ -329,3 +329,168 @@ def ml_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)
         ).alias("q_l1"),
     )
+
+
+# ------------------------------------------------------------------- BM25 --
+# Fixed query-term set: retrieval scoring is "given a query, rank the
+# corpus"; the benchmark query is pinned so the oracle is deterministic.
+BM25_QUERY = ("vector", "hash", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_term_sql(i: int, t: str) -> str:
+    """One query term's BM25 contribution — IDENTICAL text for Spark SQL and
+    DuckDB, so both engines evaluate the same IEEE double expression in the
+    same operand order (+,-,*,/ are correctly rounded, so same order =
+    bit-identical; there is deliberately no log/exp, which libm implements
+    differently per engine — the idf here is the raw Robertson odds ratio
+    (N - df + 0.5)/(df + 0.5), the inside of the standard log-idf)."""
+    idf = f"((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+    denom = f"(CAST(tf{i} AS DOUBLE) + {BM25_K1} * (0.25 + ({BM25_B} * CAST(dl AS DOUBLE)) / avgdl))"
+    return f"({idf} * ((CAST(tf{i} AS DOUBLE) * 2.2) / {denom}))"
+
+
+_BM25_SCORE_SQL = " + ".join(_bm25_term_sql(i, t) for i, t in enumerate(BM25_QUERY))
+
+
+@register(
+    "text_bm25_topk",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         {", ".join(f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf{i}" for i, t in enumerate(BM25_QUERY))}
+  FROM base
+),
+gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {", ".join(f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(BM25_QUERY)))}
+  FROM stats
+),
+scored AS (
+  SELECT doc_id, dl, {", ".join(f"tf{i}" for i in range(len(BM25_QUERY)))},
+         {_BM25_SCORE_SQL} AS score
+  FROM (SELECT s.*, g.*, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+        FROM stats s CROSS JOIN gstats g)
+  WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_QUERY)))} > 0
+)
+SELECT doc_id, dl, {", ".join(f"tf{i} AS tf_{t}" for i, t in enumerate(BM25_QUERY))}, score
+FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+""",
+    doc=f"Okapi BM25 top-{BM25_TOP_K} (k1={BM25_K1}, b={BM25_B}) for the "
+    f"pinned query {BM25_QUERY} — the retrieval-scoring operator of the "
+    "pipeline layer. Plan: ZERO explodes and zero per-token shuffles — tf "
+    "per query term is size(filter(tokens, = t)) map-side in the scan "
+    "stage; df/avgdl/N are ONE bounded scalar-agg row broadcast back; "
+    "top-K is TakeOrdered, never a global sort. The only per-corpus work "
+    "is the one token pass, so the shape is identical at 100 TB (df/avgdl "
+    "would come from corpus metadata instead of the agg). The idf is the "
+    "log-free Robertson odds ratio so both engines agree bit-for-bit "
+    "(libm log is not correctly rounded; +,-,*,/ are).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nq = len(BM25_QUERY)
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    stats = base.selectExpr(
+        "doc_id",
+        "CAST(size(w) AS BIGINT) AS dl",
+        *[
+            f"CAST(size(filter(w, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    glob = stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).cast("bigint").alias(f"df{i}")
+            for i in range(nq)
+        ],
+    )
+    scored = (
+        stats.crossJoin(F.broadcast(glob))
+        .withColumn("avgdl", F.expr("CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+        .filter(F.expr(" + ".join(f"tf{i}" for i in range(nq))) > 0)
+        .selectExpr(
+            "doc_id",
+            "dl",
+            *[f"tf{i}" for i in range(nq)],
+            f"{_BM25_SCORE_SQL} AS score",
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .selectExpr(
+            "doc_id", "dl",
+            *[f"tf{i} AS tf_{t}" for i, t in enumerate(BM25_QUERY)],
+            "score",
+        )
+    )
+
+
+# -------------------------------------------------- bigram-LM quality score --
+@register(
+    "text_bigram_lm_score",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, s.a AS a, s.ab AS ab
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+               i -> {'a': w[i], 'ab': w[i] || ' ' || w[i+1]})) AS s
+        FROM base WHERE len(w) >= 2)
+),
+cab AS (SELECT a, ab, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, ab),
+cctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_ctx FROM cab GROUP BY a)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(length(bin(x.c_ctx)) - length(bin(c.c_ab))) AS BIGINT) AS bits_total,
+       CAST(SUM(length(bin(x.c_ctx)) - length(bin(c.c_ab))) AS DOUBLE) / COUNT(*) AS avg_bits
+FROM pairs p JOIN cab c USING (a, ab) JOIN cctx x USING (a)
+GROUP BY p.doc_id
+""",
+    doc="Corpus-bigram-LM cross-entropy surrogate per document — the "
+    "perplexity-filter quality signal of CCNet-style curation (Wenzek et "
+    "al. 2020), trained on the corpus itself. Per bigram (a,b) the cost is "
+    "ilog2(c(a)) - ilog2(c(a,b)) bits, with ilog2(x) = length(bin(x)) - 1 "
+    "— an INTEGER surrogate for -log2 p(b|a), chosen because integer sums "
+    "are order-free (a float -log2 sum would depend on accumulation order "
+    "and libm's log is not correctly rounded across engines); the one "
+    "division per doc is the only float op. Plan: the corpus explodes "
+    "twice (count-training + scoring; at 100 TB counts come from a "
+    "materialized LM table or a sample, scoring stays one pass); context "
+    "counts derive from the bigram counts by re-aggregation, never a third "
+    "pass; both count tables are vocabulary-sized, map-side combined, and "
+    "broadcast back (same Heaps'-law dial as tfidf_topk).",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    pairs = base.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(w) - 1), "
+        "i -> named_struct('a', w[i - 1], 'ab', concat(w[i - 1], ' ', w[i])))) AS s",
+    ).selectExpr("doc_id", "s.a AS a", "s.ab AS ab")
+    cab = pairs.groupBy("a", "ab").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    cctx = cab.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_ctx"))
+    scored = (
+        pairs.join(F.broadcast(cab), ["a", "ab"])
+        .join(F.broadcast(cctx), "a")
+        .selectExpr("doc_id", "length(bin(c_ctx)) - length(bin(c_ab)) AS bits")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("bits_total"),
+        (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("avg_bits"),
+    )

@@ -340,3 +340,30 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir):
     # ... while still bounding the time span (not a plain user sort either:
     # each z file covers at most ~half the hour domain, not all of it)
     assert max(s[1] for s in z_spans) <= 160, z_spans
+
+
+def test_semantic_dedup_keeps_one_representative_per_neighborhood(spark, sf_dir):
+    from pg2parquet_spark.operators import curation
+
+    rows = curation.pipeline_semantic_dedup(spark, sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # every cell keeps at least its lowest-id member, and the lowest-id
+    # member is never dropped (it has no lower-id neighbor)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.kept == 1
+        assert any(r.kept == 1 for r in members)
+
+
+def test_bm25_scores_rank_matching_docs_first(spark, sf_dir):
+    from pg2parquet_spark.operators import quality
+
+    rows = quality.text_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= quality.BM25_TOP_K
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every returned doc matches at least one query term
+    for r in rows:
+        assert sum(r[f"tf_{t}"] for t in quality.BM25_QUERY) > 0

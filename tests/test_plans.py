@@ -334,3 +334,31 @@ def test_tfidf_vocab_broadcast_is_a_dial(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bm25_no_explode_and_topk_bounded(spark):
+    # BM25 tf/dl are array expressions in the scan stage — a per-token
+    # explode would shuffle corpus-sized rows; and the top-K must be
+    # TakeOrdered (per-partition heap + driver merge), never a global sort
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "Generate" not in plan  # no explode anywhere
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_bigram_lm_counts_broadcast_back(spark):
+    # both count tables (bigram + context) are vocabulary-sized and must
+    # come back as broadcast hash joins, never a corpus-wide SortMergeJoin
+    plan = plan_of(spark, "text_bigram_lm_score")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_single_shuffle_no_join(spark):
+    # cell assignment is map-side; the in-cell drop test runs over collected
+    # members — one exchange on the cell id and NO join node of any kind
+    plan = plan_of(spark, "pipeline_semantic_dedup")
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
