@@ -452,3 +452,66 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(cell AS BIGINT) AS cell",
         "CAST(s.kept AS BIGINT) AS kept",
     )
+
+
+# ------------------------------------------------------- split leakage --
+@register(
+    "pipeline_split_leakage",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 5 = 0
+),
+tagged AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+         CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INT) < 80
+              THEN 1 ELSE 0 END AS is_train
+  FROM aug
+)
+SELECT content_hash,
+       CAST(SUM(is_train) AS BIGINT) AS n_train,
+       CAST(SUM(1 - is_train) AS BIGINT) AS n_test,
+       MIN(CASE WHEN is_train = 1 THEN doc_id END) AS example_train_id,
+       MIN(CASE WHEN is_train = 0 THEN doc_id END) AS example_test_id
+FROM tagged
+GROUP BY content_hash
+HAVING SUM(is_train) > 0 AND SUM(1 - is_train) > 0
+""",
+    doc="Train/test leakage audit: content fingerprints (md5 of normalized "
+    "text) that land in BOTH sides of the hash-stable 80/20 split — the "
+    "check a pipeline runs AFTER splitting to prove dedup happened before "
+    "it (an id-keyed split distributes duplicate content across splits, "
+    "which inflates eval; Lee et al. 2022 measure exactly this). Runs on "
+    "the exact-dup-augmented corpus so true leaks exist. Plan: fingerprint "
+    "and split tag are map-side; ONE shuffle on the content hash; the "
+    "HAVING filter is evaluated in the same aggregation. Leak rows are "
+    "rare by construction, so the output is audit-sized at any corpus "
+    "scale.",
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    aug = docs.unionAll(dups)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    tagged = aug.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("content_hash"),
+        F.when(bucket < 80, 1).otherwise(0).alias("is_train"),
+    )
+    agg = tagged.groupBy("content_hash").agg(
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"),
+        F.min(F.when(F.col("is_train") == 1, F.col("doc_id"))).alias("example_train_id"),
+        F.min(F.when(F.col("is_train") == 0, F.col("doc_id"))).alias("example_test_id"),
+    )
+    return agg.filter((F.col("n_train") > 0) & (F.col("n_test") > 0))

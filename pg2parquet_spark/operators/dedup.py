@@ -887,3 +887,79 @@ def connected_components(
     # the FINAL labels checkpoint stays persisted: callers read it and the
     # truncated lineage cannot recompute; ContextCleaner reclaims it on GC.
     return labels
+
+
+# ------------------------------------------------- exact-substring dedup --
+_SUBSTR_N = 8  # span length in tokens; Lee et al. use 50 BPE tokens — the
+               # fixture documents are ~100 tokens, so 8 keeps true positives
+
+
+def _substr_gram_sql() -> str:
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(_SUBSTR_N))
+    return (
+        f"list_distinct(list_transform(range(1, len(toks) - {_SUBSTR_N - 2}), "
+        f"i -> {parts}))"
+    )
+
+
+@register(
+    "dedup_substring_ngrams",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()},
+g8 AS (
+  SELECT doc_id, {_substr_gram_sql()} AS gs
+  FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM normed)
+),
+docg AS (
+  SELECT doc_id, md5(g) AS h FROM (SELECT doc_id, unnest(gs) AS g FROM g8)
+),
+shared AS (SELECT h FROM docg GROUP BY h HAVING COUNT(*) >= 2)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_fraction
+FROM docg d LEFT JOIN shared s ON d.h = s.h
+GROUP BY d.doc_id
+""",
+    doc=f"Exact-substring duplication signal (Lee et al. 2022, 'Deduplicating "
+    f"Training Data Makes Language Models Better'): per document, the "
+    f"fraction of its distinct {_SUBSTR_N}-token spans that also occur in "
+    "ANOTHER document — the span-level complement of the doc-pair dedup "
+    "family, and the published basis for cut-the-span dedup. Runs over the "
+    "augmented corpus so planted near-dups yield true positives. Plan: "
+    "spans are array expressions in the scan stage, deduped per-doc "
+    "map-side (array_distinct) so the (doc, span-hash) stream carries no "
+    "within-doc repeats; one groupBy on the span hash finds cross-doc "
+    "spans; the marker left-join + one doc_id groupBy compute total and "
+    "shared counts in a single consumption of the exploded stream (no "
+    "anti-join double-scan). The span table is corpus-sized, so the join "
+    "is a keyed shuffle join by design, never a broadcast — at 100 TB the "
+    "span-df table is the materialized artifact, exactly like the "
+    "reference suffix-array pipeline's merged duplicate list.",
+)
+def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_documents(spark, sf_dir)
+    grams = aug.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), _SUBSTR_N)).alias("gs")
+    )
+    docg = grams.select("doc_id", F.explode("gs").alias("g")).select(
+        "doc_id", F.md5("g").alias("h")
+    )
+    shared = (
+        docg.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h", F.lit(1).alias("hit"))
+    )
+    return (
+        docg.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_shared"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_fraction"),
+        )
+    )

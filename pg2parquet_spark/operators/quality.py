@@ -494,3 +494,80 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").cast("bigint").alias("bits_total"),
         (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("avg_bits"),
     )
+
+
+# ------------------------------------------------- label centroid stats --
+@register(
+    "ml_label_centroid_stats",
+    oracle=r"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS m
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, label,
+         CASE WHEN m = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                   x -> CAST(floor(x * 127.0 / m + 0.5) AS INTEGER))
+         END AS q
+  FROM base
+),
+pos AS (
+  SELECT label, unnest(range(1, len(q) + 1)) - 1 AS pos, unnest(q) AS v FROM quant
+),
+dimagg AS (
+  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(abs(v)) AS BIGINT) AS sa, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pos GROUP BY label, pos
+)
+SELECT label,
+       CAST(MAX(c) AS BIGINT) AS n_vectors,
+       array_to_string(list(s ORDER BY pos), ',') AS sum_csv,
+       CAST(SUM(sa) AS BIGINT) AS q_l1_total,
+       CAST(SUM(sa) AS DOUBLE) / MAX(c) AS avg_l1
+FROM dimagg GROUP BY label
+""",
+    doc="Per-label centroid + mass stats over int8-QUANTIZED embeddings "
+    "(same floor(x*127/max+0.5) map as ml_embedding_quantize): per label, "
+    "the element-wise SUM vector (as csv — exact integers, so the centroid "
+    "sum is accumulation-order-free where a float mean would not be), the "
+    "vector count, total and mean quantized L1 mass. The per-class "
+    "centroid/mass profile is the standard embedding-space dataset audit "
+    "(class balance, collapsed classes, outlier mass). Plan: quantization "
+    "is map-side; posexplode keys the shuffle by (label, dim) so the "
+    "element-wise sums distribute across dim x label, not one task per "
+    "label; the final per-label fold is label-cardinality-sized. No "
+    "collect, no float accumulation.",
+)
+def ml_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    q = F.when(
+        max_abs == 0, F.transform(F.col("embedding"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x * F.lit(127.0) / max_abs + F.lit(0.5)).cast("int"),
+        )
+    )
+    pos = emb.select("label", q.alias("q")).select(
+        "label", F.posexplode("q").alias("pos", "v")
+    )
+    dimagg = pos.groupBy("label", "pos").agg(
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.abs("v")).cast("bigint").alias("sa"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    return dimagg.groupBy("label").agg(
+        F.max("c").cast("bigint").alias("n_vectors"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda t: t["s"].cast("string"),
+            ),
+            ",",
+        ).alias("sum_csv"),
+        F.sum("sa").cast("bigint").alias("q_l1_total"),
+        (F.sum("sa").cast("double") / F.max("c")).alias("avg_l1"),
+    )

@@ -362,3 +362,29 @@ def test_semantic_dedup_single_shuffle_no_join(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
+
+
+def test_substring_ngrams_joins_on_span_hash(spark):
+    # the shared-span join must be keyed on the span hash (shuffle join by
+    # design — the span table is corpus-sized, broadcast would OOM); the
+    # per-doc spans are deduped map-side before the explode
+    plan = plan_of(spark, "dedup_substring_ngrams")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "array_distinct" in plan
+
+
+def test_label_centroids_shuffle_on_label_dim(spark):
+    # element-wise sums key by (label, pos): dim-parallel, never one task
+    # per label; no collect-based centroid math
+    plan = plan_of(spark, "ml_label_centroid_stats")
+    assert "posexplode" in plan.lower() or "Generate" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # (label,pos) then label
+    assert "SortMergeJoin" not in plan
+
+
+def test_split_leakage_single_shuffle(spark):
+    plan = plan_of(spark, "pipeline_split_leakage")
+    assert plan.count("Exchange hashpartitioning") == 1  # content_hash only
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan
