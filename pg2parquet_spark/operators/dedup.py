@@ -241,11 +241,18 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle-set SIZE rides along through the explode (it is functionally
     # dependent on doc_id, so adding it to the groupBy keys changes nothing),
-    # which removes the two post-agg size-lookup joins of the naive shape —
-    # and with them the need to persist the shingle frame at all: the two
-    # sides of the inverted-index self-join are identical subtrees, so Spark
-    # plans one Exchange and a ReusedExchange, computing the shingles once.
-    # No executor-storage footprint survives the query (pinned by
+    # which removes the two post-agg size-lookup joins of the naive shape.
+    # Shape choice, MEASURED: the self-join computes the shingle pipeline
+    # twice (exchange reuse does not dedupe the two sides — same finding as
+    # the minhash band stage), but the group-by-shingle + collect_list pair
+    # emission alternative benched 8% SLOWER here and is structurally worse
+    # for THIS operator at scale: a hot shingle's bucket materializes as one
+    # in-memory array (hard 2 GB/element-count cap), while the hash join
+    # streams one side and degrades via spill. Minhash keeps the grouped
+    # shape because band buckets are near-dup-group-sized; the inverted
+    # index keeps the join. A 100 TB run would persist the shingle table to
+    # make the double consumption one scan. No executor-storage footprint
+    # survives the query (pinned by
     # tests/test_pipeline_ops.py::test_dedup_leaves_no_persistent_rdds).
     sh = stop_filtered_shingles(spark, sf_dir)
     exploded = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))

@@ -388,3 +388,4 @@ def test_split_leakage_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # content_hash only
     for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert node not in plan
+
