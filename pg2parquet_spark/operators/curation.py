@@ -515,3 +515,65 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("is_train") == 0, F.col("doc_id"))).alias("example_test_id"),
     )
     return agg.filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+
+
+# --------------------------------------------------- incremental dedup --
+@register(
+    "pipeline_incremental_dedup",
+    oracle=r"""
+WITH oldh AS (
+  SELECT doc_id AS old_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+batch AS (
+  SELECT doc_id + 3000000 AS new_id,
+         CASE WHEN doc_id % 22 = 0 THEN upper(text) || '  '
+              ELSE text || ' brand new tail' END AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+bh AS (
+  SELECT new_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h FROM batch
+),
+m AS (
+  SELECT new_id, MIN(old_id) AS matched_old
+  FROM oldh JOIN bh USING (h) GROUP BY new_id
+)
+SELECT b.new_id,
+       CAST(CASE WHEN m.new_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+       m.matched_old
+FROM bh b LEFT JOIN m ON b.new_id = m.new_id
+""",
+    doc="Incremental-ingest dedup: a new batch (deterministic fixture — every "
+    "11th doc, half exact-dup mutations, half genuinely-new tails) checked "
+    "against the EXISTING corpus by content hash. The shape is the point: "
+    "ingest batches are small relative to the corpus, so the batch hash set "
+    "BROADCASTS and the corpus side is a map-only probe scan — the corpus "
+    "is never reshuffled, re-sorted, or self-joined to admit new data "
+    "(at 100 TB the corpus side reads a materialized hash column with the "
+    "batch filter pushed toward the scan). Match resolution keeps the "
+    "minimum old doc_id so the output is deterministic.",
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.text import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    old_h = docs.select(
+        F.col("doc_id").alias("old_id"), F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    batch = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3000000).alias("new_id"),
+        F.when(
+            F.col("doc_id") % 22 == 0, F.concat(F.upper("text"), F.lit("  "))
+        ).otherwise(F.concat(F.col("text"), F.lit(" brand new tail"))).alias("text"),
+    )
+    batch_h = batch.select("new_id", F.md5(normalize_text(F.col("text"))).alias("h"))
+    matches = (
+        old_h.join(F.broadcast(batch_h), "h")
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("matched_old"))
+    )
+    return batch_h.join(F.broadcast(matches), "new_id", "left").select(
+        "new_id",
+        F.col("matched_old").isNotNull().cast("bigint").alias("is_dup"),
+        "matched_old",
+    )

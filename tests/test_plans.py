@@ -389,3 +389,12 @@ def test_split_leakage_single_shuffle(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
         assert node not in plan
 
+
+
+def test_incremental_dedup_corpus_side_never_shuffles(spark):
+    # the batch hash set broadcasts; the corpus is a map-only probe scan —
+    # admitting new data must never reshuffle the existing corpus
+    plan = plan_of(spark, "pipeline_incremental_dedup")
+    assert plan.count("BroadcastHashJoin") >= 2  # probe join + match-back join
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
