@@ -363,3 +363,39 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    doc="Stream-STATIC dimension enrichment — the remaining structured-"
+    "streaming join shape (stream-stream is stream_click_purchase_join): "
+    "the event stream joins a static customer dimension, broadcast so "
+    "every micro-batch probes a local hash map with NO shuffle and no "
+    "state store (a static side needs no watermark — it is complete by "
+    "definition), then aggregates per (segment, event_type). Oracle is "
+    "the batch join+agg — streaming == batch. At scale the dimension "
+    "refresh is a re-broadcast per restart, the standard Kafka-enrichment "
+    "deployment.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tables import table as _table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    name = f"stream_enrich_{next(_counter)}"
+    _run_to_memory(agg, name)
+    return spark.table(name)

@@ -367,3 +367,15 @@ def test_bm25_scores_rank_matching_docs_first(spark, sf_dir):
     # every returned doc matches at least one query term
     for r in rows:
         assert sum(r[f"tf_{t}"] for t in quality.BM25_QUERY) > 0
+
+
+def test_ann_arrow_kernel_matches_expression_variant(spark, sf_dir):
+    # the two brute-force variants promise the same contract AND the same
+    # bits: the numpy kernel folds over dims in the expression fold's order
+    from pg2parquet_spark.operators import similarity
+
+    a = {(r.q_id, r.c_id): (r.cos_sim, r.rank)
+         for r in similarity.ann_cosine_topk(spark, sf_dir).collect()}
+    b = {(r.q_id, r.c_id): (r.cos_sim, r.rank)
+         for r in similarity.ann_cosine_topk_arrow(spark, sf_dir).collect()}
+    assert a == b
