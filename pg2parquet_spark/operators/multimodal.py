@@ -361,3 +361,62 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return with_audio.select("doc_id", "audio").mapInPandas(energy, out_schema)
+
+
+_IMG_DEDUP_SEEDS = 40  # distinct images in the fixture; docs sharing a seed
+                       # get byte-identical PNGs (the planted duplicates)
+
+
+def attach_seeded_png(df: DataFrame) -> DataFrame:
+    """Like attach_real_png, but pixels/dims derive from doc_id % SEEDS, so
+    documents sharing a seed carry BYTE-IDENTICAL blobs — the planted
+    duplicates an image-dedup operator must find. encode_png is a pure
+    function, so equal pixels yield equal bytes."""
+    out_schema = "doc_id long, image binary"
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pg2parquet_spark.pngcodec import encode_png
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                s = int(doc_id) % _IMG_DEDUP_SEEDS
+                w, h = 2 + s % 6, 2 + (s * 3) % 5
+                px = bytes((s * 31 + i) % 256 for i in range(w * h * 3))
+                blobs.append(encode_png(w, h, 3, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image": blobs})
+
+    return df.select("doc_id").mapInPandas(enc, out_schema)
+
+
+@register(
+    "multimodal_image_dedup",
+    oracle=f"""
+SELECT MIN(doc_id) AS representative,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY doc_id % {_IMG_DEDUP_SEEDS}
+""",
+    doc="Byte-level image dedup: md5 over the raw PNG blob, one shuffle on "
+    "the content hash, keep the min-doc_id representative per group — the "
+    "image-column twin of dedup_exact (the first dedup level every "
+    "multimodal pipeline runs before any perceptual hashing). Duplicates "
+    "are PLANTED as byte-identical seeded PNGs (doc_id % "
+    f"{_IMG_DEDUP_SEEDS}); the oracle recomputes the groups arithmetically "
+    "from the seed, so a hash match proves the binary-equality grouping "
+    "found exactly the planted duplicate sets — semantic-level checking, "
+    "since PNG bytes are not SQL-reproducible. The blob is dropped at the "
+    "aggregation boundary: only the 16-byte hash shuffles, never the "
+    "image bytes.",
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    with_img = attach_seeded_png(docs)
+    return (
+        with_img.select("doc_id", F.md5("image").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("representative"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select("representative", "n_copies")
+    )

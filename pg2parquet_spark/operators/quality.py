@@ -571,3 +571,59 @@ def ml_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sa").cast("bigint").alias("q_l1_total"),
         (F.sum("sa").cast("double") / F.max("c")).alias("avg_l1"),
     )
+
+
+# ------------------------------------------------------- n-gram novelty --
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+g3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gs
+  FROM base
+),
+docg AS (SELECT doc_id, unnest(gs) AS g FROM g3),
+firstseen AS (SELECT g, MIN(doc_id) AS first_doc FROM docg GROUP BY g)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+FROM docg d JOIN firstseen f ON d.g = f.g
+GROUP BY d.doc_id
+""",
+    doc="Per-document n-gram NOVELTY: the fraction of a doc's distinct "
+    "3-grams whose first corpus occurrence (by doc_id order) is this doc — "
+    "the novelty curve of corpus-growth analyses (how much genuinely new "
+    "text each increment of the corpus contributes; near-zero novelty "
+    "flags scraped re-crawls). The asymmetric complement of "
+    "dedup_substring_ngrams' symmetric sharing. Plan: per-doc grams dedupe "
+    "map-side; one groupBy on the gram finds the min owner; the first-seen "
+    "table joins back on its own gram partitioning and one doc_id groupBy "
+    "folds the counts — every shuffle keyed, nothing broadcast-unbounded.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    g3 = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("gs")
+    )
+    docg = g3.select("doc_id", F.explode("gs").alias("g"))
+    firstseen = docg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        docg.join(firstseen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+            (
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

@@ -398,3 +398,19 @@ def test_incremental_dedup_corpus_side_never_shuffles(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # probe join + match-back join
     assert "SortMergeJoin" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ngram_novelty_all_shuffles_keyed(spark):
+    plan = plan_of(spark, "text_ngram_novelty")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "array_distinct" in plan  # per-doc dedup stays map-side
+
+
+def test_image_dedup_never_shuffles_blobs(spark):
+    # only the 16-byte md5 may cross the exchange — the image binary column
+    # must be projected away before the aggregation shuffle
+    df = load_all()["multimodal_image_dedup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert agg_exchanges and all("image" not in l for l in agg_exchanges)
