@@ -577,3 +577,70 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_old").isNotNull().cast("bigint").alias("is_dup"),
         "matched_old",
     )
+
+
+# ------------------------------------------- content-defined chunking --
+_CDC_MOD = 16  # expected chunk length in tokens (the rolling-hash dial)
+
+
+@register(
+    "pipeline_cdc_chunking",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, len(w) AS n,
+         list_concat(list_concat([CAST(0 AS BIGINT)],
+           list_filter(range(1, len(w)),
+             i -> CAST('0x' || substr(md5(w[i]), 1, 8) AS BIGINT) % {_CDC_MOD} = 0)),
+           [CAST(len(w) AS BIGINT)]) AS edges
+  FROM base
+),
+sized AS (
+  SELECT doc_id, n,
+         list_transform(range(1, len(edges)), i -> edges[i + 1] - edges[i]) AS sizes
+  FROM cut
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(sizes) AS BIGINT) AS n_chunks,
+       CAST(list_max(sizes) AS BIGINT) AS max_chunk,
+       CAST(n AS DOUBLE) / len(sizes) AS avg_chunk
+FROM sized
+""",
+    doc=f"Content-defined chunking (LBFS/rsync lineage): a chunk boundary "
+    "falls AFTER any token whose hash is 0 mod "
+    f"{_CDC_MOD}, so boundaries depend only on local content — insert one "
+    "token and only the surrounding chunk's boundaries move, where "
+    "fixed-stride chunking (pipeline_chunk_documents) shifts every "
+    "subsequent chunk. That re-sync property is why dedup storage uses CDC "
+    "blocks. Expected chunk length = the modulus. Plan: boundaries, edge "
+    "deltas, and stats are ALL array expressions in the scan stage — a "
+    "pure map with zero shuffles, embarrassingly parallel at any scale.",
+)
+def pipeline_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    cut = base.selectExpr(
+        "doc_id",
+        "size(w) AS n",
+        "concat(array(0), "
+        "filter(sequence(1, size(w) - 1), "
+        f"i -> conv(substring(md5(element_at(w, i)), 1, 8), 16, 10) % {_CDC_MOD} = 0), "
+        "array(size(w))) AS edges",
+    )
+    sized = cut.selectExpr(
+        "doc_id", "n",
+        "transform(sequence(1, size(edges) - 1), "
+        "i -> element_at(edges, i + 1) - element_at(edges, i)) AS sizes",
+    )
+    return sized.selectExpr(
+        "doc_id",
+        "CAST(n AS BIGINT) AS n_tokens",
+        "CAST(size(sizes) AS BIGINT) AS n_chunks",
+        "CAST(array_max(sizes) AS BIGINT) AS max_chunk",
+        "CAST(n AS DOUBLE) / size(sizes) AS avg_chunk",
+    )

@@ -1880,3 +1880,43 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("clicked_after_view").cast("bigint").alias("n_clicked_after_view"),
         F.sum("purchased_after_click").cast("bigint").alias("n_purchased_after_click"),
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(a.day - c.cohort_day AS BIGINT) AS age_days,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+""",
+    doc="Cohort retention over the event stream: users bucketed by their "
+    "first active day, then distinct active users per (cohort, age-in-days) "
+    "— the standard product-analytics retention triangle. Plan: activity "
+    "dedupes to (user, day) with map-side combine; the cohort table derives "
+    "from activity by a user_id re-aggregation (never a second scan of "
+    "events); the join is keyed on user_id (users are data-sized at scale — "
+    "no broadcast), and the final distinct-count shuffles on (cohort, age). "
+    "Every shuffle is keyed and cardinality-bounded by users x days.",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("age_days"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )

@@ -490,3 +490,66 @@ def sketch_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("hll_est_x1000"),
         "exact_distinct",
     )
+
+
+# --------------------------------------------------- quantile histogram --
+_QH_TARGETS = (50, 90, 99)
+
+
+@register(
+    "sketch_quantile_hist",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(value * 2) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+c AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+t AS (SELECT unnest([{", ".join(str(q) for q in _QH_TARGETS)}]) AS q,
+             (SELECT COUNT(*) FROM events) AS n)
+SELECT CAST(q AS BIGINT) AS q,
+       CAST(MIN(bin) AS BIGINT) AS est_bin,
+       CAST(MIN(bin) AS DOUBLE) / 2 AS est_edge,
+       CAST(n AS BIGINT) AS n
+FROM t JOIN c ON c.cum * 100 >= q * n
+GROUP BY q, n
+""",
+    doc="Mergeable equi-width histogram quantile sketch (the 4th sketch "
+    "family next to Count-Min/HLL/Bloom): fixed 0.5-wide bins over "
+    "events.value, per-partition counts merge by ADDITION (the map-side "
+    "combine IS the sketch merge), then p50/p90/p99 read off the "
+    "cumulative histogram. Quantile selection is pure integer arithmetic "
+    "(100*cum >= q*n — no ceil, no float rank), so both engines agree "
+    "exactly. The cumulative window runs over the BIN table, whose size is "
+    "bounded by the value range / bin width, never by the data — that is "
+    "what makes a histogram a sketch. Bin width is the accuracy dial; a "
+    "production deployment re-bins the tails (t-digest-style) without "
+    "changing the shape.",
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    bins = (
+        ev.select(F.floor(F.col("value") * 2).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # single-partition window: bounded by the BIN count (a few dozen), not
+    # by the data — safe at any corpus scale
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    targets = tot.select(
+        F.explode(F.array(*[F.lit(q) for q in _QH_TARGETS])).alias("q"), "n"
+    )
+    # 3-row broadcast side against the bounded bin table: the nested-loop
+    # here is bins x 3, not data-sized
+    hit = targets.join(
+        F.broadcast(cum), F.col("cum") * 100 >= F.col("q") * F.col("n")
+    )
+    return hit.groupBy("q", "n").agg(F.min("bin").alias("est_bin")).select(
+        F.col("q").cast("bigint").alias("q"),
+        F.col("est_bin").cast("bigint").alias("est_bin"),
+        (F.col("est_bin").cast("double") / 2).alias("est_edge"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -414,3 +414,18 @@ def test_image_dedup_never_shuffles_blobs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     agg_exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert agg_exchanges and all("image" not in l for l in agg_exchanges)
+
+
+def test_cdc_chunking_shuffle_free(spark):
+    # boundaries, edge deltas, and stats are all array expressions in the
+    # scan stage — content-defined chunking must be a pure map
+    plan = plan_of(spark, "pipeline_cdc_chunking")
+    assert "Exchange" not in plan, plan
+
+
+def test_quantile_hist_window_is_bin_bounded(spark):
+    # the cumulative window runs over the BIN table (bounded by value
+    # range / bin width); the only data-sized shuffle is the bin groupBy
+    plan = plan_of(spark, "sketch_quantile_hist")
+    assert plan.count("Exchange hashpartitioning") == 1  # bin aggregation
+    assert "SortMergeJoin" not in plan
