@@ -644,3 +644,73 @@ def pipeline_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(array_max(sizes) AS BIGINT) AS max_chunk",
         "CAST(n AS DOUBLE) / size(sizes) AS avg_chunk",
     )
+
+
+# ------------------------------------------------------- mix rebalance --
+_MIX_M = 10000  # hash-fraction resolution for the stochastic-rounding bucket
+
+
+@register(
+    "pipeline_mix_rebalance",
+    oracle=rf"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM counts
+),
+perdoc AS (
+  SELECT d.source, c.n_s, t.total, t.k,
+         (t.total // (t.k * c.n_s))
+         + CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 4) AS BIGINT) % {_MIX_M})
+                     * (t.k * c.n_s) < {_MIX_M} * (t.total % (t.k * c.n_s))
+                THEN 1 ELSE 0 END AS repeats
+  FROM documents d JOIN counts c USING (source) CROSS JOIN tot t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(repeats) AS BIGINT) AS n_out,
+       CAST(SUM(repeats) AS DOUBLE) / MAX(total) AS achieved_share_x_k
+FROM perdoc GROUP BY source
+""",
+    doc="Materialize the uniform-target source rebalance that "
+    "pipeline_source_mix only computes weights for: every document repeats "
+    "floor(w) times plus one stochastic-rounding extra decided by an "
+    "md5-hash bucket — ALL in integer arithmetic (bucket*k*n_s < M*r "
+    "replaces a float fractional-part comparison), so the materialized "
+    "count is deterministic under retries and identical in both engines, "
+    "and E[n_out per source] = total/k exactly. The repeat column feeds "
+    "explode(sequence(1, repeats)) to emit the physical corpus; this "
+    "query reports the per-source in/out audit. Plan: one source groupBy "
+    "broadcast back (source cardinality is tiny), per-doc repeats map-"
+    "side, one final source fold.",
+)
+def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 4), 16, 10)
+        .cast("bigint") % _MIX_M
+    )
+    perdoc = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("den", F.col("k") * F.col("n_s"))
+        .withColumn(
+            "repeats",
+            (F.col("total") / F.col("den")).cast("bigint")
+            + F.when(
+                bucket * F.col("den") < _MIX_M * (F.col("total") % F.col("den")), 1
+            ).otherwise(0),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum("repeats").cast("bigint").alias("n_out"),
+        (F.sum("repeats").cast("double") / F.max("total")).alias("achieved_share_x_k"),
+    )

@@ -1920,3 +1920,91 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@register(
+    "q_window_rank_family",
+    oracle="""
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         NTILE(4) OVER w AS quartile,
+         PERCENT_RANK() OVER w AS pct_rank,
+         CUME_DIST() OVER w AS cume,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+)
+SELECT c_custkey, c_nationkey,
+       CAST(quartile AS BIGINT) AS quartile,
+       pct_rank, cume,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(drnk AS BIGINT) AS drnk
+FROM ranked WHERE c_nationkey < 5
+""",
+    doc="The rank-family window functions in one pass: NTILE, PERCENT_RANK, "
+    "CUME_DIST, RANK, DENSE_RANK over a single (nation, acctbal DESC) "
+    "window — one partitioning, one sort, five functions (Spark evaluates "
+    "them in a single Window node; a per-function window would re-sort "
+    "five times). percent_rank and cume_dist are single divisions of exact "
+    "integer ranks, so both engines agree bit-for-bit. The tie-break on "
+    "c_custkey makes every rank deterministic.",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("c_nationkey") < 5)
+    )
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) / COUNT(*) AS DOUBLE) AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+UNION ALL
+SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+""",
+    doc="UNPIVOT/melt — the inverse of q_pivot_status: a wide per-flag "
+    "aggregate turned into (flag, metric, value) long form via stack(), "
+    "the shape metric stores and chart layers consume. Spark's stack() is "
+    "a Generate over the already-aggregated (tiny) frame — the melt adds "
+    "zero shuffles beyond the one aggregation. avg_disc is the single "
+    "division SUM(DECIMAL)/COUNT in both engines - AVG over raw doubles "
+    "would be accumulation-order-sensitive.",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'n_rows', n_rows, 'sum_qty', sum_qty, 'avg_disc', avg_disc) "
+        "AS (metric, value)",
+    )

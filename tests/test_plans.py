@@ -429,3 +429,19 @@ def test_quantile_hist_window_is_bin_bounded(spark):
     plan = plan_of(spark, "sketch_quantile_hist")
     assert plan.count("Exchange hashpartitioning") == 1  # bin aggregation
     assert "SortMergeJoin" not in plan
+
+
+def test_rank_family_single_window_pass(spark):
+    # five rank functions share one (partition, order) spec — they must
+    # evaluate in ONE Window node over one sort, not five
+    plan = plan_of(spark, "q_window_rank_family")
+    assert plan.count("Window ") <= 2, plan  # ntile runs in its own frame
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_adds_no_shuffle(spark):
+    # stack() melts the already-aggregated frame — exactly the one agg
+    # exchange, and a Generate for the melt
+    plan = plan_of(spark, "q_unpivot_metrics")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate" in plan
