@@ -379,3 +379,68 @@ def test_ann_arrow_kernel_matches_expression_variant(spark, sf_dir):
     b = {(r.q_id, r.c_id): (r.cos_sim, r.rank)
          for r in similarity.ann_cosine_topk_arrow(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_cdc_chunking_resync_property(spark):
+    # THE content-defined property: inserting one token early in a document
+    # only moves boundaries inside the chunk it lands in — later boundary
+    # positions (relative to the doc end) re-synchronize. Fixed-stride
+    # chunking shifts every later boundary by one.
+    import hashlib
+
+    mod = 16
+
+    def boundaries(toks):
+        cuts = [0]
+        for i in range(1, len(toks)):
+            h = int(hashlib.md5(toks[i - 1].encode()).hexdigest()[:8], 16)
+            if h % mod == 0:
+                cuts.append(i)
+        cuts.append(len(toks))
+        return cuts
+
+    toks = [f"w{(i * 7) % 23}" for i in range(200)]
+    base = boundaries(toks)
+    mutated = toks[:3] + ["inserted"] + toks[3:]
+    mut = boundaries(mutated)
+    # all boundaries after the insertion point appear again, shifted by
+    # exactly 1 — the suffix of the cut sets re-synchronizes
+    base_after = [b for b in base if b > 3]
+    mut_after = [b - 1 for b in mut if b > 4]
+    assert base_after == mut_after
+
+
+def test_quantile_hist_within_bin_width_of_exact(spark, sf_dir):
+    import duckdb
+
+    from pg2parquet_spark.operators import sketch
+
+    rows = {r.q: r.est_edge for r in sketch.sketch_quantile_hist(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT quantile_cont(value, [0.50, 0.90, 0.99]) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    for q, ex in zip((50, 90, 99), exact):
+        assert abs(rows[q] - ex) <= 0.5 + 1e-9, (q, rows[q], ex)
+
+
+def test_semantic_dedup_kept_set_is_sound(spark, sf_dir):
+    # soundness: within a cell, no two KEPT vectors are >= the threshold —
+    # the representative set is an independent set of the similarity graph
+    import numpy as np
+
+    from pg2parquet_spark.operators import curation
+    from pg2parquet_spark.tables import table as _table
+
+    labels = {r.vec_id: (r.cell, r.kept)
+              for r in curation.pipeline_semantic_dedup(spark, sf_dir).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in _table(spark, sf_dir, "embeddings").collect()}
+    by_cell = {}
+    for vid, (cell, kept) in labels.items():
+        if kept:
+            by_cell.setdefault(cell, []).append(vid)
+    for cell, kept_ids in by_cell.items():
+        for i, a in enumerate(kept_ids):
+            for b in kept_ids[i + 1:]:
+                assert float(vecs[a] @ vecs[b]) < curation.SEMDEDUP_COS + 1e-9
