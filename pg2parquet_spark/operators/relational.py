@@ -2008,3 +2008,121 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'n_rows', n_rows, 'sum_qty', sum_qty, 'avg_disc', avg_disc) "
         "AS (metric, value)",
     )
+
+
+@register(
+    "q_events_resample_ffill",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000 AS avg_v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM span
+),
+j AS (
+  SELECT g.event_type, g.h,
+         COALESCE(hourly.n_events, CAST(0 AS BIGINT)) AS n_events,
+         hourly.avg_v
+  FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type AND g.h = hourly.h
+)
+SELECT event_type, h, n_events,
+       LAST_VALUE(avg_v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_ffill
+FROM j
+""",
+    doc="Time-series resample + gap fill + forward fill — the missing-data "
+    "treatment every metrics pipeline needs: aggregate events to an hourly "
+    "grid per type, materialize EVERY hour in each type's [min,max] span via "
+    "sequence()+explode (gaps appear as rows), zero-fill the counts, and "
+    "forward-fill the hourly mean with last(ignorenulls) over an "
+    "event_type-partitioned window. Scale shape: the grid is generated from "
+    "a k-row span table (k = #types), so its size is span-hours x types — "
+    "bounded by wall-clock time, never by event volume; the ffill window "
+    "partitions on event_type over that bounded grid. The hourly mean uses "
+    "the floor(value*1e6) exact-integer trick so both engines agree "
+    "bit-for-bit regardless of accumulation order.",
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * F.lit(1000000.0))).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("avg_v"),
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        "avg_v",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "h",
+        "n_events",
+        F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_ffill"),
+    )
+
+
+@register(
+    "q_global_rank_histogram",
+    oracle="""
+SELECT doc_id, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS global_rank
+FROM documents
+""",
+    doc="Exact GLOBAL total-order rank WITHOUT a global sort — the "
+    "distributed-ranking pattern a 100 TB curriculum/export ordering needs. "
+    "A naive ROW_NUMBER() OVER (ORDER BY ...) moves the whole corpus to one "
+    "partition; instead: (1) histogram the bounded-cardinality sort key "
+    "(n_chars — distinct values bounded by the max document length, "
+    "independent of corpus size), (2) cumulative offsets over that bounded "
+    "histogram (the only unpartitioned window, data-independent size), "
+    "(3) broadcast the offsets back and add a row_number within each "
+    "n_chars partition (bounded partitions, tie-broken on doc_id). "
+    "rank = offset_below + local_rank reproduces the global ORDER BY "
+    "(n_chars, doc_id) rank exactly; the oracle IS the naive global window.",
+)
+def q_global_rank_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded window: runs over the n_chars histogram (<= max doc length
+    # rows), never over the documents themselves
+    wh = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = hist.select(
+        "n_chars", (F.sum("cnt").over(wh) - F.col("cnt")).alias("offset_below")
+    )
+    wl = W.partitionBy("n_chars").orderBy("doc_id")
+    return (
+        docs.join(F.broadcast(offsets), "n_chars")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("offset_below") + F.row_number().over(wl)).cast("bigint").alias(
+                "global_rank"
+            ),
+        )
+    )

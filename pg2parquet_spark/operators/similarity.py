@@ -277,6 +277,36 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------- k-means ---
+_KM_Q = 1 << 20  # centroid-mean quantization: floor(val·2^20) — see below
+
+
+def _km_mean_sql(alias: str) -> str:
+    """Per-dimension quantized-exact centroid mean as a DuckDB list literal.
+
+    Mirrors the Spark-side update bit-for-bit: floor(val·2^20) summed as
+    BIGINT (exact, order-insensitive), one DOUBLE division by the count,
+    one by the quantum, cast to FLOAT."""
+    cols = ", ".join(
+        f"CAST(CAST(SUM(CAST(FLOOR(CAST({alias}.embedding[{i}] AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS DOUBLE)"
+        f" / COUNT(*) / {_KM_Q} AS FLOAT)"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return "[" + cols + "]"
+
+
+def _km_assign_sql(cent_cte: str) -> str:
+    """Nearest-centroid assignment CTE body: cross join over the k-row
+    centroid table + argmax window, ties broken on cid — the SQL twin of the
+    broadcast-join/row_number step in `kmeans_iterate`."""
+    d = dot_sql("e.embedding", "c.cemb", EMB_DIM, False)
+    return (
+        "SELECT vec_id, cid FROM ("
+        "SELECT e.vec_id, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d} DESC, c.cid) AS rn "
+        f"FROM embeddings e CROSS JOIN {cent_cte} c) WHERE rn = 1"
+    )
+
+
 def kmeans_iterate(
     emb: DataFrame, k: int = _N_CENTROIDS, iterations: int = 2
 ) -> DataFrame:
@@ -315,7 +345,19 @@ def kmeans_iterate(
         means = (
             assign.select("cid", F.posexplode("embedding").alias("dim", "val"))
             .groupBy("cid", "dim")
-            .agg(F.avg("val").alias("m"))
+            # order-insensitive mean: quantize each value to an integer
+            # (floor(val·2^20)), sum exactly in BIGINT, divide once in
+            # DOUBLE — bit-identical across engines and across partition
+            # orders, unlike a float AVG whose accumulation order drifts.
+            # The 1e-6 centroid quantization is far below float32 noise.
+            .agg(
+                (
+                    F.sum(F.floor(F.col("val").cast("double") * F.lit(float(_KM_Q))))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(float(_KM_Q))
+                ).alias("m")
+            )
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -336,12 +378,30 @@ def kmeans_iterate(
 
 @register(
     "ml_kmeans_fixed",
-    oracle=None,  # iterative float means are not SQL-oracle-able; rows-only check
+    # The full 2-iteration Lloyd loop, unrolled into SQL. This is
+    # oracle-able (despite being iterative) because the centroid update was
+    # made order-insensitive: means are computed over floor(val·2^20)
+    # quantized integers (exact BIGINT sums), so partition order cannot
+    # perturb the centroids, and every dot product is the shared
+    # left-assoc DOUBLE fold both engines evaluate bit-identically.
+    oracle=f"""
+WITH cent0 AS ({_centroid_cte()}),
+a1 AS ({_km_assign_sql('cent0')}),
+cent1 AS (
+  SELECT cid, {_km_mean_sql('e')} AS cemb
+  FROM a1 JOIN embeddings e USING (vec_id) GROUP BY cid
+),
+a2 AS ({_km_assign_sql('cent1')}),
+sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM a2 GROUP BY cid)
+SELECT a2.vec_id, a2.cid, s.n_members FROM a2 JOIN sizes s USING (cid)
+""",
     doc=f"Fixed-iteration (2) distributed k-means over the embeddings table, "
     f"k={_N_CENTROIDS}, deterministic seed init. Assignment = broadcast cross "
     "join + argmax (shuffle on vec_id); centroid update = posexplode + "
-    "(cid,dim) mean — k×dim bounded state between iterations, the structure "
-    "that scales to any corpus size.",
+    "(cid,dim) quantized-exact mean — k×dim bounded state between "
+    "iterations, the structure that scales to any corpus size. Now fully "
+    "DuckDB-oracle-gated: the loop unrolls into CTEs and the quantized "
+    "update makes each iteration bit-deterministic.",
 )
 def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
