@@ -714,3 +714,73 @@ def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("repeats").cast("bigint").alias("n_out"),
         (F.sum("repeats").cast("double") / F.max("total")).alias("achieved_share_x_k"),
     )
+
+
+_FUNNEL_STAGES = [
+    ("len_ge_100", "n_chars >= 100"),
+    ("has_space", "text LIKE '% %'"),
+    ("lang_known", "lang IS NOT NULL AND lang <> ''"),
+    ("not_tiny_vocab", "length(text) - length(replace(text, ' ', '')) >= 10"),
+]
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle="""
+WITH flags AS (
+  SELECT
+    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS p1,
+    CASE WHEN n_chars >= 100 AND text LIKE '% %' THEN 1 ELSE 0 END AS p2,
+    CASE WHEN n_chars >= 100 AND text LIKE '% %'
+          AND lang IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END AS p3,
+    CASE WHEN n_chars >= 100 AND text LIKE '% %'
+          AND lang IS NOT NULL AND lang <> ''
+          AND length(text) - length(replace(text, ' ', '')) >= 10 THEN 1 ELSE 0 END AS p4
+  FROM documents
+),
+wide AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(p1) AS BIGINT) AS n1, CAST(SUM(p2) AS BIGINT) AS n2,
+         CAST(SUM(p3) AS BIGINT) AS n3, CAST(SUM(p4) AS BIGINT) AS n4
+  FROM flags
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, surviving FROM (
+  SELECT 0 AS stage_idx, 'input' AS stage, n0 AS surviving FROM wide
+  UNION ALL SELECT 1, 'len_ge_100', n1 FROM wide
+  UNION ALL SELECT 2, 'has_space', n2 FROM wide
+  UNION ALL SELECT 3, 'lang_known', n3 FROM wide
+  UNION ALL SELECT 4, 'not_tiny_vocab', n4 FROM wide
+)
+""",
+    doc="Quality-filter FUNNEL REPORT — the observability every curation "
+    "pipeline needs before committing to a filter chain: how many documents "
+    "survive each successive quality predicate. ONE corpus scan computes "
+    "all cumulative-stage survivor counts as conditional sums (map-side "
+    "combined to a 1-row aggregate — no per-stage re-scan, no shuffle of "
+    "document data), then a stack() melt emits the (stage, surviving) "
+    "long form. Adding a stage at 100 TB costs one more CASE column, not "
+    "one more pass over the corpus.",
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    conds = []
+    acc = None
+    for _, pred in _FUNNEL_STAGES:
+        c = F.expr(pred)
+        acc = c if acc is None else (acc & c)
+        conds.append(acc)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n0")] + [
+        F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(f"n{i + 1}")
+        for i, c in enumerate(conds)
+    ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        ["0L, 'input', n0"]
+        + [
+            f"{i + 1}L, '{name}', n{i + 1}"
+            for i, (name, _) in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return wide.selectExpr(
+        f"stack({len(_FUNNEL_STAGES) + 1}, {stack_args}) AS (stage_idx, stage, surviving)"
+    )

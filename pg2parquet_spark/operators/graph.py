@@ -1,0 +1,116 @@
+"""Graph operators over relational edge lists (beyond-reference surface).
+
+The corpus has a natural bipartite graph — customers and the suppliers whose
+parts they ordered (orders ⋈ lineitem) — and a training-data platform needs
+graph signals over exactly this shape (account↔document, domain↔page, ...).
+
+PageRank here is the canonical EDGE-PARTITIONED iterative algorithm: each
+iteration is (1) a join of the rank vector to the edge list on src — the
+edge list is the big side and src is its shuffle key, the same layout every
+distributed PageRank (Pregel, GraphX, GraphFrames) uses — and (2) a
+groupBy(dst) sum of contributions, map-side combined. State between
+iterations is the rank vector itself (one row per node, fully distributed —
+nothing ever collects to the driver), and the iteration count is fixed and
+unrolled, so the whole computation is one declarative plan Catalyst/AQE can
+re-plan stage by stage.
+
+Determinism (what makes an ITERATIVE float algorithm oracle-able): ranks are
+held in integer units of 2^-30 ("pr_q"); contributions are integer division
+pr_q div outdeg, the damping step is (sum·85) div 100 — exact BIGINT
+arithmetic end to end, so partial-aggregation order cannot perturb a single
+bit and DuckDB reproduces the unrolled loop exactly. The truncation error is
+≤ outdeg·2^-30 per node per iteration — far below any ranking-relevant
+signal. (Dangling mass is zero by construction: edges are symmetrized, so
+every node has out-degree ≥ 1.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg2parquet_spark.registry import register
+from pg2parquet_spark.tables import table
+
+_PR_Q = 1 << 30  # rank unit: pr_q = pr · 2^30
+_PR_BASE = int(0.15 * _PR_Q)  # (1-d) teleport mass, d = 0.85
+_PR_ITER = 2
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration as SQL CTE bodies."""
+    return (
+        f"{out}_s AS (\n"
+        f"  SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS s\n"
+        f"  FROM edges e JOIN {prev} p ON e.src = p.node JOIN deg d ON e.src = d.src\n"
+        f"  GROUP BY e.dst\n"
+        f"),\n"
+        f"{out} AS (SELECT node, CAST({_PR_BASE} + (s * 85) // 100 AS BIGINT) AS pr FROM {out}_s)"
+    )
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT src AS node, CAST({_PR_Q} AS BIGINT) AS pr FROM deg),
+{_pr_iter_sql('pr0', 'pr1')},
+{_pr_iter_sql('pr1', 'pr2')}
+SELECT CAST((node - 1) // 2 AS BIGINT) AS suppkey, pr AS pr_q
+FROM pr2 WHERE node % 2 = 1
+""",
+    doc=f"PageRank ({_PR_ITER} fixed iterations, d=0.85) over the symmetrized "
+    "customer↔supplier purchase graph; returns every supplier's rank in "
+    "integer 2^-30 units. Edge list = distinct (custkey, suppkey) pairs "
+    "from orders⋈lineitem, node ids disambiguated by parity. Each "
+    "iteration: rank⋈edges on src (edge-partitioned shuffle), "
+    "contributions = pr_q div outdeg, groupBy(dst) exact BIGINT sum, "
+    "damping in integer arithmetic — bit-deterministic, so the unrolled "
+    "DuckDB CTE chain is an exact oracle. At 100 TB the edge list would be "
+    "persisted/bucketed on src across iterations; the per-iteration plan "
+    "shape (join on src, reduce on dst) is already the scalable one.",
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    pr = deg.select(
+        F.col("src").alias("node"), F.lit(_PR_Q).cast("bigint").alias("pr")
+    )
+    for _ in range(_PR_ITER):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr, F.col("src") == F.col("node"))
+            .select(F.col("dst"), F.expr("pr div outdeg").alias("contrib"))
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("contrib").cast("bigint").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(_PR_BASE) + F.expr("(s * 85) div 100")).cast("bigint").alias("pr"),
+            )
+        )
+    return pr.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").cast("bigint").alias("suppkey"),
+        F.col("pr").alias("pr_q"),
+    )

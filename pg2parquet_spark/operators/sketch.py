@@ -553,3 +553,105 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_bin").cast("double") / 2).alias("est_edge"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# --------------------------------------------------- KMV (theta-style) -----
+KMV_K = 64
+_KMV_M = 1 << 48  # hash space: first 12 hex chars of md5
+
+
+def _kmv_side_sql(event_type: str) -> str:
+    """k smallest 48-bit md5 hashes of the distinct user set for one event
+    type — the KMV sketch of that set, as SQL."""
+    return (
+        "SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS BIGINT) AS h "
+        f"FROM (SELECT DISTINCT user_id FROM events WHERE event_type = '{event_type}') "
+        f"ORDER BY h LIMIT {KMV_K}"
+    )
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=f"""
+WITH ka AS ({_kmv_side_sql('click')}),
+kb AS ({_kmv_side_sql('purchase')}),
+ku AS (
+  SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+  ORDER BY h LIMIT {KMV_K}
+),
+stats AS (
+  SELECT CAST(MAX(h) AS BIGINT) AS theta,
+         CAST(COUNT(*) AS BIGINT) AS k_eff,
+         CAST(SUM(CASE WHEN h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+  FROM ku
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k, theta, overlap,
+       CASE WHEN k_eff < {KMV_K} THEN k_eff
+            ELSE CAST(FLOOR((k_eff - 1) * CAST({_KMV_M} AS DOUBLE) / theta) AS BIGINT)
+       END AS est_union,
+       CASE WHEN k_eff < {KMV_K} THEN overlap
+            ELSE CAST(FLOOR(FLOOR((k_eff - 1) * CAST({_KMV_M} AS DOUBLE) / theta) * overlap / {KMV_K}) AS BIGINT)
+       END AS est_intersection
+FROM stats
+""",
+    doc="KMV (k-minimum-values / theta-style) sketch SET OPERATIONS — the "
+    "4th cardinality capability next to HLL: estimate |A∪B| and |A∩B| for "
+    "the click-user and purchase-user sets from two k=64 sketches alone. "
+    "Each side keeps only its k smallest 48-bit md5 hashes (Spark: "
+    "per-partition heap via TakeOrderedAndProject — no global sort, sketch "
+    "size independent of data); sketches MERGE by 'union then re-truncate', "
+    "exactly how a 1000-executor rollup would combine per-day sketches. "
+    "theta = k-th smallest of the union; est_union = (k-1)·M/theta; "
+    "est_inter = est_union · overlap/k (the Jaccard correction). All "
+    "arithmetic is integer or single-division DOUBLE with FLOOR, so both "
+    "engines agree bit-for-bit.",
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def side(event_type: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+            .select(h.alias("h"))
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    ka, kb = side("click"), side("purchase")
+    ku = (
+        ka.unionAll(kb)
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    # the three sketches are <= k rows each: broadcast membership joins
+    in_a = ku.join(F.broadcast(ka.withColumnRenamed("h", "ha")), F.col("h") == F.col("ha"), "left_semi")
+    in_both = in_a.join(F.broadcast(kb.withColumnRenamed("h", "hb")), F.col("h") == F.col("hb"), "left_semi")
+    stats = ku.agg(
+        F.max("h").cast("bigint").alias("theta"),
+        F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+    ).crossJoin(in_both.agg(F.count(F.lit(1)).cast("bigint").alias("overlap")))
+    full = F.col("k_eff") >= KMV_K
+    est_full = F.floor(
+        (F.col("k_eff") - 1) * F.lit(float(_KMV_M)) / F.col("theta")
+    ).cast("bigint")
+    # undersized sketch (fewer distinct hashes than k): the sketch IS the
+    # exact set — report exact counts, the standard KMV small-range branch
+    return stats.select(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        "theta",
+        "overlap",
+        F.when(full, est_full).otherwise(F.col("k_eff")).alias("est_union"),
+        F.when(
+            full,
+            F.floor(est_full * F.col("overlap") / F.lit(KMV_K)).cast("bigint"),
+        )
+        .otherwise(F.col("overlap"))
+        .alias("est_intersection"),
+    )

@@ -444,3 +444,124 @@ def test_semantic_dedup_kept_set_is_sound(spark, sf_dir):
         for i, a in enumerate(kept_ids):
             for b in kept_ids[i + 1:]:
                 assert float(vecs[a] @ vecs[b]) < curation.SEMDEDUP_COS + 1e-9
+
+
+def test_resample_grid_is_contiguous_and_ffilled(spark, sf_dir):
+    from pg2parquet_spark.operators import relational
+
+    rows = relational.q_events_resample_ffill(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.h)
+        # every hour between min and max present exactly once
+        hours = [r.h for r in rs]
+        assert len(hours) == len(set(hours))
+        deltas = {(b - a).total_seconds() for a, b in zip(hours, hours[1:])}
+        assert deltas == {3600.0}, f"gap in hourly grid for {et}"
+        # ffill: no NULL means after the first row, zero-count hours exist
+        # at sf0.001 (sparse), and their mean equals the previous hour's
+        assert all(r.avg_value_ffill is not None for r in rs)
+        prev = None
+        for r in rs:
+            if r.n_events == 0 and prev is not None:
+                assert r.avg_value_ffill == prev
+            prev = r.avg_value_ffill
+
+
+def test_global_rank_matches_naive_sort(spark, sf_dir):
+    from pg2parquet_spark.operators import relational
+    from pg2parquet_spark.tables import table as load
+
+    got = {
+        r.doc_id: r.global_rank
+        for r in relational.q_global_rank_histogram(spark, sf_dir).collect()
+    }
+    naive = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .orderBy("n_chars", "doc_id")
+        .collect()
+    ]
+    assert got == {doc: i + 1 for i, doc in enumerate(naive)}
+
+
+def test_kmv_estimates_within_sketch_error(spark, sf_dir):
+    from pg2parquet_spark.operators import sketch as sk
+    from pg2parquet_spark.tables import table as load
+
+    row = sk.sketch_kmv_intersection(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    a = {r.user_id for r in ev.filter("event_type = 'click'").select("user_id").distinct().collect()}
+    b = {r.user_id for r in ev.filter("event_type = 'purchase'").select("user_id").distinct().collect()}
+    true_union, true_inter = len(a | b), len(a & b)
+    # KMV standard error ~ 1/sqrt(k-1) ≈ 13% at k=64; allow 3 sigma
+    assert abs(row.est_union - true_union) <= max(3, 0.4 * true_union)
+    assert abs(row.est_intersection - true_inter) <= max(5, 0.5 * true_inter)
+
+
+def test_pagerank_rank_tracks_degree(spark, sf_dir):
+    """More distinct customers → more incoming contribution mass: the top-
+    degree supplier must outrank the bottom-degree one."""
+    from pg2parquet_spark.operators import graph
+    from pg2parquet_spark.tables import table as load
+
+    pr = {r.suppkey: r.pr_q for r in graph.graph_pagerank_suppliers(spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    deg = {
+        r.l_suppkey: r.d
+        for r in orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    }
+    hi = max(deg, key=lambda k: (deg[k], -k))
+    lo = min(deg, key=lambda k: (deg[k], k))
+    if deg[hi] > deg[lo]:
+        assert pr[hi] > pr[lo]
+    # every rank holds at least the teleport mass
+    assert all(v >= int(0.15 * (1 << 30)) for v in pr.values())
+
+
+def test_filter_funnel_is_monotone(spark, sf_dir):
+    from pg2parquet_spark.operators import curation
+
+    rows = sorted(
+        curation.pipeline_filter_funnel(spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    counts = [r.surviving for r in rows]
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:])), count
+
+def test_kmeans_partition_is_total_and_consistent(spark, sf_dir):
+    """Structural invariants of the fixed-iteration Lloyd output: every
+    vector assigned exactly once, cluster ids come from the deterministic
+    seed set, n_members is consistent with the actual partition, and the
+    run is reproducible (same assignment on a second invocation)."""
+    from pg2parquet_spark.operators import similarity as sim
+    from pg2parquet_spark.tables import table as load
+
+    rows = sim.ml_kmeans_fixed(spark, sf_dir).collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    seeds = {
+        r.vec_id
+        for r in load(spark, sf_dir, "embeddings")
+        .filter(sim.CENTROID_FILTER)
+        .orderBy("vec_id")
+        .limit(sim._N_CENTROIDS)
+        .collect()
+    }
+    assert {r.cid for r in rows} <= seeds
+    import collections
+
+    sizes = collections.Counter(r.cid for r in rows)
+    assert all(r.n_members == sizes[r.cid] for r in rows)
+    again = {(r.vec_id, r.cid) for r in sim.ml_kmeans_fixed(spark, sf_dir).collect()}
+    assert again == {(r.vec_id, r.cid) for r in rows}

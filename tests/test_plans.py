@@ -445,3 +445,43 @@ def test_unpivot_adds_no_shuffle(spark):
     plan = plan_of(spark, "q_unpivot_metrics")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Generate" in plan
+
+
+def test_resample_ffill_scan_pruned_and_window_partitioned(spark):
+    plan = optimized_of(spark, "q_events_resample_ffill")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    # only ts/event_type/value reach the scan — never props/user_id
+    assert "props" not in read and "user_id" not in read
+    # the ffill window is partitioned on event_type (runs over the bounded
+    # grid), never a global single-partition window over raw events
+    assert "windowspecdefinition(event_type" in plan_of(
+        spark, "q_events_resample_ffill"
+    )
+
+
+def test_global_rank_avoids_global_sort(spark):
+    plan = plan_of(spark, "q_global_rank_histogram")
+    # offsets come back via a broadcast join; the per-row window partitions
+    # on n_chars (bounded partitions). The only unpartitioned window runs
+    # over the histogram aggregate, not the documents scan.
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "windowspecdefinition(n_chars" in plan
+
+
+def test_kmv_sketch_uses_topk_not_global_sort(spark):
+    plan = plan_of(spark, "sketch_kmv_intersection")
+    # min-k = per-partition heap + driver merge, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_funnel_single_scan(spark):
+    plan = plan_of(spark, "pipeline_filter_funnel")
+    # all stage counts come from ONE pass over documents
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pagerank_no_nested_loop(spark):
+    plan = plan_of(spark, "graph_pagerank_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
