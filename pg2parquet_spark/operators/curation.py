@@ -784,3 +784,48 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_FUNNEL_STAGES) + 1}, {stack_args}) AS (stage_idx, stage, surviving)"
     )
+
+
+@register(
+    "pipeline_gdpr_cascade",
+    oracle="""
+WITH req AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+aff_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM req)
+)
+SELECT entity, n_affected FROM (
+  SELECT 'customer' AS entity, CAST(COUNT(*) AS BIGINT) AS n_affected FROM req
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM aff_orders
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)
+)
+""",
+    doc="Right-to-erasure CASCADE AUDIT — before a deletion batch runs, "
+    "report exactly how many rows each table loses: deletion-request keys "
+    "→ semi-join orders on custkey → semi-join lineitem on the affected "
+    "orderkeys, counts only (the delete itself is the same plan with an "
+    "anti-join writer). Scale shape: the request set is always small "
+    "relative to the corpus (it broadcasts; AQE confirms at runtime), "
+    "orders is touched once, lineitem once — each semi-join shuffles on "
+    "its own natural key and the counts are map-side combined 1-row "
+    "aggregates.",
+)
+def pipeline_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    req = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    aff_orders = orders.join(
+        F.broadcast(req), orders["o_custkey"] == req["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    aff_li = li.join(
+        aff_orders, li["l_orderkey"] == aff_orders["o_orderkey"], "left_semi"
+    )
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n_affected")
+    ).select(F.lit(name).alias("entity"), "n_affected")
+    return one(req, "customer").unionAll(one(aff_orders, "orders")).unionAll(
+        one(aff_li, "lineitem")
+    )

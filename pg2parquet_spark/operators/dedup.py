@@ -970,3 +970,51 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fraction"),
         )
     )
+
+
+_URL_EXPR = (
+    "'HTTPS://WWW.' || source || '.example.com/' || (doc_id % 50)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || '?utm_source=feed&sid=' || doc_id"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR} AS raw_url FROM documents),
+c AS (
+  SELECT doc_id,
+         TRIM(TRAILING '/' FROM replace(lower(split_part(raw_url, '?', 1)), '://www.', '://')) AS canonical_url
+  FROM u
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS representative
+FROM c GROUP BY canonical_url HAVING COUNT(*) >= 2
+""",
+    doc="URL-canonicalization dedup — the FIRST dedup pass of every web-"
+    "crawl pipeline (WARC/WET processing dedups by normalized URL before "
+    "ever touching content): strip the query string (split_part '?'), "
+    "lowercase, drop the www. prefix, trim the trailing slash, then one "
+    "groupBy(canonical) shuffle. URLs are synthesized deterministically "
+    "from (source, doc_id) — same pattern as the multimodal fake columns — "
+    "so the oracle rebuilds them and the gate checks the whole normalize+"
+    "group path. Pure string expressions, JVM-side, one shuffle; the "
+    "canonical key is near-uniform so no skew handling is needed.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    u = docs.selectExpr("doc_id", f"{_URL_EXPR} AS raw_url")
+    c = u.selectExpr(
+        "doc_id",
+        "TRIM(TRAILING '/' FROM replace(lower(split_part(raw_url, '?', 1)), '://www.', '://')) AS canonical_url",
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("representative"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

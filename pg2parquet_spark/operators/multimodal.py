@@ -420,3 +420,73 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("representative", "n_copies")
     )
+
+
+def phash_real_image(df: DataFrame, binary_col: str = "image") -> DataFrame:
+    """Average-hash (aHash) over DECODED pixels: gray_j = (r+g+b)//3, bit j
+    set iff gray_j >= floor(mean). Integer arithmetic only, so the hash is
+    reproducible arithmetically by the oracle. Arrow-batched mapInPandas —
+    partition-parallel, no shuffle."""
+    out_schema = "doc_id long, width int, height int, phash long"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pg2parquet_spark.pngcodec import decode_png
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "phash": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf[binary_col]):
+                if blob is None:
+                    continue
+                w, h, ch, px = decode_png(bytes(blob))
+                n = w * h
+                gray = [(px[3 * j] + px[3 * j + 1] + px[3 * j + 2]) // 3 for j in range(n)]
+                mn = sum(gray) // n
+                ph = 0
+                for j, gv in enumerate(gray):
+                    if gv >= mn:
+                        ph |= 1 << j
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["phash"].append(ph)
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", binary_col).mapInPandas(compute, out_schema)
+
+
+@register(
+    "multimodal_image_phash",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 6 AS w,
+         2 + (doc_id * 3) % 5 AS h,
+         list_transform(
+           range(0, (2 + doc_id % 6) * (2 + (doc_id * 3) % 5)),
+           j -> ((doc_id * 31 + 3 * j) % 256
+               + (doc_id * 31 + 3 * j + 1) % 256
+               + (doc_id * 31 + 3 * j + 2) % 256) // 3) AS gray
+  FROM documents
+),
+m AS (SELECT doc_id, w, h, gray,
+             list_aggregate(gray, 'sum') // (w * h) AS mn FROM g)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(list_aggregate(
+         list_transform(range(0, w * h),
+           j -> CASE WHEN gray[j + 1] >= mn THEN (CAST(1 AS BIGINT) << j) ELSE 0 END),
+         'sum') AS BIGINT) AS phash
+FROM m
+""",
+    doc="Perceptual IMAGE hash through the REAL codec: deterministic RGB "
+    "pixels → vendored PNG encode → decode → integer aHash (bit j = "
+    "gray_j >= floor(mean)). The oracle recomputes the hash purely "
+    "arithmetically from the pixel formula, so a match proves the decoded "
+    "pixels AND the hash derivation both round-tripped exactly. This is "
+    "the image-dedup building block: at 100 TB the phash column feeds the "
+    "same groupBy/LSH machinery the text dedup family uses (hamming "
+    "neighbors via band-substrings of the hash), with the codec work "
+    "embarrassingly parallel in Arrow batches.",
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return phash_real_image(attach_real_png(docs))

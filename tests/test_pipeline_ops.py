@@ -565,3 +565,55 @@ def test_kmeans_partition_is_total_and_consistent(spark, sf_dir):
     assert all(r.n_members == sizes[r.cid] for r in rows)
     again = {(r.vec_id, r.cid) for r in sim.ml_kmeans_fixed(spark, sf_dir).collect()}
     assert again == {(r.vec_id, r.cid) for r in rows}
+
+
+def test_url_canonical_groups_match_construction(spark, sf_dir):
+    """Canonical groups must be exactly the (source, doc_id % 50) classes
+    with >= 2 members, with min doc_id as representative."""
+    from pg2parquet_spark.operators import dedup as dd
+    from pg2parquet_spark.tables import table as load
+
+    import collections
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    classes = collections.defaultdict(list)
+    for r in docs:
+        classes[(r.source, r.doc_id % 50)].append(r.doc_id)
+    want = {
+        (f"https://{src}.example.com/{res}", len(ids), min(ids))
+        for (src, res), ids in classes.items()
+        if len(ids) >= 2
+    }
+    got = {
+        (r.canonical_url, r.n_docs, r.representative)
+        for r in dd.dedup_url_canonical(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_gdpr_cascade_counts_are_consistent(spark, sf_dir):
+    from pg2parquet_spark.operators import curation
+    from pg2parquet_spark.tables import table as load
+
+    rows = {r.entity: r.n_affected for r in curation.pipeline_gdpr_cascade(spark, sf_dir).collect()}
+    cust = {r.c_custkey for r in load(spark, sf_dir, "customer").collect() if r.c_custkey % 97 == 0}
+    orders = [r for r in load(spark, sf_dir, "orders").collect() if r.o_custkey in cust]
+    okeys = {r.o_orderkey for r in orders}
+    nli = sum(1 for r in load(spark, sf_dir, "lineitem").collect() if r.l_orderkey in okeys)
+    assert rows == {"customer": len(cust), "orders": len(orders), "lineitem": nli}
+
+
+def test_image_phash_matches_pixel_formula(spark, sf_dir):
+    """The decoded-pixel aHash must equal the hash computed straight from
+    the deterministic pixel generator — proving codec round-trip AND hash."""
+    from pg2parquet_spark.operators import multimodal as mm
+
+    got = {r.doc_id: (r.width, r.height, r.phash)
+           for r in mm.multimodal_image_phash(spark, sf_dir).collect()}
+    for d in list(got)[:25]:
+        w, h = 2 + d % 6, 2 + (d * 3) % 5
+        px = [(d * 31 + i) % 256 for i in range(w * h * 3)]
+        gray = [(px[3 * j] + px[3 * j + 1] + px[3 * j + 2]) // 3 for j in range(w * h)]
+        mn = sum(gray) // (w * h)
+        ph = sum(1 << j for j, g in enumerate(gray) if g >= mn)
+        assert got[d] == (w, h, ph)
