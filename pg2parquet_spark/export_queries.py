@@ -252,3 +252,45 @@ FROM region
         F.size(sv["entries"]).cast("int").alias("sv_nnz"),
         F.element_at(sv["entries"], F.lit(3)).alias("sv_v3"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                     THEN CAST(o_totalprice AS DECIMAL(15,2))
+                     ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE) AS sum_price
+FROM orders
+""",
+    doc="Parquet SCHEMA EVOLUTION read — the 100 TB reality that a dataset's "
+    "files were written over months with drifting schemas: an old file "
+    "(orderkey, custkey) and a new file (+ totalprice) land in one "
+    "directory; spark.read.option('mergeSchema', true) unifies them, "
+    "old-file rows surface NULL for the added column, and the aggregate "
+    "proves no row and no value was lost or fabricated. mergeSchema's "
+    "footer-merge cost is per-FILE (driver-side listing), not per-row — "
+    "at scale you pin the merged schema once and drop the option; both "
+    "paths share this read code.",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="pg2parquet_evo_")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old.write.mode("append").parquet(out)
+    new.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("o_totalprice").cast("bigint").alias("n_with_price"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)")).cast("double"),
+            F.lit(0.0),
+        ).alias("sum_price"),
+    )

@@ -2126,3 +2126,41 @@ def q_global_rank_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_events_sliding_windows",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, user_id FROM events WHERE event_type = 'click'
+),
+x AS (
+  SELECT make_timestamp(((us // 300000000) - j) * 300000000) AS win_start, user_id
+  FROM e, (SELECT unnest(range(0, 3)) AS j)
+)
+SELECT win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY win_start
+""",
+    doc="SLIDING event-time windows (15 min window, 5 min slide) — the "
+    "overlapping-window aggregation Spark's window() generator implements "
+    "natively: each event lands in exactly window/slide = 3 windows, "
+    "count + distinct users per window. The oracle derives the same 3 "
+    "epoch-aligned window starts arithmetically (us div 300e6 minus "
+    "0,1,2), so the gate pins Spark's window-assignment semantics, not "
+    "just the counts. One shuffle on win_start; the 3x fan-out happens "
+    "map-side in the Expand/Generate stage, exactly how it distributes.",
+)
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    win = ev.select(
+        F.window("ts", "15 minutes", "5 minutes").alias("w"), "user_id"
+    )
+    return (
+        win.groupBy(F.col("w.start").alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )

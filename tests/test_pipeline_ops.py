@@ -617,3 +617,26 @@ def test_image_phash_matches_pixel_formula(spark, sf_dir):
         mn = sum(gray) // (w * h)
         ph = sum(1 << j for j, g in enumerate(gray) if g >= mn)
         assert got[d] == (w, h, ph)
+
+
+def test_sliding_windows_triple_count_events(spark, sf_dir):
+    """15-min window / 5-min slide ⇒ every event is counted in exactly 3
+    windows: total windowed events == 3 × click events."""
+    from pg2parquet_spark.operators import relational
+    from pg2parquet_spark.tables import table as load
+
+    rows = relational.q_events_sliding_windows(spark, sf_dir).collect()
+    n_clicks = load(spark, sf_dir, "events").filter("event_type = 'click'").count()
+    assert sum(r.n_events for r in rows) == 3 * n_clicks
+    # window starts are 5-minute aligned
+    assert all(r.win_start.minute % 5 == 0 and r.win_start.second == 0 for r in rows)
+
+
+def test_schema_evolution_preserves_all_rows(spark, sf_dir):
+    from pg2parquet_spark import export_queries as eq
+    from pg2parquet_spark.tables import table as load
+
+    row = eq.source_schema_evolution(spark, sf_dir).collect()[0]
+    orders = load(spark, sf_dir, "orders")
+    assert row.n_rows == orders.count()
+    assert row.n_with_price == orders.filter("o_orderkey % 2 = 1").count()
