@@ -639,44 +639,91 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2parquet_spark.operators.similarity import bucket_sql_offset, dot_col
 
     emb = table(spark, sf_dir, "embeddings")
+    # candidate generation over NARROW rows: (vec_id, bucket keys) only.
+    # Carrying the 64-float embedding through the bucket joins would ship
+    # every candidate row with two ~512 B vectors (measured: 2.6 M candidate
+    # rows at sf0.1 → >1 GB of shuffled vector payload, and each table-probe
+    # collision re-scored the same pair). Instead: ids through the joins,
+    # distinct the pair set FIRST, then attach embeddings once and score
+    # each surviving pair exactly once. Measured 9.2 s → see bench/README.
     bk = emb.select(
         "vec_id",
-        "embedding",
         *[
             F.expr(bucket_sql_offset("embedding", EMB_DIM, True, off)).alias(f"k{t}")
             for t, off in enumerate(_EMB_LSH_OFFSETS)
         ],
     )
-    dot = dot_col("a_emb", "b_emb")
     per_table = []
     for t in range(len(_EMB_LSH_OFFSETS)):
         k = F.col(f"k{t}")
         probes = F.array(
             *[k if m == 0 else k.bitwiseXOR(F.lit(m)) for m in _EMB_PROBE_MASKS]
         )
-        a = bk.select(
-            F.col("vec_id").alias("a_id"),
-            F.col("embedding").alias("a_emb"),
-            F.explode(probes).alias("ka"),
-        )
-        b = bk.select(
-            F.col("vec_id").alias("b_id"),
-            F.col("embedding").alias("b_emb"),
-            k.alias("kb"),
-        )
+        a = bk.select(F.col("vec_id").alias("a_id"), F.explode(probes).alias("ka"))
+        b = bk.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
         per_table.append(
             # equi-join on the (probed) bucket key; a_id < b_id is a cheap
             # post-join residual, NOT the join condition — keeps this a
             # hash/merge join
             a.join(b, (F.col("ka") == F.col("kb")) & (F.col("a_id") < F.col("b_id")))
-            .select("a_id", "b_id", dot.alias("cos_sim"))
+            .select("a_id", "b_id")
         )
-    allp = per_table[0]
+    cand = per_table[0]
     for p in per_table[1:]:
-        allp = allp.unionAll(p)
-    # a pair colliding in several tables yields bit-identical rows (same
-    # fixed-order dot) → distinct collapses them, both engines alike
-    return allp.filter(F.col("cos_sim") >= _EMB_COS_THRESHOLD).distinct()
+        cand = cand.unionAll(p)
+    # collapse multi-table/multi-probe collisions while rows are 2 ints wide
+    cand = cand.distinct()
+    # the candidate rows are 2 ints wide, so AQE's size-based coalescing
+    # collapses the distinct output to ONE partition (1.3M rows ≈ 21 MB <
+    # advisory size) — and then the whole exact re-score runs on one core
+    # (measured: 6 s → 50-98 s depending on the coalesce decision). Pin the
+    # parallelism with an explicit repartition of the NARROW rows; row-count
+    # per partition, not byte size, is the right dial for a compute-bound
+    # scoring stage.
+    from pg2parquet_spark.session import default_cpus
+
+    cand = cand.repartition(default_cpus())
+    e_a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    e_b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    paired = cand.join(e_a, "a_id").join(e_b, "b_id")
+
+    # exact re-score in an Arrow numpy kernel (same dimension-fold trick as
+    # ann_cosine_topk_arrow: acc += A[:,d]·B[:,d] keeps every pair's sum in
+    # the oracle's left-assoc IEEE order while vectorizing over rows).
+    # The zip_with/aggregate expression is interpreted per element — at
+    # ~1.3M candidate pairs × 64 dims that was the entire query cost.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    threshold = _EMB_COS_THRESHOLD
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["a_emb"]), dtype=np.float64)
+            B = np.array(list(pdf["b_emb"]), dtype=np.float64)
+            acc = np.zeros(A.shape[0])
+            for d in range(A.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            out = pd.DataFrame(
+                {
+                    "a_id": pdf["a_id"].to_numpy(dtype=np.int64),
+                    "b_id": pdf["b_id"].to_numpy(dtype=np.int64),
+                    "cos_sim": acc,
+                }
+            )
+            yield out[out.cos_sim >= threshold]
+
+    return paired.mapInPandas(score, schema)
 
 
 # ------------------------------------------- end-to-end curation pipeline --
