@@ -2164,3 +2164,175 @@ def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_gaps_islands",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dd
+  FROM events
+),
+tagged AS (
+  SELECT user_id, dd,
+         dd - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dd) AS grp
+  FROM daily
+)
+SELECT user_id,
+       CAST(MIN(dd) AS BIGINT) AS start_dd,
+       CAST(COUNT(*) AS BIGINT) AS island_len
+FROM tagged GROUP BY user_id, grp
+HAVING COUNT(*) >= 3
+""",
+    doc="GAPS-AND-ISLANDS — maximal runs of consecutive active days per "
+    "user, the classic streak/outage/coverage shape: distinct (user, day) "
+    "→ the day-minus-row_number constant-per-run trick → groupBy (user, "
+    "grp), keep streaks >= 3 days. Days are integers (datediff from a "
+    "fixed epoch) so both engines agree exactly. One shuffle on user_id "
+    "that the window AND the island groupBy both reuse; partitions are "
+    "per-user day counts — bounded by wall-clock days, never event volume.",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("dd"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("dd")
+    tagged = daily.withColumn("grp", F.col("dd") - F.row_number().over(w))
+    return (
+        tagged.groupBy("user_id", "grp")
+        .agg(
+            F.min("dd").cast("bigint").alias("start_dd"),
+            F.count(F.lit(1)).cast("bigint").alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 3)
+        .select("user_id", "start_dd", "island_len")
+    )
+
+
+@register(
+    "q_scd2_dim_join",
+    oracle="""
+WITH dim AS (
+  SELECT n_nationkey, v,
+         CAST(v * 800 + (n_nationkey * 37) % 400 AS BIGINT) AS valid_from_dd
+  FROM nation, (SELECT unnest(range(0, 3)) AS v)
+),
+o AS (
+  SELECT o_orderkey, c_nationkey,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS dd
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+pick AS (
+  SELECT o_orderkey, c_nationkey, v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY valid_from_dd DESC, v DESC) AS rn
+  FROM o JOIN dim ON c_nationkey = n_nationkey AND valid_from_dd <= dd
+)
+SELECT c_nationkey AS nationkey, CAST(v AS BIGINT) AS dim_version,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pick WHERE rn = 1
+GROUP BY c_nationkey, v
+""",
+    doc="SCD2 (slowly-changing-dimension) AS-OF JOIN — each order joins the "
+    "dimension VERSION that was valid on its order date: a 3-version "
+    "nation dimension (valid_from synthesized deterministically), "
+    "orders×customer resolve the nation, then join versions with "
+    "valid_from <= order_date and keep the latest via a row_number argmax "
+    "per order. Scale shape: the versioned dimension is dimension-sized "
+    "(broadcasts; version count is a small constant), the fact side "
+    "shuffles once on the join key, and the argmax window partitions on "
+    "o_orderkey — ≤3 rows per partition by construction. Date arithmetic "
+    "in integer days from a fixed epoch keeps both engines exact.",
+)
+def q_scd2_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    dim = nation.select(
+        "n_nationkey", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v")
+    ).select(
+        "n_nationkey",
+        "v",
+        (F.col("v") * 800 + (F.col("n_nationkey") * 37) % 400)
+        .cast("bigint")
+        .alias("valid_from_dd"),
+    )
+    o = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey",
+        "c_nationkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("dd"),
+    )
+    pick = (
+        o.join(
+            F.broadcast(dim),
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("valid_from_dd") <= F.col("dd")),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_orderkey").orderBy(
+                    F.col("valid_from_dd").desc(), F.col("v").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        pick.groupBy("c_nationkey", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("v").cast("bigint").alias("dim_version"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "q_running_distinct",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id,
+         MIN(datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))) AS dd
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT dd, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY dd
+)
+SELECT CAST(dd AS BIGINT) AS dd, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY dd
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
+FROM per_day
+""",
+    doc="Cumulative DISTINCT users to date — the growth-curve metric naive "
+    "SQL writes as COUNT(DISTINCT) OVER (ORDER BY day), which re-scans "
+    "every prefix (quadratic) and single-partitions the corpus. The "
+    "scalable identity: distinct-to-date(d) = users whose FIRST day <= d. "
+    "One groupBy(user) for first-seen, one bounded groupBy(day), then a "
+    "running sum over the DAY table — the only unpartitioned window runs "
+    "over rows bounded by wall-clock days, never by event volume.",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("dd"),
+    ).groupBy("user_id").agg(F.min("dd").alias("dd"))
+    per_day = first_seen.groupBy("dd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    # bounded window: runs over the per-day table (wall-clock rows)
+    w = W.orderBy("dd").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        F.col("dd").cast("bigint").alias("dd"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
+    )

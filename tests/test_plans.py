@@ -485,3 +485,28 @@ def test_pagerank_no_nested_loop(spark):
     plan = plan_of(spark, "graph_pagerank_suppliers")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gaps_islands_single_user_partitioning(spark):
+    plan = plan_of(spark, "q_gaps_islands")
+    assert "windowspecdefinition(user_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_dim_broadcasts_with_hash_join(spark):
+    plan = plan_of(spark, "q_scd2_dim_join")
+    # versioned dim joins as an equi-hash-join on nationkey with the
+    # valid_from <= dd predicate as residual — never a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_kernel_parallelism_pinned(spark):
+    """The exact re-score runs in an Arrow kernel over candidate pairs whose
+    rows are 2 ints wide — AQE's size-based coalescing would collapse them
+    to one partition and single-thread the compute-bound stage. The explicit
+    repartition must survive in the plan."""
+    plan = plan_of(spark, "dedup_embedding_cosine_lsh")
+    assert "MapInPandas" in plan
+    assert "RoundRobinPartitioning" in plan
