@@ -399,3 +399,47 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_enrich_{next(_counter)}"
     _run_to_memory(agg, name)
     return spark.table(name)
+
+
+@register(
+    "stream_sliding_windows",
+    oracle="""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, user_id FROM events WHERE event_type = 'click'
+),
+x AS (
+  SELECT make_timestamp(((us // 300000000) - j) * 300000000) AS win_start, user_id
+  FROM e, (SELECT unnest(range(0, 3)) AS j)
+)
+SELECT win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_uid
+FROM x GROUP BY win_start
+""",
+    doc="Streaming SLIDING windows (15 min / 5 min slide) with watermark — "
+    "the overlapping-window twin of batch q_events_sliding_windows, run "
+    "through a real writeStream to completion: every event feeds exactly 3 "
+    "window states, state is bounded by the watermark horizon × 3 "
+    "overlapping windows, and streaming == batch is the oracle contract "
+    "(the oracle derives window assignment arithmetically). sum(user_id) "
+    "is the exact-integer per-window checksum (distinct aggregates are "
+    "unsupported in streaming aggregation; the batch twin carries the "
+    "distinct-user count).",
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").alias("sum_uid"),
+        )
+    )
+    name = f"stream_sliding_{next(_counter)}"
+    _run_to_memory(agg, name)
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_uid").cast("bigint").alias("sum_uid"),
+    )
