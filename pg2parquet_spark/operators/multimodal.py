@@ -32,6 +32,19 @@ HEADER_FMT = ">II"  # big-endian width, height
 HEADER_LEN = struct.calcsize(HEADER_FMT)
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread the single-file fixture scan across all cores before codec
+    work: the documents table is one small parquet file -> 1-2 input
+    splits, and mapInPandas inherits that, single-threading the whole
+    (CPU-bound) codec stage. One cheap row shuffle fixes it; at 100 TB the
+    source is already thousands of splits and this repartition is the
+    no-op guard rail, not a cost. Mirrors dedup.augmented_documents
+    widen=True."""
+    from pg2parquet_spark.session import default_cpus
+
+    return df.repartition(default_cpus())
+
+
 def attach_fake_image(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize an opaque binary payload: 8-byte header + utf8 body.
 
@@ -191,7 +204,7 @@ FROM documents
 )
 def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return decode_real_image(attach_real_png(docs))
+    return decode_real_image(attach_real_png(_widen(docs)))
 
 
 @register(
@@ -209,7 +222,7 @@ FROM documents
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    with_img = attach_fake_image(docs)
+    with_img = attach_fake_image(_widen(docs))
     return decode_image_meta(with_img)
 
 
@@ -238,7 +251,7 @@ FROM documents,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    with_video = attach_fake_video(docs)
+    with_video = attach_fake_video(_widen(docs))
     out_schema = "doc_id long, frame_idx int, n_frames int"
     stride = 4
 
@@ -283,7 +296,7 @@ FROM documents
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    with_img = attach_fake_image(docs)
+    with_img = attach_fake_image(_widen(docs))
     out_schema = "doc_id long, width int, height int, new_width int, new_height int, out_bytes long"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -341,7 +354,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = table(spark, sf_dir, "documents")
-    with_audio = attach_fake_audio(docs)
+    with_audio = attach_fake_audio(_widen(docs))
     out_schema = "doc_id long, sample_rate int, n_samples long, duration_ms long, energy_sum long"
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -410,7 +423,7 @@ FROM documents GROUP BY doc_id % {_IMG_DEDUP_SEEDS}
 )
 def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    with_img = attach_seeded_png(docs)
+    with_img = attach_seeded_png(_widen(docs))
     return (
         with_img.select("doc_id", F.md5("image").alias("h"))
         .groupBy("h")
@@ -489,4 +502,4 @@ FROM m
 )
 def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return phash_real_image(attach_real_png(docs))
+    return phash_real_image(attach_real_png(_widen(docs)))
