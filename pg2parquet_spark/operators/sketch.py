@@ -75,7 +75,11 @@ FROM est LEFT JOIN truth USING (token)
     "backfill-friendly summary for 100 TB token streams.",
 )
 def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    from pg2parquet_spark.session import default_cpus
+
+    # widen: the corpus is one single-row-group file → a 1-task scan would
+    # single-thread the tokenize+hash stage (cf. multimodal._widen)
+    docs = table(spark, sf_dir, "documents").repartition(default_cpus())
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     )
@@ -84,12 +88,25 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         hex8 = F.substring(F.md5(F.concat(F.lit(f"{d}|"), F.col(col))), 1, 8)
         return (F.conv(hex8, 16, 10).cast("bigint") % WIDTH).cast("int")
 
-    cells = None
-    for d in range(DEPTH):
-        part = toks.groupBy(bucket("tok", d).alias("bucket")).agg(
-            F.count(F.lit(1)).alias("c")
-        ).select(F.lit(d).alias("depth"), "bucket", "c")
-        cells = part if cells is None else cells.unionAll(part)
+    # ONE tokenize pass: each token emits its DEPTH (depth, bucket) cells
+    # map-side, then a single (depth, bucket) shuffle builds the whole
+    # sketch. The previous per-depth groupBy union re-ran the tokenize
+    # subtree DEPTH times (4 extra corpus scans at 100 TB).
+    pairs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"), bucket("tok", d).alias("bucket")
+                    )
+                    for d in range(DEPTH)
+                ]
+            )
+        ).alias("p")
+    )
+    cells = pairs.groupBy(
+        F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
 
     probes = spark.createDataFrame([(t,) for t in PROBE_TOKENS], "token string")
     probe_cells = None

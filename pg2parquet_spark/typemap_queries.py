@@ -289,7 +289,12 @@ FROM src
     "(pg_custom_types.rs:100-161 equivalent, pure Column expressions).",
 )
 def tm_range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    from pg2parquet_spark.session import default_cpus
+
+    # single-row-group fixture file → 1-task scan; the per-row grammar
+    # parse is CPU-bound, so spread it (no-op at real scale, where the
+    # source is many splits)
+    li = table(spark, sf_dir, "lineitem").repartition(default_cpus())
     lo = (F.col("l_orderkey") % 1000).cast("bigint")
     hi = (F.col("l_orderkey") % 1000 + F.col("l_linenumber")).cast("bigint")
     kind = F.col("l_linenumber") % 4
@@ -369,7 +374,9 @@ FROM lineitem
     "postgres_cloner.rs:843-893); CSV-joined for cross-engine value equality.",
 )
 def tm_array_flatten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    from pg2parquet_spark.session import default_cpus
+
+    li = table(spark, sf_dir, "lineitem").repartition(default_cpus())
     arr = F.when(
         F.col("l_linenumber") % 7 != 0,
         F.array(
