@@ -510,3 +510,51 @@ def test_embedding_lsh_kernel_parallelism_pinned(spark):
     plan = plan_of(spark, "dedup_embedding_cosine_lsh")
     assert "MapInPandas" in plan
     assert "RoundRobinPartitioning" in plan
+
+
+# Queries where a nested-loop join is CORRECT because one side is bounded by
+# construction (a scalar aggregate row, a k-row centroid/query table, the
+# bin table of a sketch) or quadratic BY CONTRACT (the exact all-pairs
+# baseline, the tiny-input cross-join demo). Everything else in the registry
+# must plan equi-joins only.
+_BNLJ_WHITELIST = {
+    "ann_cosine_topk",            # bounded query set crossJoin (broadcast)
+    "ann_ivf_probe",              # k-row centroid table crossJoin
+    "dedup_embedding_cosine_exact",  # quadratic by documented contract
+    "ml_kmeans_fixed",            # k-row centroid table per iteration
+    "pipeline_mix_rebalance",     # single-row corpus-total crossJoin
+    "q11_important_stock",        # scalar subquery threshold (TPC-H shape)
+    "q22_dormant_customers",      # scalar subquery threshold (TPC-H shape)
+    "q_cross_join",               # the cross-join demo itself
+    "sketch_kmv_intersection",    # 1-row aggregate crossJoin
+    "sketch_quantile_hist",       # 3 targets x bounded bin table
+    "text_bm25_topk",             # single-row corpus stats crossJoin
+    "text_tfidf_topk",            # single-row corpus stats crossJoin
+}
+
+
+def test_registry_wide_plan_discipline(spark):
+    """Mechanical sweep over EVERY registered query: no cartesian products,
+    no nested-loop joins outside the bounded-side whitelist, and no
+    row-at-a-time Python (BatchEvalPython) anywhere — the only Python
+    execution allowed is Arrow-batched (MapInPandas / ArrowEvalPython).
+    A new operator that accidentally plans a scale-killer fails here even
+    while its values stay correct."""
+    reg = load_all()
+    offenders = {}
+    stale_whitelist = set(_BNLJ_WHITELIST)
+    for name, spec in reg.items():
+        plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        tags = []
+        if "BatchEvalPython" in plan:
+            tags.append("row-at-a-time-python")
+        nested = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        if nested and name not in _BNLJ_WHITELIST:
+            tags.append("unexpected-nested-loop")
+        if nested:
+            stale_whitelist.discard(name)
+        if tags:
+            offenders[name] = tags
+    assert not offenders, offenders
+    # the whitelist must stay accurate: every entry still plans a BNLJ
+    assert not stale_whitelist, f"whitelist entries no longer needed: {stale_whitelist}"
