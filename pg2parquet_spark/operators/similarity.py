@@ -554,3 +554,83 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------ power-iteration top component --
+_PI_EQ = 1 << 16   # embedding quantization: q = floor(val * 2^16)
+_PI_VS = 1 << 8    # eigenvector scale after each rescale step
+_PI_DIMS = EMB_DIM
+
+# Overflow budget (the reason for these scales): |q| <= 2^16, |v| <= 2^8 →
+# |s| <= 64·2^24 = 2^30 per row, |t| <= n·2^16·2^30 — safe in BIGINT up to
+# n ≈ 2^16 rows. A 100 TB deployment raises the accumulator to DECIMAL(38)
+# or per-partition rescale; the plan shape (two keyed shuffles per
+# iteration) is already the scalable one.
+
+
+def _pi_iter_sql(vprev: str, out: str) -> str:
+    """One power iteration (s = A v; t = Aᵀ s; rescale) as SQL CTEs."""
+    return (
+        f"{out}_s AS (SELECT vec_id, SUM(q * v) AS s FROM eq JOIN {vprev} USING (dim) GROUP BY vec_id),\n"
+        f"{out}_t AS (SELECT dim, SUM(q * s) AS t FROM eq JOIN {out}_s USING (vec_id) GROUP BY dim),\n"
+        f"{out}_m AS (SELECT MAX(ABS(t)) AS m FROM {out}_t),\n"
+        f"{out} AS (SELECT dim, CAST(t // GREATEST(m // {_PI_VS}, 1) AS BIGINT) AS v FROM {out}_t, {out}_m)"
+    )
+
+
+@register(
+    "ml_power_iteration_pc1",
+    oracle=f"""
+WITH eq AS (
+  SELECT vec_id, dim,
+         CAST(FLOOR(CAST(embedding[dim + 1] AS DOUBLE) * {_PI_EQ}) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(0, {_PI_DIMS})) AS dim)
+),
+v0 AS (SELECT unnest(range(0, {_PI_DIMS})) AS dim, CAST(1 AS BIGINT) AS v),
+{_pi_iter_sql('v0', 'v1')},
+{_pi_iter_sql('v1', 'v2')}
+SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_q FROM v2
+""",
+    doc="Distributed LINEAR ALGEBRA as DataFrame ops: the corpus's top "
+    "principal direction via 2 unrolled power iterations over the n×64 "
+    "embedding matrix — s = Av (shuffle on vec_id), t = Aᵀs (shuffle on "
+    "dim), then an integer rescale by the max component. All state is "
+    "integer (embeddings quantized to 2^-16, the vector renormalized to "
+    "2^8 units each round), so every sum is exact BIGINT and the unrolled "
+    "DuckDB CTE chain is a bit-exact oracle — same recipe as k-means and "
+    "PageRank. The matrix stays in long (vec_id, dim, q) form: both "
+    "matvecs are keyed joins + grouped sums, the shape that scales to any "
+    "row count; per-iteration driver state is zero (the 64-row vector "
+    "lives in the plan).",
+)
+def ml_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    eq = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * F.lit(float(_PI_EQ))).alias("q"),
+    )
+    v = spark.range(_PI_DIMS).select(
+        F.col("id").cast("int").alias("dim"), F.lit(1).cast("bigint").alias("v")
+    )
+    for _ in range(2):
+        s = (
+            eq.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("s"))
+        )
+        t = (
+            eq.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("q") * F.col("s")).alias("t"))
+        )
+        m = t.agg(F.max(F.abs(F.col("t"))).alias("m"))
+        v = t.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.expr(f"CAST(t div GREATEST(m div {_PI_VS}, 1) AS BIGINT)").alias("v"),
+        )
+    return v.select(
+        F.col("dim").cast("bigint").alias("dim"), F.col("v").cast("bigint").alias("v_q")
+    )

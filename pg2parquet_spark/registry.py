@@ -100,6 +100,7 @@ def load_all() -> dict[str, QuerySpec]:
         asof,
         curation,
         dedup,
+        features,
         graph,
         sketch,
         skew,

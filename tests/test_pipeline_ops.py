@@ -640,3 +640,61 @@ def test_schema_evolution_preserves_all_rows(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     assert row.n_rows == orders.count()
     assert row.n_with_price == orders.filter("o_orderkey % 2 = 1").count()
+
+
+def test_user_event_features_match_python(spark, sf_dir):
+    from pg2parquet_spark.operators import features as ft
+    from pg2parquet_spark.tables import table as load
+
+    got = {r.user_id: (r.n_events, r.min_gap_us, r.max_gap_us, r.mean_gap_us)
+           for r in ft.ml_user_event_features(spark, sf_dir).collect()}
+    rows = load(spark, sf_dir, "events").select("user_id", "event_id", "ts").collect()
+    import collections
+    seq = collections.defaultdict(list)
+    for r in rows:
+        us = int(r.ts.timestamp() * 1_000_000) if hasattr(r.ts, "timestamp") else int(r.ts)
+        seq[r.user_id].append((us, r.event_id))
+    for uid, evs in seq.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if not gaps:
+            assert uid not in got
+            continue
+        assert got[uid] == (len(evs), min(gaps), max(gaps), sum(gaps) // len(gaps)), uid
+
+
+def test_power_iteration_matches_numpy_integer_replica(spark, sf_dir):
+    """Replicate the exact integer algorithm in numpy — the Spark plan must
+    reproduce it bit-for-bit, and the direction must correlate with the true
+    top eigenvector of the Gram matrix."""
+    import numpy as np
+
+    from pg2parquet_spark.operators import similarity as sim
+    from pg2parquet_spark.tables import table as load
+
+    got = {r.dim: r.v_q for r in sim.ml_power_iteration_pc1(spark, sf_dir).collect()}
+    A = np.array(
+        [list(r.embedding) for r in load(spark, sf_dir, "embeddings").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    Q = np.floor(A * sim._PI_EQ).astype(np.int64)
+    v = np.ones(Q.shape[1], dtype=np.int64)
+    for _ in range(2):
+        s = Q @ v
+        t = Q.T @ s
+        m = np.abs(t).max()
+        d = max(m // sim._PI_VS, 1)
+        # engines truncate integer division toward zero; numpy // floors
+        v = np.sign(t) * (np.abs(t) // d)
+    assert got == {d: int(v[d]) for d in range(len(v))}
+    # power iteration monotonically improves the Rayleigh quotient on a PSD
+    # Gram matrix; with a near-isotropic random corpus the top eigenvector
+    # is weakly separated (2 iterations ≠ convergence), so monotone
+    # improvement over the start vector is the honest invariant.
+    G = A.T @ A
+
+    def rayleigh(x):
+        x = x.astype(np.float64)
+        return (x @ G @ x) / (x @ x)
+
+    assert rayleigh(v) > rayleigh(np.ones(G.shape[0]))

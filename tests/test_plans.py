@@ -522,6 +522,7 @@ _BNLJ_WHITELIST = {
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
     "ml_kmeans_fixed",            # k-row centroid table per iteration
+    "ml_power_iteration_pc1",     # 1-row max-norm crossJoin per iteration
     "pipeline_mix_rebalance",     # single-row corpus-total crossJoin
     "q11_important_stock",        # scalar subquery threshold (TPC-H shape)
     "q22_dormant_customers",      # scalar subquery threshold (TPC-H shape)
