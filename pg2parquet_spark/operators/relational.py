@@ -2336,3 +2336,81 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_distinct_users"),
     )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0),
+b AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 1)
+SELECT 'inter_all' AS tag, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM ((SELECT * FROM a) INTERSECT ALL (SELECT * FROM b)) GROUP BY l_suppkey
+UNION ALL
+SELECT 'except_all', l_suppkey, CAST(COUNT(*) AS BIGINT)
+FROM ((SELECT * FROM a) EXCEPT ALL (SELECT * FROM b)) GROUP BY l_suppkey
+""",
+    doc="MULTISET set operations — INTERSECT ALL / EXCEPT ALL keep "
+    "per-element multiplicities (min / truncated difference of counts), "
+    "the semantics the DISTINCT forms in q_set_ops erase. Spark plans "
+    "intersectAll/exceptAll as a count-pairing aggregate + generate — one "
+    "shuffle on the value, no join of the raw multisets. Grouped to "
+    "(key, count) on both engines so the gate compares multiplicities "
+    "directly.",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0).select("l_suppkey")
+    b = li.filter(F.col("l_orderkey") % 2 == 1).select("l_suppkey")
+
+    def counted(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).select(F.lit(tag).alias("tag"), "l_suppkey", "n")
+
+    return counted(a.intersectAll(b), "inter_all").unionAll(
+        counted(a.exceptAll(b), "except_all")
+    )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 50 END AS k
+  FROM customer
+),
+b AS (
+  SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_suppkey % 50 END AS k
+  FROM supplier
+)
+SELECT a.k AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""",
+    doc="NULL-SAFE equality join (Spark <=> / SQL IS NOT DISTINCT FROM): "
+    "NULL keys match each other instead of vanishing — the semantics "
+    "needed when joining on nullable dimensions (unknown-source buckets, "
+    "optional attributes). Still a hash join: the null-safe operator is a "
+    "valid equi-join key for Spark's hash partitioning, so the plan is "
+    "SortMergeJoin/ShuffledHashJoin on the key, never a nested loop. The "
+    "NULL bucket is also the natural skew point at scale — exactly what "
+    "AQE skew-join or operators/skew.py salting handles.",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    a = cust.select(
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_custkey") % 50)
+        .alias("k")
+    )
+    b = supp.select(
+        F.when(F.col("s_suppkey") % 7 == 0, None)
+        .otherwise(F.col("s_suppkey") % 50)
+        .alias("ka")
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("ka")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
