@@ -2242,7 +2242,10 @@ GROUP BY c_nationkey, v
     "nation dimension (valid_from synthesized deterministically), "
     "orders×customer resolve the nation, then join versions with "
     "valid_from <= order_date and keep the latest via a row_number argmax "
-    "per order. Scale shape: the versioned dimension is dimension-sized "
+    "per order. Facts dated before their dimension's first version have no "
+    "valid row and are dropped (inner-join semantics — the standard SCD2 "
+    "contract; a LEFT variant would surface them as NULL-version rows). "
+    "Scale shape: the versioned dimension is dimension-sized "
     "(broadcasts; version count is a small constant), the fact side "
     "shuffles once on the join key, and the argmax window partitions on "
     "o_orderkey — ≤3 rows per partition by construction. Date arithmetic "
