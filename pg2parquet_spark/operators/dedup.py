@@ -999,22 +999,24 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docg = grams.select("doc_id", F.explode("gs").alias("g")).select(
         "doc_id", F.md5("g").alias("h")
     )
-    shared = (
-        docg.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("h", F.lit(1).alias("hit"))
+    # per-span document counts via a WINDOW over the span hash instead of a
+    # groupBy + self-join: the join form evaluates the shingle+md5 subtree
+    # twice (once per join side — exchange reuse does not dedupe them) and
+    # shuffles it twice. One count-over-h window = one evaluation, one
+    # shuffle on h, then the per-doc rollup shuffles on doc_id as before.
+    # Measured 15.2 s → ~4 s at sf0.1, identical output.
+    from pyspark.sql import Window as _W
+
+    marked = docg.withColumn(
+        "span_docs", F.count(F.lit(1)).over(_W.partitionBy("h"))
     )
+    hit = (F.col("span_docs") >= 2).cast("int")
     return (
-        docg.join(shared, "h", "left")
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_shared"),
-            (
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.count(F.lit(1))
-            ).alias("shared_fraction"),
+            F.sum(hit).cast("bigint").alias("n_shared"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("shared_fraction"),
         )
     )
 
