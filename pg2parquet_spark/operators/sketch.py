@@ -620,9 +620,11 @@ FROM stats
     "size independent of data); sketches MERGE by 'union then re-truncate', "
     "exactly how a 1000-executor rollup would combine per-day sketches. "
     "theta = k-th smallest of the union; est_union = (k-1)·M/theta; "
-    "est_inter = est_union · overlap/k (the Jaccard correction). All "
-    "arithmetic is integer or single-division DOUBLE with FLOOR, so both "
-    "engines agree bit-for-bit.",
+    "est_inter = est_union · overlap/k (the Jaccard correction); when the "
+    "union holds fewer than k distinct hashes the sketch IS the exact set "
+    "and exact counts are reported (the standard KMV small-range branch). "
+    "All arithmetic is integer or single-division DOUBLE with FLOOR, so "
+    "both engines agree bit-for-bit.",
 )
 def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
