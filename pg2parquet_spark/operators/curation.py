@@ -829,3 +829,54 @@ def pipeline_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one(req, "customer").unionAll(one(aff_orders, "orders")).unionAll(
         one(aff_li, "lineitem")
     )
+
+
+_WS_M = 1 << 20  # weighted-sampling hash space
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         LEAST(CAST({_WS_M} AS BIGINT), n_chars * {_WS_M} // 400) AS w_m,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 5) AS BIGINT) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(CASE WHEN bucket < w_m THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(w_m) AS BIGINT) AS weight_mass
+FROM w GROUP BY source
+""",
+    doc="QUALITY-WEIGHTED sampling — the data-selection primitive behind "
+    "quality-pruned pretraining mixes (keep each document with probability "
+    "proportional to its quality weight): weight w∈[0,1] (here "
+    "min(1, n_chars/400)) is mapped to an integer threshold w·2^20, and a "
+    "document survives iff its deterministic md5 bucket falls below it. "
+    "Pure map + one bounded groupBy(source) — no RNG, so the sample is "
+    "reproducible across runs/retries/engines (the property that matters "
+    "when a 100 TB job restarts mid-way), and weight_mass/2^20 is the "
+    "expected kept-count the actual n_kept can be audited against.",
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w_m = F.least(
+        F.lit(_WS_M).cast("bigint"),
+        F.expr(f"n_chars * {_WS_M} div 400"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws"))), 1, 5),
+        16,
+        10,
+    ).cast("bigint")
+    w = docs.select(
+        "source", w_m.alias("w_m"), bucket.alias("bucket")
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum(F.when(F.col("bucket") < F.col("w_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum("w_m").cast("bigint").alias("weight_mass"),
+    )

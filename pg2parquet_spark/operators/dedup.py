@@ -1067,3 +1067,89 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_EVAL_EST_MIN = 4  # predicted-positive: >= 4 of 8 matching lanes (est >= 0.5)
+
+
+def _eval_match_sum(pa: str, pb: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {pa}.h{k} = {pb}.h{k} THEN 1 ELSE 0 END" for k in range(_K)
+    )
+
+
+@register(
+    "pipeline_near_dup_eval",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingled_f),
+exactp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+    FROM (SELECT doc_id, unnest(sh) AS s FROM shingled_f) a
+    JOIN (SELECT doc_id, unnest(sh) AS s FROM shingled_f) b
+      ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
+),
+{_sig_sql()},
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS bh FROM sigs" for b in range(_BANDS))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+estp AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+  WHERE {_eval_match_sum('sa', 'sb')} >= {_EVAL_EST_MIN}
+),
+ev AS (
+  SELECT CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+         CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_pred
+  FROM exactp e FULL JOIN estp p ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+)
+SELECT CAST(SUM(is_true * is_pred) AS BIGINT) AS tp,
+       CAST(SUM((1 - is_true) * is_pred) AS BIGINT) AS fp,
+       CAST(SUM(is_true * (1 - is_pred)) AS BIGINT) AS fn,
+       CAST(SUM(is_true * is_pred) AS DOUBLE) / SUM(is_pred) AS precision_,
+       CAST(SUM(is_true * is_pred) AS DOUBLE) / SUM(is_true) AS recall_
+FROM ev
+""",
+    doc="The sketch measures ITSELF as a query: confusion counts of the "
+    "MinHash-LSH near-dup detector (predicted positive = >=4/8 matching "
+    "lanes, est_jaccard >= 0.5) against exact shingle Jaccard >= 0.6 from "
+    "the inverted index — TP/FP/FN plus precision/recall (each one exact "
+    "integer division). This is the quality-monitoring job a production "
+    "dedup pipeline runs on a sampled corpus slice before trusting the "
+    "sketch at full scale; both arms reuse the registered operators' "
+    "plans (stop-filtered shingles feed both), composed with one full "
+    "outer join on the pair key and a 1-row aggregate.",
+)
+def pipeline_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    est = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("matching_hashes") >= _EVAL_EST_MIN
+    ).select("doc_a", "doc_b")
+    e = exact.withColumn("is_true", F.lit(1))
+    p = est.withColumn("is_pred", F.lit(1))
+    ev = e.join(p, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        F.coalesce("is_pred", F.lit(0)).alias("is_pred"),
+    )
+    return ev.agg(
+        F.sum(F.col("is_true") * F.col("is_pred")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("is_true")) * F.col("is_pred")).cast("bigint").alias("fp"),
+        F.sum(F.col("is_true") * (1 - F.col("is_pred"))).cast("bigint").alias("fn"),
+        (
+            F.sum(F.col("is_true") * F.col("is_pred")).cast("double")
+            / F.sum("is_pred")
+        ).alias("precision_"),
+        (
+            F.sum(F.col("is_true") * F.col("is_pred")).cast("double")
+            / F.sum("is_true")
+        ).alias("recall_"),
+    )
