@@ -698,3 +698,33 @@ def test_power_iteration_matches_numpy_integer_replica(spark, sf_dir):
         return (x @ G @ x) / (x @ x)
 
     assert rayleigh(v) > rayleigh(np.ones(G.shape[0]))
+
+
+def test_weighted_sample_tracks_weight_mass(spark, sf_dir):
+    from pg2parquet_spark.operators import curation
+
+    rows = curation.pipeline_weighted_sample(spark, sf_dir).collect()
+    M = 1 << 20
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_in
+        expected = r.weight_mass / M
+        # deterministic hash sampling: kept count within ~4 sigma of the
+        # weight mass it implements (binomial-ish noise on small groups)
+        import math
+
+        sigma = math.sqrt(max(expected, 1.0))
+        assert abs(r.n_kept - expected) <= max(6.0, 4 * sigma), (r.source, r.n_kept, expected)
+
+
+def test_near_dup_eval_counts_are_consistent(spark, sf_dir):
+    from pg2parquet_spark.operators import dedup as dd
+
+    r = dd.pipeline_near_dup_eval(spark, sf_dir).collect()[0]
+    n_exact = dd.dedup_ngram_jaccard(spark, sf_dir).count()
+    n_pred = dd.dedup_minhash_lsh(spark, sf_dir).filter("matching_hashes >= 4").count()
+    assert r.tp + r.fn == n_exact
+    assert r.tp + r.fp == n_pred
+    assert 0 <= r.precision_ <= 1 and 0 <= r.recall_ <= 1
+    # the planted exact copies have identical signatures → they must all be
+    # found: recall floor well above chance
+    assert r.recall_ >= 0.9
