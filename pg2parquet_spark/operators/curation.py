@@ -880,3 +880,51 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
         F.sum("w_m").cast("bigint").alias("weight_mass"),
     )
+
+
+@register(
+    "pipeline_mix_temperature",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1024) AS BIGINT) AS w_q
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w FROM w)
+SELECT source, n_docs, w_q,
+       CAST(w_q * 1048576 // sum_w AS BIGINT) AS share_ppm
+FROM w, tot
+""",
+    doc="TEMPERATURE-SCALED source mixing (α=0.5) — the standard "
+    "low-resource upweighting for multi-source/multilingual pretraining "
+    "mixes: sampling weight ∝ n^α flattens the source distribution "
+    "(α=1 is proportional, α=0 uniform). Determinism without float "
+    "accumulation: sqrt of an exact integer is CORRECTLY-ROUNDED IEEE in "
+    "both engines, quantized once to 2^-10, then the normalized share is "
+    "pure integer division against the exact integer weight sum. Shape: "
+    "one bounded groupBy(source) + a 1-row total — the per-document "
+    "sampling this feeds is `pipeline_weighted_sample` with these shares "
+    "as weights.",
+)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1024)
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    tot = w.agg(F.sum("w_q").cast("bigint").alias("sum_w"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_q",
+        F.expr("CAST(w_q * 1048576 div sum_w AS BIGINT)").alias("share_ppm"),
+    )

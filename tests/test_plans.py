@@ -524,6 +524,7 @@ _BNLJ_WHITELIST = {
     "ml_kmeans_fixed",            # k-row centroid table per iteration
     "ml_power_iteration_pc1",     # 1-row max-norm crossJoin per iteration
     "pipeline_mix_rebalance",     # single-row corpus-total crossJoin
+    "pipeline_mix_temperature",   # single-row weight-sum crossJoin
     "q11_important_stock",        # scalar subquery threshold (TPC-H shape)
     "q22_dormant_customers",      # scalar subquery threshold (TPC-H shape)
     "q_cross_join",               # the cross-join demo itself
