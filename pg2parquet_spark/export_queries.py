@@ -254,6 +254,9 @@ FROM region
     )
 
 
+_EVO_MEMO: dict[str, str] = {}
+
+
 @register(
     "source_schema_evolution",
     oracle="""
@@ -275,17 +278,22 @@ FROM orders
     "paths share this read code.",
 )
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="pg2parquet_evo_")
-    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_custkey"
-    )
-    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    old.write.mode("append").parquet(out)
-    new.write.mode("append").parquet(out)
-    back = spark.read.option("mergeSchema", "true").parquet(out)
+    # the evolved two-schema directory is written ONCE per sf_dir (memoized
+    # like _STOP_MEMO) — selfcheck/scaleprobe/plan-sweep re-invocations read
+    # the cached directory instead of leaking a fresh mkdtemp each call
+    if sf_dir not in _EVO_MEMO:
+        orders = table(spark, sf_dir, "orders")
+        out = tempfile.mkdtemp(prefix="pg2parquet_evo_")
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey"
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        old.write.mode("append").parquet(out)
+        new.write.mode("append").parquet(out)
+        _EVO_MEMO[sf_dir] = out
+    back = spark.read.option("mergeSchema", "true").parquet(_EVO_MEMO[sf_dir])
     return back.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.count("o_totalprice").cast("bigint").alias("n_with_price"),

@@ -724,34 +724,45 @@ _FUNNEL_STAGES = [
 ]
 
 
-@register(
-    "pipeline_filter_funnel",
-    oracle="""
+def _funnel_oracle() -> str:
+    """Generate the funnel oracle FROM ``_FUNNEL_STAGES`` (r4 ADVICE): the
+    Spark side already derives its predicates from the stage list, so the
+    oracle must too — otherwise editing the list drifts the two silently
+    until the gate fails. The stage predicates are engine-portable SQL."""
+    n = len(_FUNNEL_STAGES)
+    acc: list[str] = []
+    flags = []
+    for i, (_name, pred) in enumerate(_FUNNEL_STAGES, start=1):
+        acc.append(f"({pred})")
+        flags.append(f"CASE WHEN {' AND '.join(acc)} THEN 1 ELSE 0 END AS p{i}")
+    wide = ", ".join(
+        ["CAST(COUNT(*) AS BIGINT) AS n0"]
+        + [f"CAST(SUM(p{i}) AS BIGINT) AS n{i}" for i in range(1, n + 1)]
+    )
+    unions = "\n  ".join(
+        ["SELECT 0 AS stage_idx, 'input' AS stage, n0 AS surviving FROM wide"]
+        + [
+            f"UNION ALL SELECT {i}, '{name}', n{i} FROM wide"
+            for i, (name, _pred) in enumerate(_FUNNEL_STAGES, start=1)
+        ]
+    )
+    return f"""
 WITH flags AS (
-  SELECT
-    CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS p1,
-    CASE WHEN n_chars >= 100 AND text LIKE '% %' THEN 1 ELSE 0 END AS p2,
-    CASE WHEN n_chars >= 100 AND text LIKE '% %'
-          AND lang IS NOT NULL AND lang <> '' THEN 1 ELSE 0 END AS p3,
-    CASE WHEN n_chars >= 100 AND text LIKE '% %'
-          AND lang IS NOT NULL AND lang <> ''
-          AND length(text) - length(replace(text, ' ', '')) >= 10 THEN 1 ELSE 0 END AS p4
+  SELECT {", ".join(flags)}
   FROM documents
 ),
 wide AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
-         CAST(SUM(p1) AS BIGINT) AS n1, CAST(SUM(p2) AS BIGINT) AS n2,
-         CAST(SUM(p3) AS BIGINT) AS n3, CAST(SUM(p4) AS BIGINT) AS n4
-  FROM flags
+  SELECT {wide} FROM flags
 )
 SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, surviving FROM (
-  SELECT 0 AS stage_idx, 'input' AS stage, n0 AS surviving FROM wide
-  UNION ALL SELECT 1, 'len_ge_100', n1 FROM wide
-  UNION ALL SELECT 2, 'has_space', n2 FROM wide
-  UNION ALL SELECT 3, 'lang_known', n3 FROM wide
-  UNION ALL SELECT 4, 'not_tiny_vocab', n4 FROM wide
+  {unions}
 )
-""",
+"""
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=_funnel_oracle(),
     doc="Quality-filter FUNNEL REPORT — the observability every curation "
     "pipeline needs before committing to a filter chain: how many documents "
     "survive each successive quality predicate. ONE corpus scan computes "

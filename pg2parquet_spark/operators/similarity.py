@@ -565,7 +565,10 @@ _PI_DIMS = EMB_DIM
 # |s| <= 64·2^24 = 2^30 per row, |t| <= n·2^16·2^30 — safe in BIGINT up to
 # n ≈ 2^16 rows. A 100 TB deployment raises the accumulator to DECIMAL(38)
 # or per-partition rescale; the plan shape (two keyed shuffles per
-# iteration) is already the scalable one.
+# iteration) is already the scalable one. The bound is ENFORCED at runtime
+# (guard in ml_power_iteration_pc1), not just documented: past it the
+# BIGINT sum would wrap silently while the HUGEINT oracle would not.
+_PI_MAX_ROWS = 1 << 16
 
 
 def _pi_iter_sql(vprev: str, out: str) -> str:
@@ -612,8 +615,18 @@ def ml_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.floor(F.col("val").cast("double") * F.lit(float(_PI_EQ))).alias("q"),
     )
-    v = spark.range(_PI_DIMS).select(
-        F.col("id").cast("int").alias("dim"), F.lit(1).cast("bigint").alias("v")
+    # runtime overflow guard (r4 ADVICE): the guard rides inside v0's
+    # projection — it cannot be pruned because v feeds the first matvec —
+    # and stays fully lazy, costing one column-pruned COUNT of embeddings.
+    # n_emb is a column, so neither branch constant-folds away.
+    nrows = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    v = spark.range(_PI_DIMS).crossJoin(F.broadcast(nrows)).selectExpr(
+        "CAST(id AS INT) AS dim",
+        f"IF(n_emb <= {_PI_MAX_ROWS}, CAST(1 AS BIGINT), "
+        f"CAST(raise_error(CONCAT('ml_power_iteration_pc1: ', n_emb, "
+        f"' embedding rows exceed the exact-BIGINT budget ({_PI_MAX_ROWS}); "
+        f"use a DECIMAL(38) accumulator variant for larger corpora')) "
+        f"AS BIGINT)) AS v",
     )
     for _ in range(2):
         s = (

@@ -167,7 +167,9 @@ def test_embedding_lsh_recall(spark, sf_dir):
     assert set(got) <= set(exact)  # exact re-score → no false positives
     assert all(exact[p] == got[p] for p in got)  # bit-identical scores
     recall = len(got) / len(exact)
-    assert recall >= 0.70, f"LSH recall collapsed: {recall:.2f}"
+    # measured 0.86-0.88 on the fixture corpus (r4); the floor leaves head
+    # room for plane-hash jitter but fails on any real recall regression
+    assert recall >= 0.80, f"LSH recall collapsed: measured {recall:.3f} < 0.80 floor"
 
 
 def test_hll_linear_counting_branch(spark, tmp_path):
@@ -536,7 +538,8 @@ def test_filter_funnel_is_monotone(spark, sf_dir):
     )
     counts = [r.surviving for r in rows]
     assert counts[0] > 0
-    assert all(a >= b for a, b in zip(counts, counts[1:])), count
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+
 
 def test_kmeans_partition_is_total_and_consistent(spark, sf_dir):
     """Structural invariants of the fixed-iteration Lloyd output: every
