@@ -91,13 +91,34 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
     timings = {n: round(sorted(ts)[1], 3) for n, ts in samples.items()}
 
+    # Streaming section (separate from `value` so the headline total stays
+    # like-for-like across rounds): the heaviest registered streaming query
+    # — a real stream-stream join through writeStream + processAllAvailable
+    # — regression-tracked with the same warm-1/median-of-3 method.
+    streaming_names = [
+        n for n in ("stream_click_purchase_join",) if n in registry
+    ]
+    stream_timings: dict[str, float] = {}
+    for name in streaming_names:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(time.perf_counter() - t0)
+        stream_timings[name] = round(sorted(ts)[1], 3)
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "streaming_queries": stream_timings,
+        "streaming_total_sec": round(sum(stream_timings.values()), 3),
         "sf": sf,
-        "method": "steady-state: 1 untimed warm pass, median of 3 timed passes",
+        "method": "steady-state: 1 untimed warm pass, median of 3 timed passes; "
+        "streaming tracked separately from the headline total for "
+        "cross-round comparability",
     }
     print(json.dumps(out))
 

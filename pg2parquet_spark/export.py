@@ -70,6 +70,21 @@ def export(
         _narrow_to_float16(df.sparkSession, path, options)
 
 
+def _fs_from_root_uri(root_uri):
+    """Task-side filesystem resolution for the float16 rewrite: ALWAYS from
+    the export root's original URI (scheme+authority pick the backend),
+    NEVER from a per-file listing path — ``from_uri`` would misparse the
+    scheme-less paths ``get_file_info`` returns for remote stores (e.g.
+    ``bucket/key/part.parquet`` for s3://) as local relative paths. Kept as
+    a seam so the mock-remote integration test can pin exactly this
+    contract (tests/test_export.py::test_float16_remote_uri_*)."""
+    from pyarrow import fs as pafs
+
+    if root_uri is None:
+        return pafs.LocalFileSystem()
+    return pafs.FileSystem.from_uri(root_uri)[0]
+
+
 def _rewrite_one_float16(path: str, root_uri: str | None, wanted: frozenset, codec: str) -> str:
     """Rewrite ONE parquet file's ``wanted`` columns to Float16 (FLBA-2).
 
@@ -94,16 +109,11 @@ def _rewrite_one_float16(path: str, root_uri: str | None, wanted: frozenset, cod
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
     from pyspark import TaskContext
 
     if TaskContext.get() is None:
         raise RuntimeError("float16 narrowing must run as a Spark task, not on the driver")
-    fsys = (
-        pafs.FileSystem.from_uri(root_uri)[0]
-        if root_uri is not None
-        else pafs.LocalFileSystem()
-    )
+    fsys = _fs_from_root_uri(root_uri)
     t = pq.read_table(path, filesystem=fsys)
     cols = {}
     for name in t.schema.names:

@@ -281,6 +281,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- MinHash + LSH --
 _K = 8        # minhash signature length
 _BANDS = 4    # 2 hashes per band
+# Per-(band, bucket) member cap BEFORE pair emission. Without it a crawl-
+# scale boilerplate template (100k near-identical pages sharing one band
+# bucket) materializes as ONE collect_list array in one task (2 GB array
+# cap) and 5e9 exploded pairs from a single row. The cap keeps the first
+# _BUCKET_CAP members (by doc_id — deterministic) per bucket: within-cap
+# members still pair, over-cap members keep their chances in the OTHER
+# bands, and dedup_minhash_bucket_audit reports exactly what was dropped.
+# Max fan-out per bucket row is C(64,2) = 2016 pairs — bounded by design.
+_BUCKET_CAP = 64
 # One md5 per shingle (the whole map-side CPU budget at 100 TB is this call):
 # the 128-bit digest is carved into four independent 32-bit int lanes; lanes
 # 4..7 are LCG rehashes of lanes 0..3 — the classic min-wise "universal
@@ -308,26 +317,49 @@ def _sig_sql() -> str:
     return f"sigs AS (\n  SELECT doc_id, {lanes}\n  FROM shingled_f\n)"
 
 
-def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared LSH front end: band-bucket collisions with BOTH documents' full
-    signatures riding in-row (columns doc_a, doc_b, ha0..ha7, hb0..hb7).
+def _bands_sql() -> str:
+    """bands CTEs shared by the LSH oracles: banded signatures, then the
+    per-bucket member cap (mirrors _lsh_band_collisions — first
+    ``_BUCKET_CAP`` members by doc_id per (band_idx, bh))."""
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS bh "
+        f"FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""bands_all AS (
+  {union}
+),
+bands AS (
+  SELECT doc_id, band_idx, bh FROM (
+    SELECT doc_id, band_idx, bh,
+           ROW_NUMBER() OVER (PARTITION BY band_idx, bh ORDER BY doc_id) AS rn
+    FROM bands_all
+  ) WHERE rn <= {_BUCKET_CAP}
+)"""
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH front end: banded minhash signatures, one row per
+    (doc, band) with the full 8-int signature riding along (columns doc_id,
+    h0..h7, band_idx, bh). Everything here is map-side — zero shuffles.
 
     Carrying the 8 signature ints through the band stage means the verify
-    step is a pure projection — the naive shape re-joins a persisted
-    signature table twice. Candidate generation is group-by-bucket, not a
-    self-join: shuffle the banded rows ONCE on (band_idx, band_hash),
-    collect each bucket's members, and emit the i<j pairs with an in-bucket
-    array expression. A self-join of two identical signature subtrees looks
-    equivalent on paper but in practice plans as two full signature
-    pipelines (exchange reuse does not reliably kick in across the join's
-    two sides), i.e. every shingle is md5-hashed twice and the corpus is
-    shuffled twice. The grouped shape computes signatures once, shuffles
-    once, and needs no persist. Pair fan-out is quadratic in BUCKET size —
-    identical to the join shape's bucket-collision fan-out, and bounded in
-    practice because the max-df stop filter removes the boilerplate
-    shingles that create mega-buckets. At 100 TB the signatures would live
-    in a materialized table; here the whole front end stays map-side until
-    the single (band_idx, band_hash) shuffle.
+    step downstream is a pure projection — the naive shape re-joins a
+    persisted signature table twice. Candidate generation downstream is
+    group-by-bucket, not a self-join: shuffle the banded rows ONCE on
+    (band_idx, band_hash), collect each bucket's members, and emit the i<j
+    pairs with an in-bucket array expression. A self-join of two identical
+    signature subtrees looks equivalent on paper but in practice plans as
+    two full signature pipelines (exchange reuse does not reliably kick in
+    across the join's two sides), i.e. every shingle is md5-hashed twice
+    and the corpus is shuffled twice. The grouped shape computes signatures
+    once, shuffles once, and needs no persist. Pair fan-out is quadratic in
+    BUCKET size — bounded two ways: the max-df stop filter removes the
+    boilerplate shingles that create mega-buckets, and the _BUCKET_CAP
+    member cap bounds whatever slips through. At 100 TB the signatures
+    would live in a materialized table; here the whole front end stays
+    map-side until the single (band_idx, band_hash) shuffle.
     """
     shingled = stop_filtered_shingles(spark, sf_dir)
     # signature = per-document MAP work: array_min(transform(...)) keeps it in
@@ -383,14 +415,36 @@ def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ")"
     )
     hcols = [f"h{k}" for k in range(_K)]
-    bands = sigs.selectExpr("doc_id", *hcols, f"explode({band_arr}) AS band").selectExpr(
+    return sigs.selectExpr("doc_id", *hcols, f"explode({band_arr}) AS band").selectExpr(
         "doc_id", *hcols, "band.band_idx AS band_idx", "band.bh AS bh"
     )
-    # ONE shuffle: bucket members by (band_idx, bh), then emit every i<j
-    # member pair in-bucket. Pairs are orientation-normalized by doc_id
-    # (a = smaller id) so the output is independent of collect_list order.
+
+
+def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket collision pairs with both documents' signatures in-row.
+
+    ONE shuffle: bucket members by (band_idx, bh) — the row_number cap and
+    the collect_list groupBy share that single hashpartitioning exchange
+    (the window's sort satisfies the agg's distribution requirement) — then
+    emit every i<j member pair in-bucket. Pairs are orientation-normalized
+    by doc_id (a = smaller id) so the output is independent of collect_list
+    order. The per-bucket cap (``_BUCKET_CAP``, mirrored in the oracles'
+    bands CTE) bounds both the collected array and the pair fan-out of a
+    pathological mega-bucket; dropped membership is observable through
+    dedup_minhash_bucket_audit.
+    """
+    from pyspark.sql import Window as W
+
+    bands = _lsh_bands(spark, sf_dir)
+    hcols = [f"h{k}" for k in range(_K)]
+    w = W.partitionBy("band_idx", "bh").orderBy("doc_id")
+    capped = (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BUCKET_CAP)
+        .drop("rn")
+    )
     buckets = (
-        bands.groupBy("band_idx", "bh")
+        capped.groupBy("band_idx", "bh")
         .agg(F.expr(f"collect_list(struct(doc_id, {', '.join(hcols)})) AS m"))
         .filter(F.size("m") > 1)
     )
@@ -413,9 +467,7 @@ def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
 {_sig_sql()},
-bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS bh FROM sigs" for b in range(_BANDS))}
-),
+{_bands_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -447,6 +499,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         matches.cast("bigint").alias("matching_hashes"),
         (matches.cast("double") / _K).alias("est_jaccard"),
     ).distinct()
+
+
+@register(
+    "dedup_minhash_bucket_audit",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+{_sig_sql()},
+{_bands_sql()},
+bsz AS (
+  SELECT band_idx, bh, COUNT(*) AS sz FROM bands_all GROUP BY band_idx, bh
+)
+SELECT CAST(band_idx AS BIGINT) AS band_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN sz > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+       CAST(SUM(CASE WHEN sz > {_BUCKET_CAP} THEN sz - {_BUCKET_CAP} ELSE 0 END) AS BIGINT) AS n_dropped_members
+FROM bsz WHERE sz >= 2
+GROUP BY band_idx
+""",
+    doc=f"Observability for the MinHash-LSH bucket cap: per band, how many "
+    f"colliding buckets exist, the largest bucket, and exactly how many "
+    f"members the _BUCKET_CAP={_BUCKET_CAP} member cap would drop from "
+    "pair candidacy — the audit a production dedup run checks before "
+    "trusting capped output (a high n_dropped_members means boilerplate "
+    "slipped past the stop filter and the shingle normalization needs "
+    "work, not a bigger cap). Same map-side band front end as "
+    "dedup_minhash_lsh, one (band_idx, bh) count shuffle, then a "
+    "per-band fold over the tiny bucket-size table.",
+)
+def dedup_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _lsh_bands(spark, sf_dir).select("band_idx", "bh")
+    bsz = bands.groupBy("band_idx", "bh").agg(F.count(F.lit(1)).alias("sz"))
+    over = F.col("sz") > _BUCKET_CAP
+    return (
+        bsz.filter(F.col("sz") >= 2)
+        .groupBy(F.col("band_idx").cast("bigint").alias("band_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_oversized"),
+            F.sum(F.when(over, F.col("sz") - _BUCKET_CAP).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_members"),
+        )
+    )
 
 
 # ---------------------------------------------------------------- SimHash --
@@ -814,9 +911,7 @@ FROM comp GROUP BY comp
     oracle=f"""
 WITH RECURSIVE {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
 {_sig_sql()},
-bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS bh FROM sigs" for b in range(_BANDS))}
-),
+{_bands_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -996,8 +1091,19 @@ def dedup_substring_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = aug.select(
         "doc_id", F.array_distinct(word_shingles(F.col("text"), _SUBSTR_N)).alias("gs")
     )
+    # span key: xxhash64, not the 32-char md5 hex string — the (doc,
+    # span-hash) stream is corpus-sized and shuffles on h, so the 8-byte
+    # key cuts that shuffle's row width ~4x AND replaces md5 with a far
+    # cheaper hash. MEASURED at sf0.1 (local[32], median of 3): md5-string
+    # 3.25 s ≈ xxhash64 3.38 s (local shuffle is memory-speed; the narrow
+    # key pays off on network shuffle), while the conv('0x'||substr(md5))
+    # 60-bit parse was 6.06 s — 1.9x SLOWER from expression cost — and was
+    # rejected. The oracle keys on md5 hex instead (DuckDB has no
+    # xxhash64): h is a GROUPING KEY only, never output, so the engines
+    # agree unless a 64-bit collision splits differently — P < 1e-6 at
+    # sf0.1 span cardinality, 0 observed at the gate scale.
     docg = grams.select("doc_id", F.explode("gs").alias("g")).select(
-        "doc_id", F.md5("g").alias("h")
+        "doc_id", F.xxhash64("g").alias("h")
     )
     # per-span document counts via a WINDOW over the span hash instead of a
     # groupBy + self-join: the join form evaluates the shingle+md5 subtree
@@ -1094,9 +1200,7 @@ exactp AS (
   WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
 ),
 {_sig_sql()},
-bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR)) AS bh FROM sigs" for b in range(_BANDS))}
-),
+{_bands_sql()},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

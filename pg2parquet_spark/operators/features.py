@@ -1,34 +1,37 @@
-"""Grouped feature extraction via ``groupBy().applyInPandas`` — the third
-pandas execution surface next to mapInPandas (multimodal codecs, ANN/LSH
-kernels) and applyInPandasWithState (streaming session state).
+"""Per-user behavioral features — production window-expression plan plus a
+``groupBy().applyInPandas`` surface demo.
 
-The operator shape: one shuffle co-locates each user's events, then an
-Arrow-batched pandas function computes per-group sequence features that are
-awkward as window expressions but one line each in pandas (sorted
-inter-arrival deltas, their order statistics). This is exactly how a
-training-data pipeline lifts per-entity behavioral features at 100 TB: the
-group key is the shuffle key, groups are independent, and the pandas
-function sees one group at a time (so its memory is bounded by the largest
-group, which per-user event streams keep small; a pathological hot key
-would go through the skew utilities in operators/skew.py first).
+``ml_user_event_features`` (the registered production operator) computes
+count/min/max/floor-mean of LAG inter-arrival gaps entirely with built-in
+window + aggregate expressions: whole-stage-codegen'd JVM execution, ONE
+shuffle on user_id (the window's hashpartitioning satisfies the groupBy's
+distribution requirement), no Python workers, no Arrow transfer, no group
+materialization. This is the right 100 TB shape — the r4 review measured the
+pandas form at 7.3x wall-time growth for 10x data, the worst non-contract
+ratio in the repo, all of it pandas overhead the JVM never needed to pay.
+
+``ml_user_event_features_pandas`` keeps the third pandas execution surface
+(next to mapInPandas — multimodal codecs, ANN/LSH kernels — and
+applyInPandasWithState — streaming session state) exercised under the same
+oracle: one shuffle co-locates each user's events, then an Arrow-batched
+pandas function computes the identical features. Use that shape when the
+per-group logic genuinely exceeds window expressions (order statistics over
+deltas, model scoring); for these features it is strictly dominated.
 
 Determinism: all features are integer microseconds (epoch diffs) or single
-integer divisions — no float accumulation, so the DuckDB oracle (lag-based
-SQL) matches bit-for-bit.
+integer floor-divisions — no float accumulation, so the DuckDB oracle
+(lag-based SQL) matches bit-for-bit for both variants.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pg2parquet_spark.registry import register
 from pg2parquet_spark.tables import table
 
-
-@register(
-    "ml_user_event_features",
-    oracle="""
+_FEATURES_ORACLE = """
 WITH seq AS (
   SELECT user_id, epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -46,22 +49,62 @@ FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) s
 JOIN (SELECT user_id, MIN(gap) AS min_gap, MAX(gap) AS max_gap,
              SUM(gap) AS sum_gap, COUNT(*) AS n_gaps
       FROM gaps GROUP BY user_id) g USING (user_id)
-""",
-    doc="Per-user behavioral features via groupBy().applyInPandas: one "
-    "shuffle on user_id, then each group's event sequence is sorted in "
-    "pandas and its inter-arrival gaps summarized (count, min/max/mean gap "
-    "in integer µs). The oracle recomputes the same features with LAG-based "
-    "SQL, pinning both the grouping and the per-group sequence arithmetic. "
-    "Mean is floor(sum/n) in exact integers — no float accumulation.",
-)
-def ml_user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+"""
 
-    ev = table(spark, sf_dir, "events").select(
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
+
+
+@register(
+    "ml_user_event_features",
+    oracle=_FEATURES_ORACLE,
+    doc="Per-user behavioral features as PURE window + aggregate "
+    "expressions: LAG over (user_id; us, event_id) yields inter-arrival "
+    "gaps, then one groupBy(user_id) folds count and min/max/floor-mean "
+    "gap in integer µs. ONE shuffle total — the groupBy reuses the "
+    "window's user_id hashpartitioning — and the whole plan stays inside "
+    "whole-stage codegen (no Python, no Arrow). Users with a single event "
+    "(no gap) are excluded, mirroring the oracle's inner join. Mean is "
+    "floor(sum/n) in exact integers — no float accumulation.",
+)
+def ml_user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gapped = ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("gap").cast("bigint").alias("min_gap_us"),
+            F.max("gap").cast("bigint").alias("max_gap_us"),
+            F.expr("CAST(sum(gap) div count(gap) AS BIGINT)").alias("mean_gap_us"),
+        )
+        .filter(F.col("min_gap_us").isNotNull())
+    )
+
+
+@register(
+    "ml_user_event_features_pandas",
+    oracle=_FEATURES_ORACLE,
+    doc="Surface DEMO of groupBy().applyInPandas computing the exact same "
+    "features as ml_user_event_features under the same oracle: one shuffle "
+    "on user_id, then each group's event sequence is sorted in pandas and "
+    "its inter-arrival gaps summarized (count, min/max/floor-mean gap in "
+    "integer µs). Strictly dominated by the window-expression plan for "
+    "these features (pays Python workers + Arrow serialization + group "
+    "materialization); registered so the grouped-pandas execution path "
+    "stays gate-verified for operators whose per-group logic genuinely "
+    "needs it.",
+)
+def ml_user_event_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _events_us(spark, sf_dir)
 
     schema = (
         "user_id long, n_events long, min_gap_us long, max_gap_us long, "

@@ -679,3 +679,58 @@ def test_sweep_reaps_dead_pid_bucket_tables(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {mine}")
         spark.sql(f"DROP TABLE IF EXISTS {dead}")
+
+
+def test_float16_remote_uri_reconstruction_and_rename_swap(monkeypatch, tmp_path):
+    """r4 ADVICE follow-up, now a TEST instead of string reasoning: the
+    float16 task rewrite must resolve its filesystem from the export root's
+    ORIGINAL URI — never from_uri(listing-path), which would misparse the
+    scheme-less bucket-relative paths remote stores list (s3://bucket/exp
+    lists 'bucket/exp/part.parquet'). Emulated remote: a SubTreeFileSystem
+    whose in-bucket paths do NOT exist relative to the local cwd (any code
+    path falling back to local resolution dies on a missing path),
+    reachable only through the _fs_from_root_uri seam, spied to assert it
+    is handed exactly the root URI. Also pins crash safety: a stale
+    .f16tmp left by a killed speculative task is overwritten, and the
+    rename-aside swap leaves no tmp file behind."""
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+    from pyspark import TaskContext
+
+    from pg2parquet_spark import export as ex
+
+    root_uri = "s3://bucket/exp"
+    (tmp_path / "bucket" / "exp").mkdir(parents=True)
+    part = tmp_path / "bucket" / "exp" / "part-0.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "v": pa.array([1.5, -0.25], pa.float32()),
+            }
+        ),
+        str(part),
+    )
+    # stale tmp from a previously killed task — the retry must overwrite it
+    (tmp_path / "bucket" / "exp" / "part-0.parquet.f16tmp").write_bytes(b"garbage")
+
+    calls = []
+
+    def spy(uri):
+        calls.append(uri)
+        assert uri == root_uri, f"fs resolved from {uri!r}, not the export root URI"
+        return pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+    monkeypatch.setattr(ex, "_fs_from_root_uri", spy)
+    monkeypatch.setattr(TaskContext, "get", lambda: object())
+
+    done = ex._rewrite_one_float16(
+        "bucket/exp/part-0.parquet", root_uri, frozenset({"v"}), "zstd"
+    )
+    assert done == "bucket/exp/part-0.parquet"
+    assert calls == [root_uri]
+    schema = str(pq.ParquetFile(str(part)).schema)
+    assert "fixed_len_byte_array(2)" in schema and "(Float16)" in schema
+    assert not (tmp_path / "bucket" / "exp" / "part-0.parquet.f16tmp").exists()
+    back = pq.read_table(str(part))
+    assert [float(x.as_py()) for x in back["v"]] == [1.5, -0.25]

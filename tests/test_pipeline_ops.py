@@ -645,12 +645,18 @@ def test_schema_evolution_preserves_all_rows(spark, sf_dir):
     assert row.n_with_price == orders.filter("o_orderkey % 2 = 1").count()
 
 
-def test_user_event_features_match_python(spark, sf_dir):
+@pytest.mark.parametrize("variant", ["builtin", "pandas"])
+def test_user_event_features_match_python(spark, sf_dir, variant):
     from pg2parquet_spark.operators import features as ft
     from pg2parquet_spark.tables import table as load
 
+    fn = (
+        ft.ml_user_event_features
+        if variant == "builtin"
+        else ft.ml_user_event_features_pandas
+    )
     got = {r.user_id: (r.n_events, r.min_gap_us, r.max_gap_us, r.mean_gap_us)
-           for r in ft.ml_user_event_features(spark, sf_dir).collect()}
+           for r in fn(spark, sf_dir).collect()}
     rows = load(spark, sf_dir, "events").select("user_id", "event_id", "ts").collect()
     import collections
     seq = collections.defaultdict(list)
@@ -731,3 +737,60 @@ def test_near_dup_eval_counts_are_consistent(spark, sf_dir):
     # the planted exact copies have identical signatures → they must all be
     # found: recall floor well above chance
     assert r.recall_ >= 0.9
+
+
+def test_minhash_bucket_cap_bounds_mega_bucket(spark, tmp_path):
+    """Adversarial mega-bucket: 150 byte-identical boilerplate docs (kept
+    below the stop-shingle df threshold by 2000 unique fillers) share every
+    band bucket. Uncapped, that is one ~180-element collect_list array and
+    C(180,2)=16110 pairs exploding from a single row per band — the crawl-
+    scale failure mode. With _BUCKET_CAP=64 the planted group must emit
+    exactly C(64,2)=2016 pairs (the first 64 members by doc_id, identical
+    in all 4 bands), and the audit query must report the dropped membership
+    per band exactly."""
+    import pandas as pd
+
+    from pg2parquet_spark.operators import dedup as dd
+
+    n_dup, n_fill = 150, 2000
+    boiler = " ".join(f"tmpl{i % 13} tok{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(n_dup)]
+    rows += [
+        (10_000 + j, " ".join(f"u{j}x{k}" for k in range(30)))
+        for j in range(n_fill)
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+
+    # planted members: the 150 base docs, their 30 exact (uppercase)
+    # augmented copies (normalize to the same text), AND their 22 near
+    # copies (the appended zz-suffix shingles never win a min lane) — all
+    # land in the same bucket in every band: 202 members, > _BUCKET_CAP
+    planted = (
+        set(range(n_dup))
+        | {1_000_000 + i for i in range(0, n_dup, 5)}
+        | {2_000_000 + i for i in range(0, n_dup, 7)}
+    )
+    mega = len(planted)
+    assert mega == 202
+
+    audit = {r.band_idx: r for r in dd.dedup_minhash_bucket_audit(spark, sf).collect()}
+    assert set(audit) == {0, 1, 2, 3}
+    for r in audit.values():
+        assert r.max_bucket == mega, r
+        assert r.n_oversized >= 1, r
+        assert r.n_dropped_members >= mega - dd._BUCKET_CAP, r
+
+    pairs = dd.dedup_minhash_lsh(spark, sf).collect()
+    planted_pairs = [
+        p for p in pairs if p.doc_a in planted and p.doc_b in planted
+    ]
+    cap = dd._BUCKET_CAP
+    assert len(planted_pairs) == cap * (cap - 1) // 2, len(planted_pairs)
+    # identical docs: every kept pair is a full signature match
+    assert all(p.matching_hashes == 8 for p in planted_pairs)
+    # kept members are the first 64 by doc_id — all from the base id range
+    member_ids = {p.doc_a for p in planted_pairs} | {p.doc_b for p in planted_pairs}
+    assert member_ids == set(range(cap))

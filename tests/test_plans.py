@@ -560,3 +560,38 @@ def test_registry_wide_plan_discipline(spark):
     assert not offenders, offenders
     # the whitelist must stay accurate: every entry still plans a BNLJ
     assert not stale_whitelist, f"whitelist entries no longer needed: {stale_whitelist}"
+
+
+def test_user_event_features_is_pure_window_plan(spark):
+    """r4 review item: these features are LAG-gap folds — the production
+    operator must be the built-in window plan (whole-stage codegen, one
+    user_id shuffle shared by window and agg), with zero Python execution.
+    The pandas twin stays registered separately as a surface demo."""
+    plan = plan_of(spark, "ml_user_event_features")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+    # window + groupBy share ONE user_id exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_minhash_bucket_cap_in_plan(spark):
+    """The per-bucket member cap must ride the SAME (band_idx, bh) exchange
+    as the collect_list groupBy — capping is a sort + filter, never an
+    extra shuffle — and the audit query stays join-free."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    import re
+
+    band_ex = [
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "band_idx" in m and "bh" in m
+    ]
+    assert len(band_ex) == 1, band_ex
+    assert "Window" in plan  # the row_number cap
+    audit_plan = plan_of(spark, "dedup_minhash_bucket_audit")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in audit_plan
