@@ -939,3 +939,145 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_q",
         F.expr("CAST(w_q * 1048576 div sum_w AS BIGINT)").alias("share_ppm"),
     )
+
+
+# ------------------------------------------- cross-source overlap matrix --
+@register(
+    "pipeline_source_overlap",
+    oracle=r"""
+WITH normed0 AS (
+  SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+  FROM (SELECT source, string_split(norm, ' ') AS toks FROM normed0)
+),
+ns AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(shared AS BIGINT) AS n_shared,
+       CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+FROM pairs
+JOIN ns na ON na.source = sa
+JOIN ns nb ON nb.source = sb
+""",
+    doc="Cross-source CONTAMINATION MATRIX — the pre-mixing audit every "
+    "multi-source training corpus needs: for each source pair, how many "
+    "distinct 3-token shingles they share and the Jaccard of their shingle "
+    "vocabularies. Sources with anomalously high overlap are mirrors/"
+    "scrapes of each other and double-count in the mix. Plan: ONE corpus "
+    "shuffle — groupBy(shingle).collect_set(source) dedups (source, "
+    "shingle) in-aggregate and the per-shingle source set is bounded by "
+    "source cardinality, so pair emission is an in-row array expression "
+    "(same shape as the capped minhash buckets, with an intrinsic bound); "
+    "per-source vocabulary sizes fold from the same grouped table and "
+    "broadcast back onto the tiny pair list. No shingle self-join: the "
+    "join shape would shuffle the corpus twice and recompute the shingle "
+    "pipeline per side.",
+)
+def pipeline_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s"),
+    )
+    grouped = sh.groupBy("s").agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    ns = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pair_expr = (
+        "explode(flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS sa, y AS sb))))) AS p"
+    )
+    pairs = (
+        grouped.filter(F.size("srcs") > 1)
+        .selectExpr(pair_expr)
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    na = ns.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = ns.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("shared").alias("n_shared"),
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------- quality-priority dedup --
+@register(
+    "pipeline_dedup_keep_best",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zz0 zz1 zz2 zz3 zz4' FROM documents WHERE doc_id % 7 = 0
+),
+normed AS (
+  SELECT doc_id, len(text) AS rawlen,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+  FROM aug
+),
+ranked AS (
+  SELECT doc_id, rawlen, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY rawlen DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_copies
+  FROM normed
+)
+SELECT h AS content_hash,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(doc_id AS BIGINT) AS kept_doc,
+       CAST(rawlen AS BIGINT) AS kept_rawlen
+FROM ranked WHERE rn = 1 AND n_copies > 1
+""",
+    doc="Exact dedup with QUALITY-PRIORITY representative selection: within "
+    "each duplicate group keep the copy scoring highest on a quality "
+    "signal (stand-in: raw pre-normalization length — favors the least-"
+    "mangled capture; swap any scalar score expression in), tie-broken by "
+    "doc_id. dedup_exact keeps min-id; real curation keeps BEST — the "
+    "selection is one deterministic ORDER BY swap, not a new plan shape: "
+    "one content-hash shuffle, row_number + count over the same window "
+    "partition (one exchange, one sort), groups of one drop out.",
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.dedup import augmented_documents
+
+    aug = augmented_documents(spark, sf_dir, widen=False)
+    normed = aug.select(
+        "doc_id",
+        F.length("text").alias("rawlen"),
+        F.md5(normalize_text(F.col("text"))).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    ranked = normed.select(
+        "doc_id",
+        "rawlen",
+        "h",
+        F.row_number().over(w.orderBy(F.desc("rawlen"), F.asc("doc_id"))).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_copies") > 1)).select(
+        F.col("h").alias("content_hash"),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.col("doc_id").cast("bigint").alias("kept_doc"),
+        F.col("rawlen").cast("bigint").alias("kept_rawlen"),
+    )

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pg2parquet_spark.operators.text import normalize_text, word_shingles
+from pg2parquet_spark.operators.text import (
+    normalize_text,
+    token_shingles,
+    tokens,
+    word_shingles,
+)
 from pg2parquet_spark.registry import register
 from pg2parquet_spark.tables import table
 
@@ -645,6 +650,16 @@ EMB_DIM = 64
 # at 100 TB that is the cheap direction: more planes (smaller buckets,
 # bounded skew) stay affordable because recall comes from probes, not from
 # doubling the table count.
+#
+# PLANE COUNT IS THE SCALE DIAL — now MEASURED, not just asserted: the
+# two-decade probe (SCALING_r05.md) shows e(upper) = 1.53 for this query,
+# because with a fixed 4-bit bucket key, bucket occupancy grows linearly
+# with the corpus and in-bucket candidates quadratically. A deployment
+# sets planes ≈ log2(corpus / target_occupancy) per table (+3-4 planes
+# per 10x), which pins occupancy and restores e ≈ 1; it is a constant
+# here only because the DuckDB oracle must statically mirror the plane
+# hashes. Contrast dedup_minhash_lsh (e = 0.49): its band hashes live in
+# an unbounded space, so granularity scales automatically.
 _EMB_LSH_OFFSETS = (0, 100, 200, 300)
 _EMB_PROBE_MASKS = (0, 1, 2, 4, 8)  # own bucket + each single-bit flip
 _EMB_COS_THRESHOLD = 0.4
@@ -885,7 +900,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- connected-component clusters --
-_CC_SQL_BODY = f"""
+_CC_COMP_CTES = """
 bi AS (
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
@@ -899,6 +914,10 @@ reach AS (
 comp AS (
   SELECT src AS id, LEAST(src, MIN(dst)) AS comp FROM reach GROUP BY src
 )
+"""
+
+_CC_SQL_BODY = f"""
+{_CC_COMP_CTES.strip()}
 SELECT comp AS cluster_rep,
        COUNT(*) AS cluster_size,
        string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
@@ -1038,6 +1057,90 @@ def connected_components(
     return labels
 
 
+# -------------------------------------------- cluster-safe train/test split --
+_SPLIT_TEST_MOD = 10  # 1-in-10 clusters land in test
+
+
+@register(
+    "pipeline_cluster_safe_split",
+    oracle=f"""
+WITH RECURSIVE {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+{_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+{_CC_COMP_CTES.strip()},
+lab AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+  FROM (SELECT doc_id FROM aug) d LEFT JOIN comp c ON c.id = d.doc_id
+),
+sp AS (
+  SELECT doc_id, comp,
+         CASE WHEN CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 4) AS BIGINT)
+                   % {_SPLIT_TEST_MOD} = 0
+              THEN 'test' ELSE 'train' END AS split
+  FROM lab
+),
+leak AS (
+  SELECT COUNT(*) AS leaked
+  FROM cand JOIN sp sa ON sa.doc_id = cand.doc_a
+            JOIN sp sb ON sb.doc_id = cand.doc_b
+  WHERE sa.split <> sb.split
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
+       CAST((SELECT leaked FROM leak) AS BIGINT) AS leaked_pairs
+FROM sp GROUP BY split
+""",
+    doc="The FIX for what pipeline_split_leakage audits: a train/test split "
+    "that can never leak near-duplicates across the boundary, because the "
+    "split key is the document's near-dup CLUSTER representative (LSH "
+    "candidate graph → connected components; singletons are their own "
+    "cluster), hashed into test with probability 1/"
+    f"{_SPLIT_TEST_MOD}. Whole clusters move together by construction; "
+    "the query re-checks itself by counting candidate pairs straddling "
+    "the boundary (leaked_pairs — 0 by construction, and the gate would "
+    "catch any regression). Plan: the component labeling is the same "
+    "pointer-doubled fixpoint as dedup_cluster_components; the split "
+    "assignment is a map-side hash of the label; the leak check re-joins "
+    "the bounded candidate list; the 1-row leak count broadcasts onto "
+    "the 2-row output.",
+)
+def pipeline_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_band_collisions(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    labels = connected_components(cand)
+    docs = augmented_documents(spark, sf_dir, widen=False).select("doc_id")
+    lab = docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("comp", "doc_id").alias("comp"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("comp").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % _SPLIT_TEST_MOD
+    )
+    sp = lab.select(
+        "doc_id", "comp", F.when(bucket == 0, "test").otherwise("train").alias("split")
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leak = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_pairs"))
+    )
+    out = sp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("comp").cast("bigint").alias("n_clusters"),
+    )
+    return out.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_clusters", "leaked_pairs"
+    )
+
+
 # ------------------------------------------------- exact-substring dedup --
 _SUBSTR_N = 8  # span length in tokens; Lee et al. use 50 BPE tokens — the
                # fixture documents are ~100 tokens, so 8 keeps true positives
@@ -1172,6 +1275,96 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("representative"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ------------------------------------------------ exact-substring CUT --
+# The ACTION half of dedup_substring_ngrams' signal: Lee et al. 2022 cut
+# the duplicated spans out of the corpus, they don't just report them.
+_CUT_N = _SUBSTR_N  # same 8-token spans as the signal query
+
+
+@register(
+    "pipeline_substring_cut",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()},
+tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM normed),
+spp AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - {_CUT_N - 2}, 1))) AS i
+  FROM tk
+),
+sp AS (
+  SELECT doc_id, i - 1 AS p,
+         md5({" || ' ' || ".join(f"toks[i + {j}]" for j in range(_CUT_N))}) AS h
+  FROM spp
+),
+sh AS (SELECT h FROM sp GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.p + o.off AS t
+  FROM sp s JOIN sh USING (h), (SELECT unnest(range(0, {_CUT_N})) AS off) o
+),
+cut AS (SELECT doc_id, list_sort(list(t)) AS cut FROM cov GROUP BY doc_id),
+o AS (
+  SELECT tk.doc_id, len(toks) AS n_tokens,
+         COALESCE(len(cut), 0) AS n_removed,
+         CASE WHEN cut IS NULL THEN toks
+              ELSE list_filter(toks, (x, i) -> NOT list_contains(cut, i - 1))
+         END AS kept
+  FROM tk LEFT JOIN cut USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_tokens - n_removed AS BIGINT) AS n_kept,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_hash
+FROM o
+""",
+    doc=f"Exact-substring dedup, the CUT step (Lee et al. 2022): every token "
+    f"covered by any {_CUT_N}-token span that also occurs in another "
+    "document is REMOVED from the text; per doc the query emits token "
+    "counts before/after plus the md5 of the surviving text — the hash "
+    "pins the actual cut content, not just counts. Plan: spans with "
+    "positions are map-side array expressions; 'shared' is min(doc)≠"
+    "max(doc) over ONE window shuffle on the span hash (no groupBy+join "
+    "double-scan, same trick as the signal query); covered positions "
+    "explode ×span-len from shared spans only, fold to a per-doc sorted "
+    "set (bounded by doc length) in one doc_id shuffle; the final keyed "
+    "join attaches the cut-set to each doc and the token filter is a "
+    "pure array expression. Cross-doc spans only, by contract (a span "
+    "repeated within one doc is not cut — min≠max sees distinct docs).",
+)
+def pipeline_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    aug = augmented_documents(spark, sf_dir)
+    base = aug.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sp = base.select(
+        "doc_id", F.posexplode(token_shingles(F.col("toks"), _CUT_N)).alias("p", "g")
+    ).select("doc_id", "p", F.xxhash64("g").alias("h"))
+    w = W.partitionBy("h")
+    shared = sp.withColumn(
+        "is_shared", F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    ).filter(F.col("is_shared"))
+    cov = (
+        shared.select(
+            "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + _CUT_N - 1)).alias("t")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("t")).alias("cut"))
+    )
+    joined = base.join(cov, "doc_id", "left")
+    kept = F.expr(
+        "CASE WHEN cut IS NULL THEN toks "
+        "ELSE filter(toks, (x, i) -> NOT array_contains(cut, i)) END"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("cut"), F.lit(0)).cast("bigint").alias("n_removed"),
+        (F.size("toks") - F.coalesce(F.size("cut"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_hash"),
     )
 
 

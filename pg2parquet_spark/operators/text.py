@@ -30,17 +30,26 @@ def tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string>; [] when too short.
+    """Word n-gram shingles of a TEXT column as an array<string>; [] when
+    too short. See :func:`token_shingles` for the construction."""
+    return token_shingles(tokens(col), n)
+
+
+def token_shingles(toks: Column, n: int = 3) -> Column:
+    """n-gram shingles over an already-tokenized array<string> column, in
+    document order (index i = 0-based start position of shingle i).
 
     Built from n zipped shifted slices of the token array — each slice is
     evaluated once per ROW. (The naive form, element_at(toks, i+j) inside a
-    transform lambda, re-evaluates the regex split per shingle element —
-    ~90× more CPU per document; measured 10× slower at sf0.1.)
+    transform lambda, re-evaluates the source expression per shingle
+    element — ~90× more CPU per document; measured 10× slower at sf0.1.)
     """
-    toks = tokens(col)
     size = F.size(toks)
-    shifted = [toks] + [
-        F.slice(toks, j + 1, F.greatest(size - j, F.lit(0))) for j in range(1, n)
+    # aliases pin arrays_zip's struct field names to "0".."n-1" regardless of
+    # whether `toks` arrives as a named column or an anonymous expression
+    shifted = [toks.alias("0")] + [
+        F.slice(toks, j + 1, F.greatest(size - j, F.lit(0))).alias(str(j))
+        for j in range(1, n)
     ]
     z = F.arrays_zip(*shifted)  # tail entries padded with nulls
     sh = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))

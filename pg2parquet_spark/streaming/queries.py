@@ -232,7 +232,9 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_user_id") == F.col("user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
-    )
+    ).select("user_id")  # the post-agg needs only the key; the memory sink
+    # materializes every pair row on the driver, so shipping one BIGINT per
+    # pair instead of (user, 2 ts, join dup key) cuts sink volume ~4x
     name = f"stream_cpjoin_{next(_counter)}"
     q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
@@ -442,4 +444,45 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").cast("timestamp_ntz").alias("win_start"),
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_uid").cast("bigint").alias("sum_uid"),
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="BOUNDED-STATE streaming dedup via dropDuplicatesWithinWatermark: "
+    "the ingest stream is unioned with itself (at-least-once delivery "
+    "emulation — every event arrives exactly twice) and deduped on "
+    "event_id with a 1 h watermark, so the dedup state holds only keys "
+    "younger than the horizon — unlike plain dropDuplicates, whose state "
+    "grows with ALL history and eventually OOMs a forever-running job. "
+    "The oracle is the clean batch per-type count: the stream must drop "
+    "every injected duplicate and nothing else. This is the third "
+    "distinct streaming-state surface (window state, join state, and now "
+    "TTL'd dedup state).",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.unionAll(ev)
+    dd = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"stream_ddww_{next(_counter)}"
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )

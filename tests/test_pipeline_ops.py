@@ -794,3 +794,58 @@ def test_minhash_bucket_cap_bounds_mega_bucket(spark, tmp_path):
     # kept members are the first 64 by doc_id — all from the base id range
     member_ids = {p.doc_a for p in planted_pairs} | {p.doc_b for p in planted_pairs}
     assert member_ids == set(range(cap))
+
+
+def test_substring_cut_invariants(spark, sf_dir):
+    """Cut accounting must balance, fully-cut docs must hash to md5(''),
+    and every doc with a planted exact copy (identical token sequence, so
+    every 8-token span is cross-doc shared) must be cut to nothing."""
+    import hashlib
+
+    rows = {r.doc_id: r for r in dedup.pipeline_substring_cut(spark, sf_dir).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    for r in rows.values():
+        assert r.n_kept == r.n_tokens - r.n_removed
+        assert 0 <= r.n_removed <= r.n_tokens
+        if r.n_removed == r.n_tokens:
+            assert r.kept_hash == empty
+    fully = [d for d in range(0, 500, 5) if rows[d].n_tokens >= 8]
+    assert fully
+    assert all(rows[d].n_removed == rows[d].n_tokens for d in fully)
+
+
+def test_dedup_keep_best_prefers_higher_quality_copy(spark, sf_dir):
+    """Quality-priority representative: the planted uppercase copy carries
+    two extra raw chars (trailing spaces survive only pre-normalization),
+    so it must win every exact-dup group — the exact OPPOSITE pick of
+    dedup_exact's min-id representative, proving the selection knob works."""
+    from pg2parquet_spark.operators import curation
+
+    rows = curation.pipeline_dedup_keep_best(spark, sf_dir).collect()
+    assert len(rows) == 100
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.kept_doc >= 1_000_000 for r in rows)
+
+
+def test_source_overlap_matrix_shape(spark, sf_dir):
+    from pg2parquet_spark.operators import curation
+
+    rows = curation.pipeline_source_overlap(spark, sf_dir).collect()
+    assert rows
+    assert all(r.source_a < r.source_b for r in rows)
+    assert all(0 < r.jaccard < 1 for r in rows)
+    assert all(r.n_shared >= 1 for r in rows)
+
+
+def test_cluster_safe_split_no_leakage_and_total(spark, sf_dir):
+    """The split must cover every augmented doc exactly once, leak zero
+    candidate pairs across the boundary (whole clusters move together),
+    and send roughly 1/10 of clusters to test."""
+    rows = {r.split: r for r in dedup.pipeline_cluster_safe_split(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "test"}
+    assert all(r.leaked_pairs == 0 for r in rows.values())
+    total = sum(r.n_docs for r in rows.values())
+    assert total == dedup.augmented_documents(spark, sf_dir, widen=False).count()
+    tc = rows["test"].n_clusters
+    nc = tc + rows["train"].n_clusters
+    assert 0.03 < tc / nc < 0.25, (tc, nc)

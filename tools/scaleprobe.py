@@ -91,18 +91,15 @@ def main() -> None:
 # real crawl decade has. Writes only documents+embeddings, so only queries
 # reading those tables are probed.
 
+# the candidate-pair-driven core (the operators whose 100 TB cost model is
+# pair density, where one decade cannot separate n·log n from n^1.3)
 _FAMILY = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_minhash_bucket_audit",
-    "dedup_simhash",
     "dedup_substring_ngrams",
-    "dedup_url_canonical",
     "dedup_cluster_components",
     "dedup_embedding_cosine_lsh",
-    "pipeline_near_dup_eval",
-    "pipeline_corpus_curation",
 )
 
 
@@ -161,10 +158,11 @@ def decade2(out_path: str) -> None:
     try:
         synth_decade(spark, SF_BIG, synth)
 
-        def run(fn, sf: str) -> float:
-            fn(spark, sf).write.format("noop").mode("overwrite").save()
+        def run(fn, sf: str, n_timed: int = 2, warm: bool = True) -> float:
+            if warm:
+                fn(spark, sf).write.format("noop").mode("overwrite").save()
             best = float("inf")
-            for _ in range(2):
+            for _ in range(n_timed):
                 t = time.time()
                 fn(spark, sf).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t)
@@ -177,7 +175,11 @@ def decade2(out_path: str) -> None:
             fn = reg[name].fn
             t1 = run(fn, SF_SMALL)
             t2 = run(fn, SF_BIG)
-            t3 = run(fn, synth)
+            # one execution at the top scale: the JIT/codegen is already warm
+            # from the two lower decades of the same plan, and the top point
+            # is minutes-scale — a warm pass would double probe cost for a
+            # single-digit-% timing refinement that cannot change e(upper)
+            t3 = run(fn, synth, n_timed=1, warm=False)
             r12, r23 = t2 / max(t1, 1e-9), t3 / max(t2, 1e-9)
             # effective exponent over the upper decade: t ~ n^e => e = log10(r)
             e23 = math.log10(max(r23, 1e-9))
