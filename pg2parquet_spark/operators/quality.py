@@ -629,3 +629,65 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ------------------------------------------------ robust outlier gate (MAD) --
+_MAD_K = 3  # flag when |x - median| > K * MAD
+
+
+@register(
+    "quality_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, d.n_chars, m.med, ABS(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m USING (source)
+),
+stats AS (
+  SELECT source, MAX(med) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ABS(d.n_chars - s.med) > {_MAD_K} * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(s.med AS DOUBLE) AS median_chars,
+       CAST(s.mad AS DOUBLE) AS mad_chars
+FROM documents d JOIN stats s USING (source)
+GROUP BY d.source, s.med, s.mad
+""",
+    doc="ROBUST per-source outlier gate — median/MAD instead of mean/stddev, "
+    "because crawl length distributions are heavy-tailed and a single "
+    "10 MB page drags a mean-based z-score past every real document: flag "
+    f"docs whose length deviates from their source's median by > {_MAD_K}"
+    "x the median absolute deviation. Exact interpolated medians "
+    "(percentile <-> quantile_cont agree bit-for-bit on integer inputs), "
+    "two grouped passes by construction (median then MAD are sequential "
+    "order statistics), each a bounded groupBy(source); per-source stats "
+    "broadcast back, so the corpus is scanned twice with pruned columns "
+    "and never shuffled on doc identity.",
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+    med = docs.groupBy("source").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    stats = dev.groupBy("source").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    flagged = docs.join(F.broadcast(stats), "source")
+    out = (F.abs(F.col("n_chars") - F.col("med")) > _MAD_K * F.col("mad")).cast("int")
+    return flagged.groupBy("source", "med", "mad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(out).cast("bigint").alias("n_outliers"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_outliers",
+        F.col("med").cast("double").alias("median_chars"),
+        F.col("mad").cast("double").alias("mad_chars"),
+    )

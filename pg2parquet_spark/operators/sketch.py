@@ -674,3 +674,88 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("overlap"))
         .alias("est_intersection"),
     )
+
+
+# ----------------------------------------------- HLL register-merge rollup --
+@register(
+    "sketch_hll_rollup_merge",
+    oracle=f"""
+WITH hashed AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {HLL_M} AS INT) AS bucket,
+         substr(md5(CAST(user_id AS VARCHAR)), 9, 16) AS w_hex
+  FROM events
+),
+ranks AS (
+  SELECT day, bucket,
+         LEAST({HLL_CAP}, 4 * (16 - length(ltrimmed)) + {_EXTRA_CASE} + 1) AS rank
+  FROM (SELECT day, bucket, trim(LEADING '0' FROM w_hex) AS ltrimmed FROM hashed) t
+),
+day_regs AS (
+  SELECT day, bucket, MAX(rank) AS rmax FROM ranks GROUP BY day, bucket
+),
+merged_regs AS (
+  SELECT 'ALL' AS day, bucket, MAX(rmax) AS rmax FROM day_regs GROUP BY bucket
+),
+all_regs AS (SELECT * FROM day_regs UNION ALL SELECT * FROM merged_regs),
+est AS (
+  SELECT day,
+         SUM(CAST(1 AS BIGINT) << ({HLL_CAP} - rmax)) AS filled,
+         COUNT(*) AS nb
+  FROM all_regs GROUP BY day
+)
+SELECT day,
+       CAST(({HLL_NUM} * CAST(1000 AS BIGINT)) // (filled + ({HLL_M} - nb) * (CAST(1 AS BIGINT) << {HLL_CAP})) AS BIGINT) AS hll_est_x1000
+FROM est
+""",
+    doc="HLL MERGEABILITY as a query — the property that makes sketches the "
+    "100 TB answer to distinct counting: per-day distinct-user registers "
+    "(bucket-wise MAX of md5 ranks) estimate each day, and the full-period "
+    "'ALL' row is computed by MERGING the daily REGISTERS (cell-wise MAX) "
+    "— the raw events are never rescanned for the rollup, exactly how a "
+    "production pipeline serves day/week/month/all-time distincts from one "
+    "stored register table. Same exact-integer estimator as "
+    "sketch_hll_distinct (bit-identical cross-engine). Plan: one map-side "
+    "hash pass, one (day, bucket) shuffle (key space = days x "
+    f"{HLL_M}, bounded and skew-free), then the merge folds "
+    f"{HLL_M}-row groups — the rollup costs O(days x m), independent of "
+    "event count.",
+)
+def sketch_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    hashed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % HLL_M)
+        .cast("int")
+        .alias("bucket"),
+        F.substring(h, 9, 16).alias("w_hex"),
+    )
+    ranks = hashed.select(
+        "day",
+        "bucket",
+        F.expr("trim(LEADING '0' FROM w_hex)").alias("ltrimmed"),
+    ).select(
+        "day",
+        "bucket",
+        F.least(
+            F.lit(HLL_CAP),
+            F.lit(4) * (F.lit(16) - F.length("ltrimmed")) + F.expr(_EXTRA_CASE) + F.lit(1),
+        ).alias("rank"),
+    )
+    day_regs = ranks.groupBy("day", "bucket").agg(F.max("rank").alias("rmax"))
+    merged_regs = day_regs.groupBy("bucket").agg(F.max("rmax").alias("rmax")).select(
+        F.lit("ALL").alias("day"), "bucket", "rmax"
+    )
+    all_regs = day_regs.unionAll(merged_regs)
+    est = all_regs.groupBy("day").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_CAP} - rmax)")).alias("filled"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    return est.select(
+        "day",
+        F.expr(
+            f"({HLL_NUM} * CAST(1000 AS BIGINT)) div "
+            f"(filled + ({HLL_M} - nb) * shiftleft(CAST(1 AS BIGINT), {HLL_CAP}))"
+        ).cast("bigint").alias("hll_est_x1000"),
+    )

@@ -26,6 +26,33 @@ from pg2parquet_spark.registry import register
 
 _counter = itertools.count()
 
+# Stateful-operator partition count, set at each streaming query's FIRST
+# start (Spark bakes it into the checkpoint): the right number tracks STATE
+# VOLUME, not CPU count. Every shuffle partition of a stateful operator
+# carries a state store whose per-micro-batch maintenance (snapshot, commit,
+# metadata) is pure overhead when the state is small — measured on the
+# stream-stream join at sf0.1: 32 partitions 6.5 s, 8 partitions 2.6 s,
+# identical results. A 100 TB deployment raises this with state size
+# (RocksDB store, ~100-200 MB of state per partition), which is exactly why
+# it is a dial here and not an inherited session constant.
+_STATE_PARTITIONS = 8
+
+
+class _state_partitions:
+    """Scoped spark.sql.shuffle.partitions override for a streaming start;
+    restores the session value even when the stream errors."""
+
+    def __init__(self, spark: SparkSession, n: int = _STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of tables._events — tolerates both corpus generations
@@ -50,16 +77,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(agg: DataFrame, name: str) -> None:
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(agg.sparkSession):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 @register(
@@ -180,11 +208,12 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     name = f"stream_stateful_{next(_counter)}"
-    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # update mode may emit a row per micro-batch; keep the final state per user
     latest = spark.table(name)
     return (
@@ -236,11 +265,12 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes every pair row on the driver, so shipping one BIGINT per
     # pair instead of (user, 2 ts, join dup key) cuts sink volume ~4x
     name = f"stream_cpjoin_{next(_counter)}"
-    q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = pairs.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -354,11 +384,12 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_late_{next(_counter)}"
-    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -471,16 +502,17 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         ["event_id"]
     )
     name = f"stream_ddww_{next(_counter)}"
-    q = (
-        dd.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _state_partitions(spark):
+        q = (
+            dd.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(name)
         .groupBy("event_type")

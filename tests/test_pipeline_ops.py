@@ -849,3 +849,53 @@ def test_cluster_safe_split_no_leakage_and_total(spark, sf_dir):
     tc = rows["test"].n_clusters
     nc = tc + rows["train"].n_clusters
     assert 0.03 < tc / nc < 0.25, (tc, nc)
+
+
+def test_stream_state_partition_scope_restores_session_conf(spark, sf_dir):
+    """Streaming queries size their stateful-operator partitions to state
+    volume (8), not the session's CPU-count default — and must restore the
+    session conf afterward, even across the try/finally stop path."""
+    from pg2parquet_spark.streaming import queries as sq
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    sq.stream_events_hourly(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_hll_rollup_merge_consistency(spark, sf_dir):
+    """Register-merge property: the 'ALL' row must equal the estimate from
+    scratch over all events (cell-wise MAX commutes with union), and every
+    per-day estimate must be positive."""
+    from pg2parquet_spark.operators import sketch as sk
+    from pg2parquet_spark.tables import table as load
+
+    rows = {r.day: r.hll_est_x1000 for r in sk.sketch_hll_rollup_merge(spark, sf_dir).collect()}
+    assert "ALL" in rows and len(rows) > 2
+    assert all(v > 0 for v in rows.values())
+    # direct re-computation over the undayed stream must equal the merged row
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    hashed = ev.select(
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % sk.HLL_M).cast("int").alias("bucket"),
+        F.substring(h, 9, 16).alias("w_hex"),
+    )
+    ranks = hashed.select(
+        "bucket", F.expr("trim(LEADING '0' FROM w_hex)").alias("ltrimmed")
+    ).select(
+        "bucket",
+        F.least(
+            F.lit(sk.HLL_CAP),
+            F.lit(4) * (F.lit(16) - F.length("ltrimmed")) + F.expr(sk._EXTRA_CASE) + F.lit(1),
+        ).alias("rank"),
+    )
+    regs = ranks.groupBy("bucket").agg(F.max("rank").alias("rmax"))
+    harm = regs.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {sk.HLL_CAP} - rmax)")).alias("filled"),
+        F.count(F.lit(1)).alias("nb"),
+    ).select(
+        F.expr(
+            f"({sk.HLL_NUM} * CAST(1000 AS BIGINT)) div "
+            f"(filled + ({sk.HLL_M} - nb) * shiftleft(CAST(1 AS BIGINT), {sk.HLL_CAP}))"
+        ).cast("bigint").alias("est")
+    ).collect()[0]
+    assert harm.est == rows["ALL"]
