@@ -1081,3 +1081,56 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("kept_doc"),
         F.col("rawlen").cast("bigint").alias("kept_rawlen"),
     )
+
+
+# ----------------------------------------------- per-source quality quota --
+_QUOTA_K = 10  # best docs kept per source
+
+
+@register(
+    "pipeline_quota_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {_QUOTA_K})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(n_chars) AS BIGINT) AS worst_kept_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS best_kept_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS kept_ids_hash
+FROM kept GROUP BY source
+""",
+    doc=f"Per-source QUALITY QUOTA: keep the best {_QUOTA_K} documents of "
+    "each source by a quality signal (stand-in: n_chars; any scalar score "
+    "drops in), deterministic tie-break by doc_id — the budgeted flavor "
+    "of curation where each source gets a fixed slot count regardless of "
+    "its raw volume (caps boilerplate-heavy sources, guarantees minority "
+    "sources their slots). ONE source-key shuffle: row_number and the "
+    "post-filter fold share the window's hashpartitioning. The output "
+    "pins the kept SET (md5 of the sorted id list), not just counts. At "
+    "100 TB per-source top-k goes through the same window (skew dealt a "
+    "two-phase per-bucket prefilter: any doc below its bucket's k-th "
+    "score can be dropped map-side first).",
+)
+def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = docs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _QUOTA_K
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.min("n_chars").cast("bigint").alias("worst_kept_chars"),
+        F.max("n_chars").cast("bigint").alias("best_kept_chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("kept_ids_hash"),
+    )

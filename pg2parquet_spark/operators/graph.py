@@ -114,3 +114,85 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(node - 1) div 2").cast("bigint").alias("suppkey"),
         F.col("pr").alias("pr_q"),
     )
+
+
+# ------------------------------------------------ nation trade triangles --
+_TRI_MIN_ORDERS = 3  # edge threshold: >= N distinct orders between nations
+
+
+@register(
+    "graph_trade_triangles",
+    oracle=f"""
+WITH flows AS (
+  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn, COUNT(DISTINCT o.o_orderkey) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT LEAST(cn, sn) AS a, GREATEST(cn, sn) AS b, SUM(n_orders) AS w
+  FROM flows GROUP BY 1, 2
+  HAVING SUM(n_orders) >= {_TRI_MIN_ORDERS}
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(a AS BIGINT) AS nation_a, CAST(b AS BIGINT) AS nation_b, CAST(c AS BIGINT) AS nation_c
+FROM tri
+""",
+    doc="TRIANGLE ENUMERATION over the international-trade graph: nations "
+    f"are connected when >= {_TRI_MIN_ORDERS} distinct orders flow between "
+    "them (either direction), and the query lists every triangle of "
+    "mutually-trading nations (a < b < c by id-orientation, so each "
+    "triangle appears exactly once — the standard de-duplication that "
+    "also bounds the join fan-out to ordered wedges). Scale shape: the "
+    "COST is deriving the weighted edge list — one pass over the fact "
+    "tables with keyed shuffles and a count-distinct — while the triangle "
+    "3-way self-join runs on the bounded nation-level projection (<= "
+    "n_nations^2 edges). For graphs whose projection is NOT bounded, the "
+    "same oriented wedge-join shape applies with degree ordering instead "
+    "of id ordering.",
+)
+def graph_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    flows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
+        .agg(F.countDistinct("o_orderkey").alias("n_orders"))
+    )
+    edges = (
+        flows.groupBy(
+            F.least("cn", "sn").alias("a"), F.greatest("cn", "sn").alias("b")
+        )
+        .agg(F.sum("n_orders").alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_ORDERS)
+        .select("a", "b")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").cast("bigint").alias("nation_a"),
+            F.col("e1.b").cast("bigint").alias("nation_b"),
+            F.col("e2.b").cast("bigint").alias("nation_c"),
+        )
+    )
+    return tri

@@ -503,3 +503,70 @@ FROM m
 def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return phash_real_image(attach_real_png(_widen(docs)))
+
+
+# --------------------------------------------------------- scene cuts --
+_CUT_THRESH = 64  # |Δ intensity| > threshold ⇒ scene boundary
+
+
+def attach_intensity_video(df: DataFrame) -> DataFrame:
+    """Synthesize a video blob whose BODY is per-frame intensity bytes:
+    4-byte big-endian frame count, then frame k's intensity = the first
+    md5 byte of 'doc_id|k'. Deterministic per (doc, frame) so the oracle
+    can recompute every byte arithmetically while the operator must parse
+    them out of the binary — real plumbing, exact contract."""
+    n_frames = (10 + F.col("n_chars") % 20).cast("int")
+    header = F.unhex(F.lpad(F.hex(n_frames), 8, "0"))
+    body = F.expr(
+        "aggregate(sequence(0, cast(10 + n_chars % 20 as int) - 1), "
+        "cast('' as binary), (acc, k) -> concat(acc, "
+        "unhex(substr(md5(concat(cast(doc_id as string), '|', cast(k as string))), 1, 2))))"
+    )
+    return df.withColumn("video", F.concat(header, body))
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(10 + n_chars % 20 AS INT) AS n_frames,
+       CAST(len(list_filter(range(1, 10 + n_chars % 20), k ->
+            ABS(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 2) AS INT)
+              - CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k - 1 AS VARCHAR)), 1, 2) AS INT))
+            > {_CUT_THRESH})) AS BIGINT) AS n_cuts
+FROM documents
+""",
+    doc="Video SCENE-CUT detection plumbing: the blob carries a 4-byte "
+    "frame-count header plus one intensity byte per frame; mapInPandas "
+    "parses the header, lifts the frame bytes through numpy, and counts "
+    f"frame-to-frame jumps > {_CUT_THRESH} — the shape of a real "
+    "histogram-delta shot detector (decode → per-frame feature → "
+    "sequential delta), with the frame loop vectorized inside the Arrow "
+    "batch. Intensities are md5-derived per (doc, frame), so the oracle "
+    "recomputes every byte arithmetically and the gate pins that the "
+    "binary round-trip and the delta logic are exact. Map-only plan: "
+    "blobs never shuffle.",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents")
+    with_video = attach_intensity_video(_widen(docs))
+    out_schema = "doc_id long, n_frames int, n_cuts long"
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_frames", "n_cuts")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["video"]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                (n_frames,) = struct.unpack(">I", b[:4])
+                inten = np.frombuffer(b[4 : 4 + n_frames], dtype=np.uint8).astype(np.int32)
+                n_cuts = int((np.abs(np.diff(inten)) > _CUT_THRESH).sum())
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(n_frames)
+                rows["n_cuts"].append(n_cuts)
+            yield pd.DataFrame(rows)
+
+    return with_video.select("doc_id", "video").mapInPandas(cuts, out_schema)

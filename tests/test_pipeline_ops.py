@@ -899,3 +899,34 @@ def test_hll_rollup_merge_consistency(spark, sf_dir):
         ).cast("bigint").alias("est")
     ).collect()[0]
     assert harm.est == rows["ALL"]
+
+
+def test_trade_triangles_oriented_and_unique(spark, sf_dir):
+    from pg2parquet_spark.operators import graph as g
+
+    tri = [(r.nation_a, r.nation_b, r.nation_c) for r in g.graph_trade_triangles(spark, sf_dir).collect()]
+    assert tri
+    assert all(a < b < c for a, b, c in tri)  # oriented: each triangle once
+    assert len(tri) == len(set(tri))
+
+
+def test_quota_sample_exact_quota_and_determinism(spark, sf_dir):
+    from pg2parquet_spark.operators import curation
+
+    a = {r.source: r for r in curation.pipeline_quota_sample(spark, sf_dir).collect()}
+    b = {r.source: r.kept_ids_hash for r in curation.pipeline_quota_sample(spark, sf_dir).collect()}
+    assert all(r.n_kept == curation._QUOTA_K for r in a.values())
+    assert all(r.worst_kept_chars <= r.best_kept_chars for r in a.values())
+    # the kept SET is reproducible run to run (deterministic tie-break)
+    assert {s: r.kept_ids_hash for s, r in a.items()} == b
+
+
+def test_scene_cuts_bounds(spark, sf_dir):
+    from pg2parquet_spark.operators import multimodal as mm
+
+    rows = mm.multimodal_scene_cuts(spark, sf_dir).collect()
+    assert len(rows) == 500
+    assert all(10 <= r.n_frames < 30 for r in rows)
+    assert all(0 <= r.n_cuts <= r.n_frames - 1 for r in rows)
+    # md5-derived intensities: cuts exist somewhere in the corpus
+    assert sum(r.n_cuts for r in rows) > 0

@@ -596,3 +596,19 @@ def test_minhash_bucket_cap_in_plan(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in audit_plan
+
+
+def test_quota_sample_single_source_exchange(spark):
+    """Per-source top-k: the row_number window and the post-filter fold
+    must share ONE source-key exchange."""
+    plan = plan_of(spark, "pipeline_quota_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_scene_cuts_map_only(spark):
+    """Blobs never shuffle: header synth, parse, and delta count are all
+    map-side (the only exchange allowed is the corpus-spread round robin)."""
+    plan = plan_of(spark, "multimodal_scene_cuts")
+    assert "Exchange hashpartitioning" not in plan
+    assert "MapInPandas" in plan
