@@ -1134,3 +1134,43 @@ def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_ids_hash"),
     )
+
+
+# ------------------------------------------------------ k-anonymity audit --
+_KANON_K = 5
+_KANON_CHARS_BUCKET = 100  # n_chars coarsened to this bucket width
+
+
+@register(
+    "pipeline_k_anonymity",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, (n_chars // {_KANON_CHARS_BUCKET}) AS len_bucket, COUNT(*) AS k
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_unsafe_cells,
+       CAST(SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) AS BIGINT) AS n_unsafe_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(k) AS BIGINT) AS min_k
+FROM cells
+""",
+    doc=f"K-ANONYMITY audit over the quasi-identifier tuple (lang, source, "
+    f"length/{_KANON_CHARS_BUCKET} bucket): cells with fewer than "
+    f"{_KANON_K} documents re-identify their members and must be "
+    "suppressed or generalized before release — the check privacy review "
+    "runs on any published training corpus. One bounded groupBy on the "
+    "coarsened QI tuple (cell cardinality << corpus), then a 1-row fold; "
+    "the doc table is scanned once with pruned columns.",
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    cells = docs.groupBy(
+        "lang", "source", F.expr(f"n_chars div {_KANON_CHARS_BUCKET}").alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    unsafe = F.col("k") < _KANON_K
+    return cells.agg(
+        F.sum(F.when(unsafe, 1).otherwise(0)).cast("bigint").alias("n_unsafe_cells"),
+        F.sum(F.when(unsafe, F.col("k")).otherwise(0)).cast("bigint").alias("n_unsafe_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("k").cast("bigint").alias("min_k"),
+    )

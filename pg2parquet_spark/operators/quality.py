@@ -691,3 +691,79 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med").cast("double").alias("median_chars"),
         F.col("mad").cast("double").alias("mad_chars"),
     )
+
+
+# --------------------------------------------------- collocation mining --
+_COLLOC_TOP_K = 50
+_COLLOC_MIN_COUNT = 5  # a pair must occur at least this often
+
+
+@register(
+    "text_collocations_lift",
+    oracle=rf"""
+WITH toks AS (
+  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+bi AS (
+  SELECT w[i] AS a, w[i+1] AS b
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+),
+uni AS (
+  SELECT t, COUNT(*) AS c FROM (
+    SELECT unnest(w) AS t FROM toks
+  ) GROUP BY t
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bic AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b HAVING COUNT(*) >= {_COLLOC_MIN_COUNT}),
+scored AS (
+  SELECT bic.a, bic.b,
+         CAST(bic.cab AS BIGINT) AS pair_count,
+         CAST(bic.cab * t.n AS DOUBLE) / (ua.c * ub.c) AS lift
+  FROM bic JOIN uni ua ON ua.t = bic.a JOIN uni ub ON ub.t = bic.b CROSS JOIN tot t
+)
+SELECT a, b, pair_count, lift FROM scored
+ORDER BY lift DESC, a, b LIMIT {_COLLOC_TOP_K}
+""",
+    doc=f"COLLOCATION mining — the corpus statistic behind phrase detection "
+    "(word2vec-phrases, tokenizer-merge candidates): adjacent-bigram lift "
+    "= c(ab)·N / (c(a)·c(b)) over the whole corpus, top-"
+    f"{_COLLOC_TOP_K} pairs occurring >= {_COLLOC_MIN_COUNT} times. The "
+    "numerator and denominator are exact BIGINT products with ONE IEEE "
+    "division (no log — same cross-engine-exact trick as TF-IDF; lift "
+    "RANKS identically to PMI since log is monotone). Plan: one corpus "
+    "explode each for bigram and unigram counts (both map-side combined), "
+    "unigram counts broadcast back onto the thresholded bigram table "
+    "twice, TakeOrdered for the top-k (never a global sort).",
+)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(tokens(F.col("text")).alias("w")).filter(F.size("w") >= 2)
+    bi = base.selectExpr(
+        "explode(arrays_zip(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1))) AS p"
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bic = (
+        bi.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= _COLLOC_MIN_COUNT)
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bic.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("bigint").alias("pair_count"),
+            ((F.col("cab") * F.col("n")).cast("double") / (F.col("ca") * F.col("cb"))).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "a", "b").limit(_COLLOC_TOP_K)

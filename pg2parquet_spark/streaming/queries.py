@@ -518,3 +518,86 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
+
+
+# ------------------------------------------------- foreachBatch sink path --
+_MB_MEMO: dict[str, str] = {}
+
+
+def _events_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a stream that arrives in MULTIPLE micro-batches: the fixture
+    is re-written once per sf_dir (memoized, like the evolved-schema dir)
+    into 3 parquet files keyed by user_id % 3, and the stream reads them
+    with maxFilesPerTrigger=1 — three real micro-batches with disjoint
+    rows, unlike the single-file fixture whose whole corpus lands in one
+    batch. ts is normalized through tables.table, so the rewritten files
+    carry a plain µs timestamp."""
+    import tempfile
+
+    from pg2parquet_spark.tables import table
+
+    if sf_dir not in _MB_MEMO:
+        out = tempfile.mkdtemp(prefix="events_mb_")
+        ev = table(spark, sf_dir, "events")
+        ev.repartition(3, F.col("user_id") % 3).write.mode("overwrite").parquet(out)
+        _MB_MEMO[sf_dir] = out
+    out = _MB_MEMO[sf_dir]
+    schema = spark.read.parquet(out).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+
+
+@register(
+    "stream_foreachbatch_partials",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+""",
+    doc="The PRODUCTION sink pattern — foreachBatch: each micro-batch (the "
+    "fixture genuinely delivers three, maxFilesPerTrigger=1 over a 3-file "
+    "landing dir) is aggregated to per-user partials and APPENDED to a "
+    "parquet table stamped with its deterministic batch_id (idempotent "
+    "under retry: a replayed batch overwrites its own stamp via dynamic "
+    "partition overwrite); the final per-user totals FOLD THE PARTIALS — "
+    "count and integer-cents sums are mergeable, so the merge never "
+    "rescans raw events. Oracle is the clean batch aggregate: partials "
+    "folded across batch boundaries must equal one-shot aggregation "
+    "exactly (integer cents — no float accumulation drift).",
+)
+def stream_foreachbatch_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _events_stream_multibatch(spark, sf_dir)
+    sink_dir = tempfile.mkdtemp(prefix="fb_partials_") + "/partials"
+
+    def write_partials(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                    "total_cents"
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    with _state_partitions(spark):
+        q = ev.writeStream.foreachBatch(write_partials).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    partials = spark.read.parquet(sink_dir)
+    return partials.groupBy("user_id").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("total_cents").cast("bigint").alias("total_cents"),
+    )

@@ -930,3 +930,29 @@ def test_scene_cuts_bounds(spark, sf_dir):
     assert all(0 <= r.n_cuts <= r.n_frames - 1 for r in rows)
     # md5-derived intensities: cuts exist somewhere in the corpus
     assert sum(r.n_cuts for r in rows) > 0
+
+
+def test_multibatch_fixture_delivers_multiple_batches(spark, sf_dir):
+    """The foreachBatch fixture must actually deliver MULTIPLE micro-batches
+    covering every event exactly once — otherwise the partials-merge query
+    degenerates to a single-batch no-op test."""
+    from pg2parquet_spark.streaming import queries as sq
+    from pg2parquet_spark.tables import table as load
+
+    ev = sq._events_stream_multibatch(spark, sf_dir)
+    seen = []
+
+    def count_batch(df, bid):
+        seen.append((bid, df.count()))
+
+    with sq._state_partitions(spark):
+        q = ev.writeStream.foreachBatch(count_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert len(seen) >= 2, seen
+    assert sum(n for _, n in seen) == load(spark, sf_dir, "events").count()
+    # residue-hash collisions can leave one of the 3 files empty; the fixture
+    # contract is >= 2 NON-EMPTY batches
+    assert sum(1 for _, n in seen if n > 0) >= 2, seen

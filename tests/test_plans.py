@@ -532,6 +532,7 @@ _BNLJ_WHITELIST = {
     "sketch_kmv_intersection",    # 1-row aggregate crossJoin
     "sketch_quantile_hist",       # 3 targets x bounded bin table
     "text_bm25_topk",             # single-row corpus stats crossJoin
+    "text_collocations_lift",     # single-row token-total crossJoin
     "text_tfidf_topk",            # single-row corpus stats crossJoin
 }
 
