@@ -1174,3 +1174,103 @@ def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.min("k").cast("bigint").alias("min_k"),
     )
+
+
+# -------------------------------------------- contrastive pair generation --
+_CPAIR_MIN_LANES = 4  # positive = minhash candidate with >= 4/8 matching lanes
+
+
+def _cpair_oracle() -> str:
+    from pg2parquet_spark.operators.dedup import (
+        AUG_SQL,
+        NORMED_SQL,
+        SHINGLED_SQL,
+        STOPF_SQL,
+        _bands_sql,
+        _eval_match_sum,
+        _sig_sql,
+    )
+
+    return f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+{_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pos AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+  WHERE {_eval_match_sum('sa', 'sb')} >= {_CPAIR_MIN_LANES}
+),
+pos_sym AS (SELECT doc_a, doc_b FROM pos UNION SELECT doc_b, doc_a FROM pos),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+anchors AS (SELECT DISTINCT doc_a FROM pos),
+negc AS (
+  SELECT a.doc_a, (a.doc_a * 7 + 13) % n.n_docs AS doc_b
+  FROM anchors a CROSS JOIN n
+),
+neg AS (
+  SELECT nc.doc_a, nc.doc_b FROM negc nc
+  WHERE nc.doc_a <> nc.doc_b
+    AND NOT EXISTS (SELECT 1 FROM pos_sym p
+                    WHERE p.doc_a = nc.doc_a AND p.doc_b = nc.doc_b)
+),
+lab AS (
+  SELECT 1 AS label, doc_a, doc_b FROM pos
+  UNION ALL
+  SELECT 0 AS label, doc_a, doc_b FROM neg
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_anchors
+FROM lab GROUP BY label
+"""
+
+
+@register(
+    "pipeline_contrastive_pairs",
+    oracle=_cpair_oracle(),
+    doc="TRAINING-PAIR generation for contrastive/embedding objectives: "
+    "positives are the capped MinHash near-dup candidates with >= "
+    f"{_CPAIR_MIN_LANES}/8 matching lanes (the same decision the dedup "
+    "eval uses); each positive anchor also gets one DETERMINISTIC random "
+    "negative — doc id (anchor*7+13) mod corpus size (ids are dense by "
+    "fixture construction) — with self-pairs and accidental near-dups "
+    "anti-joined away so no negative is secretly a positive. Determinism "
+    "makes the pair set restart-reproducible, the property that keeps "
+    "training-data regeneration hermetic. Output is the per-label audit "
+    "(pair and anchor counts). Plan: positives reuse the capped band "
+    "pipeline; negatives are a map over the bounded anchor set with one "
+    "1-row corpus-count crossJoin and a broadcast-sized anti-join.",
+)
+def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.dedup import dedup_minhash_lsh
+
+    pos = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("matching_hashes") >= _CPAIR_MIN_LANES)
+        .select("doc_a", "doc_b")
+    )
+    pos_sym = pos.union(
+        pos.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    anchors = pos.select("doc_a").distinct()
+    negc = (
+        anchors.crossJoin(F.broadcast(n))
+        .select("doc_a", ((F.col("doc_a") * 7 + 13) % F.col("n_docs")).alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    neg = negc.join(pos_sym, ["doc_a", "doc_b"], "left_anti")
+    lab = pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )
+    return lab.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_a").cast("bigint").alias("n_anchors"),
+    )

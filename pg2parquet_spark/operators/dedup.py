@@ -1450,3 +1450,103 @@ def pipeline_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("is_true")
         ).alias("recall_"),
     )
+
+
+# ------------------------------------------------------ dedup scorecard --
+@register(
+    "pipeline_dedup_scorecard",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+{_sig_sql()},
+{_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+nearp AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+  WHERE {_eval_match_sum('sa', 'sb')} >= {_EVAL_EST_MIN}
+),
+neard AS (SELECT doc_a AS doc_id FROM nearp UNION SELECT doc_b FROM nearp),
+ex AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY md5(norm)) AS n_copies,
+         MIN(doc_id) OVER (PARTITION BY md5(norm)) AS rep
+  FROM normed
+),
+g8 AS (
+  SELECT doc_id, {_substr_gram_sql()} AS gs
+  FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM normed)
+),
+docg AS (
+  SELECT doc_id, md5(g) AS h FROM (SELECT doc_id, unnest(gs) AS g FROM g8)
+),
+sharedh AS (SELECT h FROM docg GROUP BY h HAVING COUNT(*) >= 2),
+subf AS (
+  SELECT d.doc_id,
+         CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS sfrac
+  FROM docg d LEFT JOIN sharedh s ON d.h = s.h GROUP BY d.doc_id
+),
+sc AS (
+  SELECT e.doc_id,
+         CASE WHEN e.n_copies > 1 AND e.doc_id <> e.rep THEN 'drop_exact_dup'
+              WHEN COALESCE(sf.sfrac, 0) > 0.5 THEN 'drop_substring'
+              WHEN n.doc_id IS NOT NULL THEN 'review_near_dup'
+              ELSE 'keep' END AS verdict
+  FROM ex e
+  LEFT JOIN neard n ON n.doc_id = e.doc_id
+  LEFT JOIN subf sf ON sf.doc_id = e.doc_id
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sc GROUP BY verdict
+""",
+    doc="The DEDUP SCORECARD — the per-corpus decision table a curation run "
+    "publishes before deleting anything: every document classified by a "
+    "priority cascade of the registered dedup signals (exact non-"
+    "representative -> drop; majority of 8-token spans shared -> drop; "
+    "MinHash near-dup candidate (>= "
+    f"{_EVAL_EST_MIN}/8 lanes) -> review; else keep), reported as verdict "
+    "counts. COMPOSITION of three already-gated operators — exact window, "
+    "capped MinHash candidates, span-sharing fractions — joined on doc_id "
+    "and folded; each signal keeps its own scale-shaped plan, the "
+    "scorecard adds only keyed joins on the bounded per-doc outputs.",
+)
+def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    aug = augmented_documents(spark, sf_dir)
+    normed = aug.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+    w = W.partitionBy(F.md5("norm"))
+    ex = normed.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        F.min("doc_id").over(w).alias("rep"),
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("matching_hashes") >= _EVAL_EST_MIN
+    )
+    neard = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    subf = dedup_substring_ngrams(spark, sf_dir).select(
+        "doc_id", F.col("shared_fraction").alias("sfrac")
+    )
+    sc = (
+        ex.join(neard, "doc_id", "left")
+        .join(subf, "doc_id", "left")
+        .select(
+            F.when(
+                (F.col("n_copies") > 1) & (F.col("doc_id") != F.col("rep")),
+                "drop_exact_dup",
+            )
+            .when(F.coalesce(F.col("sfrac"), F.lit(0.0)) > 0.5, "drop_substring")
+            .when(F.col("is_near").isNotNull(), "review_near_dup")
+            .otherwise("keep")
+            .alias("verdict")
+        )
+    )
+    return sc.groupBy("verdict").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

@@ -956,3 +956,28 @@ def test_multibatch_fixture_delivers_multiple_batches(spark, sf_dir):
     # residue-hash collisions can leave one of the 3 files empty; the fixture
     # contract is >= 2 NON-EMPTY batches
     assert sum(1 for _, n in seen if n > 0) >= 2, seen
+
+
+def test_dedup_scorecard_cascade(spark, sf_dir):
+    """Verdicts partition the augmented corpus; the 100 planted exact
+    copies are always the non-representative member of their group, so
+    exactly 100 docs land in drop_exact_dup (cascade priority: exact
+    beats substring beats near-dup)."""
+    rows = {r.verdict: r.n_docs for r in dedup.pipeline_dedup_scorecard(spark, sf_dir).collect()}
+    assert sum(rows.values()) == dedup.augmented_documents(spark, sf_dir, widen=False).count()
+    assert rows.get("drop_exact_dup") == 100
+    assert rows.get("keep", 0) > 0
+    assert rows.get("drop_substring", 0) > 0
+
+
+def test_contrastive_pairs_balance_and_purity(spark, sf_dir):
+    """Negatives must exist for (almost) every positive anchor, and no
+    negative may secretly be a near-dup positive (the anti-join purity)."""
+    from pg2parquet_spark.operators import curation
+
+    rows = {r.label: r for r in curation.pipeline_contrastive_pairs(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1].n_pairs > 0 and rows[0].n_pairs > 0
+    # one deterministic negative per anchor, minus self/collision drops
+    assert rows[0].n_pairs <= rows[1].n_anchors
+    assert rows[0].n_pairs >= int(0.9 * rows[1].n_anchors)
