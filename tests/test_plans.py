@@ -614,3 +614,30 @@ def test_scene_cuts_map_only(spark):
     plan = plan_of(spark, "multimodal_scene_cuts")
     assert "Exchange hashpartitioning" not in plan
     assert "MapInPandas" in plan
+
+
+def test_plan_snapshot(spark):
+    """Every registered query's physical-operator topology must match the
+    committed PLAN_SNAPSHOT.json — a lost broadcast, a new exchange, or a
+    window degrading to a join changes the signature and fails here even
+    when values stay correct and no anti-pattern rule fires. Intentional
+    plan changes re-record with `python tools/plansnap.py`."""
+    import json
+    import os
+
+    from tools.plansnap import SNAPSHOT, plan_signature
+
+    with open(SNAPSHOT) as f:
+        snap = json.load(f)
+    reg = load_all()
+    missing = sorted(set(reg) - set(snap))
+    assert not missing, f"queries missing from snapshot (rerun tools/plansnap.py): {missing}"
+    drifted = {}
+    for name, spec in reg.items():
+        got = plan_signature(spec.fn(spark, SF))
+        if got != snap[name]:
+            drifted[name] = {"snapshot": snap[name], "live": got}
+    assert not drifted, (
+        "plan topology drifted (rerun tools/plansnap.py if intentional): "
+        + json.dumps(drifted, indent=1)[:4000]
+    )
