@@ -1274,3 +1274,67 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.countDistinct("doc_a").cast("bigint").alias("n_anchors"),
     )
+
+
+# --------------------------------------------------- epoch shuffle order --
+_EPOCHS = 3
+_EPOCH_HEAD = 100  # order fingerprint over the first K docs per epoch
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+WITH ep AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d, (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e
+),
+ranked AS (
+  SELECT epoch, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS rn
+  FROM ep
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+           FILTER (WHERE rn <= {_EPOCH_HEAD})) AS head_order_hash
+FROM ranked GROUP BY epoch
+""",
+    doc=f"DETERMINISTIC EPOCH SHUFFLE — the training-loader property that "
+    "makes a run reproducible and resumable without materializing "
+    "shuffled copies: epoch e's order is sort-by-md5(e|doc_id), so any "
+    "worker can recompute its shard's order from (epoch, ids) alone, "
+    "every epoch permutes differently, and a restart mid-epoch resumes "
+    f"at an exact position. Output fingerprints the first {_EPOCH_HEAD} "
+    "positions per epoch (md5 of the ordered id list) plus the per-epoch "
+    "doc count. Plan: epochs explode map-side (×"
+    f"{_EPOCHS}), ONE shuffle on epoch for the per-epoch window; at 100 "
+    "TB the same hash ordering is a prefix of a range-partitioned sort "
+    "per epoch — still no materialized shuffle copies.",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ep = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_EPOCHS - 1))).alias("epoch")
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit("|"), F.col("doc_id").cast("string")
+            )
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    ranked = ep.withColumn("rn", F.row_number().over(w))
+    head = F.when(F.col("rn") <= _EPOCH_HEAD, F.struct("rn", "doc_id"))
+    return ranked.groupBy(F.col("epoch").cast("bigint").alias("epoch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(head)), lambda s: s["doc_id"].cast("string")
+                ),
+            )
+        ).alias("head_order_hash"),
+    )

@@ -2417,3 +2417,57 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------- numeric histogram --
+_HIST_BUCKETS = 16
+
+
+@register(
+    "q_histogram_numeric",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+bounds AS (
+  SELECT MIN(c) AS lo, MAX(c) AS hi,
+         (MAX(c) - MIN(c)) // {_HIST_BUCKETS} + 1 AS w
+  FROM cents
+)
+SELECT CAST((c - b.lo) // b.w AS BIGINT) AS bucket,
+       CAST(b.lo + ((c - b.lo) // b.w) * b.w AS BIGINT) AS lo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM cents, bounds b
+GROUP BY 1, 2
+""",
+    doc=f"Equi-width NUMERIC HISTOGRAM of l_extendedprice in {_HIST_BUCKETS} "
+    "buckets with data-derived bounds — the column-profiling primitive "
+    "behind range-partition planning and data-quality dashboards. All "
+    "arithmetic is exact integer cents (round once, then BIGINT min/max/"
+    "width/bucket — bit-identical cross-engine where float bucket edges "
+    "would not be). Two passes by construction (bounds, then bucketing — "
+    "the same reason MAD needs two), the 1-row bounds broadcast onto the "
+    "scan, one bounded groupBy on the bucket id.",
+)
+def q_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
+    )
+    bounds = li.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.expr(f"(MAX(c) - MIN(c)) div {_HIST_BUCKETS} + 1").alias("w"),
+    )
+    bucket = F.expr("(c - lo) div w")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            bucket.cast("bigint").alias("bucket"),
+            F.expr("lo + ((c - lo) div w) * w").cast("bigint").alias("lo_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -981,3 +981,29 @@ def test_contrastive_pairs_balance_and_purity(spark, sf_dir):
     # one deterministic negative per anchor, minus self/collision drops
     assert rows[0].n_pairs <= rows[1].n_anchors
     assert rows[0].n_pairs >= int(0.9 * rows[1].n_anchors)
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    from pg2parquet_spark.operators import relational as rel
+    from pg2parquet_spark.tables import table as load
+
+    rows = rel.q_histogram_numeric(spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    assert 1 <= len(rows) <= rel._HIST_BUCKETS
+    assert sum(r.n_rows for r in rows) == li.count()
+    assert all(0 <= r.bucket < rel._HIST_BUCKETS for r in rows)
+    # bucket lower edges are strictly increasing with the bucket id
+    srt = sorted(rows, key=lambda r: r.bucket)
+    assert all(a.lo_cents < b.lo_cents for a, b in zip(srt, srt[1:]))
+
+
+def test_epoch_shuffle_orders_differ_and_are_stable(spark, sf_dir):
+    from pg2parquet_spark.operators import curation
+
+    a = {r.epoch: r.head_order_hash for r in curation.pipeline_epoch_shuffle(spark, sf_dir).collect()}
+    b = {r.epoch: r.head_order_hash for r in curation.pipeline_epoch_shuffle(spark, sf_dir).collect()}
+    assert len(a) == curation._EPOCHS
+    # every epoch's order is distinct (hash-salted by epoch) ...
+    assert len(set(a.values())) == curation._EPOCHS
+    # ... and exactly reproducible run to run (the resumability property)
+    assert a == b

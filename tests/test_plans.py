@@ -528,6 +528,7 @@ _BNLJ_WHITELIST = {
     "pipeline_mix_rebalance",     # single-row corpus-total crossJoin
     "pipeline_mix_temperature",   # single-row weight-sum crossJoin
     "q11_important_stock",        # scalar subquery threshold (TPC-H shape)
+    "q_histogram_numeric",        # single-row bounds crossJoin
     "q22_dormant_customers",      # scalar subquery threshold (TPC-H shape)
     "q_cross_join",               # the cross-join demo itself
     "sketch_kmv_intersection",    # 1-row aggregate crossJoin
