@@ -783,6 +783,15 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = per_table[0]
     for p in per_table[1:]:
         cand = cand.unionAll(p)
+    return _score_candidate_pairs(emb, cand)
+
+
+def _score_candidate_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Distinct the (a_id, b_id) candidate set, attach embeddings once, and
+    exact-re-score in an Arrow numpy kernel. Shared tail of the fixed-plane
+    and corpus-adaptive LSH variants — both generate candidates over NARROW
+    id rows and pay the ~512 B vector payload exactly once per surviving
+    pair."""
     # collapse multi-table/multi-probe collisions while rows are 2 ints wide
     cand = cand.distinct()
     # the candidate rows are 2 ints wide, so AQE's size-based coalescing
@@ -836,6 +845,183 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out[out.cos_sim >= threshold]
 
     return paired.mapInPandas(score, schema)
+
+
+# ----------------------------------- corpus-adaptive embedding LSH planes --
+# The two-decade scaling probe (SCALING_r05.md) measured e(upper) = 1.53 for
+# the fixed-plane dedup_embedding_cosine_lsh: with a FIXED bucket-key width,
+# bucket occupancy grows linearly with the corpus and within-bucket candidate
+# pairs quadratically. The documented fix is "planes ≈ log2(corpus /
+# target_occupancy)" — this variant makes that dial REAL and oracle-gated
+# instead of a comment: the bit width is derived from COUNT(*) by an
+# integer threshold chain evaluated identically by Spark and DuckDB (no
+# floats, no log2 rounding hazard), each hash table masks one statically
+# hashed _ADAPT_MAX_BITS-bit key down to the effective width, and the
+# multi-probe radius widens with the width (Hamming ≤1 at 4-5 bits, ≤2 at
+# 6-8, ≤3 at 9-10) so candidate recall stays roughly flat while occupancy is
+# pinned. Probes multiply join-KEY fanout only (2-int rows); vectors still
+# attach exactly once per distinct surviving pair.
+_ADAPT_MAX_BITS = 10
+# n > threshold[i] → bits ≥ 5+i; n ≤ 750 → the fixed-plane variant's 4 bits,
+# under which this query is candidate-for-candidate identical to it.
+_ADAPT_BITS_THRESHOLDS = (750, 1500, 3000, 6000, 12000, 24000)
+
+
+def _adapt_probe_masks(bits: int) -> list[int]:
+    """Probe masks (own bucket + Hamming-ball flips) for an effective width.
+
+    Radius policy: ≤1 bit always; ≤2 once buckets are 64+; ≤3 once 512+.
+    Per-plane sign agreement at the cos 0.4 boundary is p ≈ 0.63, so the
+    4-table union recall stays ≈0.85-0.98 ideal across the whole range
+    (e.g. bits=6 H≤2 → 0.98, bits=9 H≤3 → 0.96) instead of collapsing as
+    p^bits would with a fixed radius."""
+    masks = [0] + [1 << j for j in range(bits)]
+    if bits >= 6:
+        masks += [
+            (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
+        ]
+    if bits >= 9:
+        masks += [
+            (1 << i) | (1 << j) | (1 << h)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+            for h in range(j + 1, bits)
+        ]
+    return masks
+
+
+def _adapt_bits_case(n_expr: str) -> str:
+    """bits = 4 + (#thresholds exceeded) as a pure integer CASE chain —
+    engine-portable (no LOG2 whose half-ulp could flip a CEIL boundary)."""
+    clauses = " ".join(
+        f"WHEN {n_expr} > {t} THEN {4 + len(_ADAPT_BITS_THRESHOLDS) - i}"
+        for i, t in enumerate(reversed(_ADAPT_BITS_THRESHOLDS))
+    )
+    return f"(CASE {clauses} ELSE 4 END)"
+
+
+def _adapt_masks_case(arr) -> str:
+    """CASE bits → static probe-mask array literal; ``arr`` renders a Python
+    list in the engine's array syntax (DuckDB ``[..]`` vs Spark ``array(..)``)."""
+    clauses = " ".join(
+        f"WHEN bits = {b} THEN {arr(_adapt_probe_masks(b))}"
+        for b in range(4, _ADAPT_MAX_BITS + 1)
+    )
+    return f"(CASE {clauses} END)"
+
+
+def _adapt_oracle_sql() -> str:
+    from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
+
+    keys = ", ".join(
+        f"{bucket_sql_offset_n('embedding', EMB_DIM, False, off, _ADAPT_MAX_BITS)} AS kf{t}"
+        for t, off in enumerate(_EMB_LSH_OFFSETS)
+    )
+    masks = _adapt_masks_case(lambda ms: "[" + ", ".join(map(str, ms)) + "]")
+    joins = []
+    for t in range(len(_EMB_LSH_OFFSETS)):
+        joins.append(
+            f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} AS cos_sim
+  FROM (SELECT bk.vec_id, bk.embedding, xor(bk.k{t}, pm.m) AS pk FROM bk, pm) a
+  JOIN bk b ON a.pk = b.k{t} AND a.vec_id < b.vec_id"""
+        )
+    pair_union = "\n  UNION ALL\n".join(joins)
+    kcols = ", ".join(
+        f"kf{t} % (1 << bits) AS k{t}" for t in range(len(_EMB_LSH_OFFSETS))
+    )
+    return f"""
+WITH par AS (SELECT {_adapt_bits_case('COUNT(*)')} AS bits FROM embeddings),
+bkf AS (SELECT vec_id, embedding, {keys} FROM embeddings),
+bk AS (SELECT vec_id, embedding, {kcols} FROM bkf, par),
+pm AS (SELECT unnest({masks}) AS m FROM par),
+pairs AS (
+  {pair_union}
+)
+SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine_lsh_adaptive",
+    oracle=_adapt_oracle_sql(),
+    doc="Embedding-cosine near-dup pairs with a CORPUS-ADAPTIVE bucket width — "
+    "the scale dial SCALING_r05.md's two-decade probe demanded, made real and "
+    "oracle-gated. bits = 4 + #integer-thresholds-exceeded by COUNT(*) "
+    "(750·2^i chain — no float log2, so Spark and DuckDB agree bit-for-bit); "
+    "each of the 4 hash tables hashes one static 10-bit sign key and masks it "
+    "to the effective width, pinning per-bucket occupancy (~constant) so "
+    "within-bucket candidate pairs grow ~linearly with the corpus instead of "
+    "quadratically. Multi-probe radius widens with the width (H≤1/≤2/≤3 at "
+    "4-5/6-8/9-10 bits) to hold candidate recall ≈flat; probes explode join "
+    "KEYS only. At n ≤ 750 (the driver's sf0.01 gate) this is candidate-for-"
+    "candidate identical to dedup_embedding_cosine_lsh (tested); at sf0.1 the "
+    "6-bit/H≤2 path runs under the oracle; the synth decade exercises 9 bits "
+    "(tools/scaleprobe.py). Same exact Arrow re-score tail as the fixed "
+    "variant (_score_candidate_pairs).",
+)
+def dedup_embedding_cosine_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
+
+    emb = table(spark, sf_dir, "embeddings")
+    par = (
+        emb.agg(F.count("*").alias("n"))
+        .select(F.expr(_adapt_bits_case("n")).alias("bits"))
+        .select(
+            "bits",
+            F.expr(
+                _adapt_masks_case(lambda ms: "array(" + ", ".join(map(str, ms)) + ")")
+            ).alias("probe_masks"),
+        )
+    )
+    bkf = emb.select(
+        "vec_id",
+        *[
+            F.expr(
+                bucket_sql_offset_n("embedding", EMB_DIM, True, off, _ADAPT_MAX_BITS)
+            ).alias(f"kf{t}")
+            for t, off in enumerate(_EMB_LSH_OFFSETS)
+        ],
+    )
+    # 1-row params side: bits + the active probe-mask array
+    bk = bkf.crossJoin(F.broadcast(par)).select(
+        "vec_id",
+        "probe_masks",
+        *[
+            F.expr(f"kf{t} % shiftleft(1, bits)").alias(f"k{t}")
+            for t in range(len(_EMB_LSH_OFFSETS))
+        ],
+    )
+    # hash once, reuse 8×: the 4 tables each consume bk on BOTH join sides,
+    # and the 40 plane dots (4 tables × 10 planes × ~60 mult-adds) are the
+    # dominant map cost — one expression that wide also falls out of
+    # whole-stage codegen, so recomputing it per consumer is interpreted
+    # work. Materializing the NARROW signature rows (vec_id + 4 ints + the
+    # shared mask array) is exactly what a signature store does at 100 TB;
+    # measured 118 s → 8.3 s at sf0.1. Lazy checkpoint: blocks materialize on
+    # first consumption and ContextCleaner reclaims them when the returned
+    # DataFrame is GC'd (same lifecycle as connected_components' final
+    # labels checkpoint below).
+    bk = bk.localCheckpoint(eager=False)
+    per_table = []
+    for t in range(len(_EMB_LSH_OFFSETS)):
+        k = F.col(f"k{t}")
+        a = bk.select(
+            F.col("vec_id").alias("a_id"),
+            F.explode(
+                F.transform("probe_masks", lambda m: k.bitwiseXOR(m))
+            ).alias("ka"),
+        )
+        b = bk.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
+        per_table.append(
+            a.join(
+                b, (F.col("ka") == F.col("kb")) & (F.col("a_id") < F.col("b_id"))
+            ).select("a_id", "b_id")
+        )
+    cand = per_table[0]
+    for p in per_table[1:]:
+        cand = cand.unionAll(p)
+    return _score_candidate_pairs(emb, cand)
 
 
 # ------------------------------------------- end-to-end curation pipeline --
@@ -1550,3 +1736,87 @@ def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sc.groupBy("verdict").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+# ------------------------------------------- asymmetric containment pairs --
+# Jaccard misses the doc-inside-doc case: a 50-shingle snippet fully pasted
+# into a 500-shingle page has J = 50/500 = 0.1 — invisible at any sane
+# Jaccard threshold, yet it is exactly the duplication that leaks eval/
+# boilerplate text into a training corpus. Containment C(small→large) =
+# |A∩B| / |A_small| is the asymmetric measure (Broder's original resemblance
+# paper defines both). Same inverted-index candidate shape as
+# dedup_ngram_jaccard — one shingle-keyed equi-join, stop-shingle
+# pre-filter first — with the decision made by INTEGER comparison
+# (10·common ≥ 9·n_small) so the gate is oracle-exact.
+_CONTAIN_NUM = 9
+_CONTAIN_DEN = 10  # containment threshold 0.9
+
+
+@register(
+    "dedup_containment_ngrams",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+  FROM (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shingled_f) a
+  JOIN (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shingled_f) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CASE WHEN na < nb THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN na < nb THEN doc_b ELSE doc_a END AS doc_large,
+       CAST(common AS BIGINT) AS common,
+       CAST(LEAST(na, nb) AS BIGINT) AS n_small,
+       CAST(GREATEST(na, nb) AS BIGINT) AS n_large,
+       CAST(common AS DOUBLE) / LEAST(na, nb) AS containment
+FROM pairs
+WHERE LEAST(na, nb) < GREATEST(na, nb)
+  AND common * {_CONTAIN_DEN} >= LEAST(na, nb) * {_CONTAIN_NUM}
+""",
+    doc=f"Asymmetric containment near-dups: pairs where ≥{_CONTAIN_NUM}/"
+    f"{_CONTAIN_DEN} of the SMALLER document's distinct 3-gram shingles "
+    "appear in the larger one and the sizes differ — the doc-inside-doc "
+    "duplication Jaccard cannot see (J of a snippet pasted into a 10× page "
+    "is ~0.1). Candidate generation is the identical inverted-index "
+    "equi-join as dedup_ngram_jaccard (stop-shingle pre-filter, sizes ride "
+    "the explode so no post-agg lookup joins); the decision is an integer "
+    "comparison, the reported containment one exact division. Catches the "
+    "planted suffix-extended near-copies as (original ⊂ copy).",
+)
+def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = stop_filtered_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    n_small = F.least("na", "nb")
+    n_large = F.greatest("na", "nb")
+    return (
+        pairs.filter(
+            (n_small < n_large)
+            & (F.col("common") * _CONTAIN_DEN >= n_small * _CONTAIN_NUM)
+        )
+        .select(
+            F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_small"),
+            F.when(F.col("na") < F.col("nb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_large"),
+            F.col("common").cast("bigint").alias("common"),
+            n_small.cast("bigint").alias("n_small"),
+            n_large.cast("bigint").alias("n_large"),
+            (F.col("common").cast("double") / n_small).alias("containment"),
+        )
+    )

@@ -767,3 +767,230 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), "a", "b").limit(_COLLOC_TOP_K)
+
+
+# ------------------------------------------------- hybrid retrieval (RRF) --
+# Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09): fuse a lexical
+# and a dense retrieval run per query without score calibration — each leg
+# contributes 1/(k + rank), k = 60 per the paper. The fused score is kept in
+# integer units of SCALE//(k+rank) so both engines agree bit-for-bit (ranks
+# are integers; no float score mixing).
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_RRF_LEG_TOP = 20  # fuse the top-L list of each leg (standard RRF input)
+_RRF_TOP_K = 5
+_RRF_QUERY_FILTER = "doc_id % 50 = 0"  # bounded request set, by contract
+
+
+def _rrf_oracle_sql() -> str:
+    from pg2parquet_spark.operators.similarity import EMB_DIM, dot_sql
+
+    return rf"""
+WITH qset AS (
+  SELECT d.doc_id AS q_id FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.{_RRF_QUERY_FILTER}
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        FROM documents)
+),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+qinv AS (SELECT q.q_id, i.s FROM qset q JOIN inv i ON i.doc_id = q.q_id),
+ovl AS (
+  SELECT q.q_id, i.doc_id AS cand_id, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM qinv q JOIN inv i ON q.s = i.s AND i.doc_id <> q.q_id
+  GROUP BY q.q_id, i.doc_id
+),
+lex AS (
+  SELECT q_id, cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY overlap DESC, cand_id) AS BIGINT) AS lex_rank
+  FROM ovl
+  QUALIFY lex_rank <= {_RRF_LEG_TOP}
+),
+den AS (
+  SELECT q.q_id, e.vec_id AS cand_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
+              ORDER BY {dot_sql('qe.embedding', 'e.embedding', EMB_DIM, False)} DESC, e.vec_id) AS BIGINT) AS emb_rank
+  FROM qset q JOIN embeddings qe ON qe.vec_id = q.q_id
+       JOIN embeddings e ON e.vec_id <> q.q_id
+  QUALIFY emb_rank <= {_RRF_LEG_TOP}
+),
+fused AS (
+  SELECT q_id, cand_id,
+         CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + lex_rank), 0)
+            + COALESCE({_RRF_SCALE} // ({_RRF_K} + emb_rank), 0) AS BIGINT) AS rrf_score,
+         lex_rank, emb_rank
+  FROM lex FULL OUTER JOIN den USING (q_id, cand_id)
+)
+SELECT q_id, cand_id, rrf_score, lex_rank, emb_rank
+FROM fused
+QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, cand_id) <= {_RRF_TOP_K}
+"""
+
+
+@register(
+    "text_rrf_hybrid",
+    oracle=_rrf_oracle_sql(),
+    doc=f"Hybrid retrieval with reciprocal-rank fusion (k={_RRF_K}): per query "
+    f"document, a LEXICAL leg (3-gram shingle-overlap count via an inverted "
+    f"index — the query side's shingles broadcast, so the corpus index join "
+    f"is linear in the corpus and shuffles once on the (q,cand) groupBy) and "
+    f"a DENSE leg (exact fixed-order cosine, query embeddings broadcast — "
+    f"the ann_cosine_topk contract shape) each produce a top-{_RRF_LEG_TOP} "
+    f"list; fusion is a full-outer join of the two bounded lists with "
+    f"integer score SCALE//(k+rank) summed over present legs, then top-"
+    f"{_RRF_TOP_K} per query. The RAG-stack operator: different candidate "
+    f"universes per leg (every document vs embedded subset) is the point of "
+    f"RRF — no score calibration, rank-only fusion, integer-exact for the "
+    f"oracle. Query set is bounded BY CONTRACT ({_RRF_QUERY_FILTER}), like "
+    f"every ANN query here.",
+)
+def text_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.similarity import dot_col
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    qset = (
+        docs.filter(_RRF_QUERY_FILTER)
+        .join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .select(F.col("doc_id").alias("q_id"))
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    qinv = inv.join(
+        F.broadcast(qset), inv["doc_id"] == qset["q_id"]
+    ).select("q_id", "s")
+    ovl = (
+        inv.join(F.broadcast(qinv), "s")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    w_lex = Window.partitionBy("q_id").orderBy(F.desc("overlap"), "cand_id")
+    lex = (
+        ovl.withColumn("lex_rank", F.row_number().over(w_lex).cast("bigint"))
+        .filter(F.col("lex_rank") <= _RRF_LEG_TOP)
+        .select("q_id", "cand_id", "lex_rank")
+    )
+    qe = qset.join(emb, qset["q_id"] == emb["vec_id"]).select(
+        "q_id", F.col("embedding").alias("q_emb")
+    )
+    w_den = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "cand_id")
+    den = (
+        emb.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            dot_col("q_emb", "embedding").alias("cos_sim"),
+        )
+        .withColumn("emb_rank", F.row_number().over(w_den).cast("bigint"))
+        .filter(F.col("emb_rank") <= _RRF_LEG_TOP)
+        .select("q_id", "cand_id", "emb_rank")
+    )
+    fused = lex.join(den, ["q_id", "cand_id"], "full_outer").select(
+        "q_id",
+        "cand_id",
+        (
+            F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + emb_rank)"), F.lit(0))
+        ).cast("bigint").alias("rrf_score"),
+        "lex_rank",
+        "emb_rank",
+    )
+    w_fin = Window.partitionBy("q_id").orderBy(F.desc("rrf_score"), "cand_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w_fin))
+        .filter(F.col("rn") <= _RRF_TOP_K)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------- distribution drift (epoch TV) --
+# Dataset-drift monitor between two ingestion epochs — the check a training-
+# data pipeline runs before each refresh ("did the crawl's distribution move
+# under us?"). PSI is the textbook metric but needs ln(p/q); libm logs are
+# not correctly rounded, so cross-engine hash equality would be luck. Total
+# variation distance is the same monitoring decision with EXACT integer
+# arithmetic: TV = Σ|p_i − q_i|/2 = Σ|cnt_a·tot_b − cnt_b·tot_a| /
+# (2·tot_a·tot_b) — we emit the integer numerator and totals, and the drift
+# flag compares integers (TV > 0.1 ⟺ 5·tv_num > tot_a·tot_b).
+_DRIFT_SPLIT = "2024-01-16"  # epoch boundary: first vs second half of the month
+_DRIFT_BIN = 500  # value bins of 5.00 (cents // 500), exact via DECIMAL cents
+
+
+@register(
+    "quality_tv_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // {_DRIFT_BIN} AS bin,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+  FROM events
+  GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, bin, cnt_a, cnt_b,
+         SUM(cnt_a) OVER (PARTITION BY event_type) AS tot_a,
+         SUM(cnt_b) OVER (PARTITION BY event_type) AS tot_b
+  FROM binned
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(MAX(tot_a) AS BIGINT) AS tot_a,
+       CAST(MAX(tot_b) AS BIGINT) AS tot_b,
+       CAST(SUM(ABS(cnt_a * tot_b - cnt_b * tot_a)) AS BIGINT) AS tv_num,
+       CAST(SUM(ABS(cnt_a * tot_b - cnt_b * tot_a)) * 5 > MAX(tot_a) * MAX(tot_b) AS BOOLEAN) AS drifted
+FROM tot
+GROUP BY event_type
+""",
+    doc=f"Per-event-type distribution drift between the two halves of the "
+    f"ingestion window (split {_DRIFT_SPLIT}): value histogram in exact "
+    f"5.00-unit bins (DECIMAL cents // {_DRIFT_BIN} — no float floor), then "
+    f"total-variation distance as an integer numerator Σ|cnt_a·tot_b − "
+    f"cnt_b·tot_a| with the drift flag TV > 0.1 decided by integer "
+    f"comparison. ONE corpus scan → one (type,bin) shuffle with map-side "
+    f"combine → a type-keyed window + final bounded groupBy; at 100 TB both "
+    f"epoch counts come from the same pass (no per-epoch rescan) and the "
+    f"result is |types| rows. The PSI alternative needs ln(); TV keeps the "
+    f"identical monitoring decision oracle-exact (see module determinism "
+    f"contract).",
+)
+def quality_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    in_a = (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).cast("bigint")
+    binned = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div {_DRIFT_BIN}"
+            ).alias("bin"),
+            in_a.alias("a"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("a").cast("bigint").alias("cnt_a"),
+            F.sum(1 - F.col("a")).cast("bigint").alias("cnt_b"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    tot = binned.select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w).alias("tot_a"),
+        F.sum("cnt_b").over(w).alias("tot_b"),
+    )
+    diff = F.abs(F.col("cnt_a") * F.col("tot_b") - F.col("cnt_b") * F.col("tot_a"))
+    return tot.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.max("tot_a").cast("bigint").alias("tot_a"),
+        F.max("tot_b").cast("bigint").alias("tot_b"),
+        F.sum(diff).cast("bigint").alias("tv_num"),
+        (F.sum(diff) * 5 > F.max("tot_a") * F.max("tot_b")).alias("drifted"),
+    )

@@ -73,9 +73,19 @@ def plane_dot_sql(emb: str, plane: int, dim: int, zero_based: bool) -> str:
 def bucket_sql_offset(emb: str, dim: int, zero_based: bool, offset: int) -> str:
     """Independent hash table: same sign-bucket scheme with plane ids shifted
     by ``offset`` → a different deterministic hyperplane set."""
+    return bucket_sql_offset_n(emb, dim, zero_based, offset, _PLANES)
+
+
+def bucket_sql_offset_n(
+    emb: str, dim: int, zero_based: bool, offset: int, nplanes: int
+) -> str:
+    """``bucket_sql_offset`` with an explicit plane count — the corpus-adaptive
+    LSH (dedup.py) hashes a FULL wide key once and masks it down to the
+    data-derived bit width, so the plane count here is the maximum, not the
+    effective, bucket granularity."""
     bits = [
         f"(CASE WHEN {plane_dot_sql(emb, j + offset, dim, zero_based)} > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(_PLANES)
+        for j in range(nplanes)
     ]
     return "(" + " + ".join(bits) + ")"
 

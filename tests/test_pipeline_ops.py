@@ -172,6 +172,66 @@ def test_embedding_lsh_recall(spark, sf_dir):
     assert recall >= 0.80, f"LSH recall collapsed: measured {recall:.3f} < 0.80 floor"
 
 
+def test_embedding_lsh_adaptive_equals_fixed_below_first_threshold(spark, sf_dir):
+    """At n ≤ 750 the adaptive variant's masked 10-bit keys reduce to the
+    fixed variant's 4-bit keys and the probe set is the same Hamming-1 ball,
+    so the two must be candidate-for-candidate identical: equal pair sets,
+    bit-identical scores."""
+    base = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_lsh(spark, sf_dir).collect()
+    }
+    adap = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_lsh_adaptive(spark, sf_dir).collect()
+    }
+    assert adap == base
+
+
+def test_adaptive_probe_mask_policy():
+    """Width → probe-radius policy: mask counts follow 1 + C(b,1) [+ C(b,2)
+    at ≥6 bits] [+ C(b,3) at ≥9 bits], every mask stays below 2^bits, no
+    duplicates — a radius-policy edit that silently drops probes (and with
+    them recall) fails here."""
+    from math import comb
+
+    for b in range(4, dedup._ADAPT_MAX_BITS + 1):
+        ms = dedup._adapt_probe_masks(b)
+        want = (
+            1
+            + comb(b, 1)
+            + (comb(b, 2) if b >= 6 else 0)
+            + (comb(b, 3) if b >= 9 else 0)
+        )
+        assert len(ms) == len(set(ms)) == want
+        assert all(0 <= m < (1 << b) for m in ms)
+
+
+def test_adaptive_bits_chain_is_engine_portable(spark):
+    """The bit-width CASE chain must evaluate identically in DuckDB and Spark
+    at every threshold boundary — the exact reason it is an integer CASE, not
+    a log2 whose half-ulp could flip a CEIL."""
+    import duckdb
+
+    expr = dedup._adapt_bits_case("n")
+    probes = sorted(
+        {1, 10**9}
+        | {t for t in dedup._ADAPT_BITS_THRESHOLDS}
+        | {t + 1 for t in dedup._ADAPT_BITS_THRESHOLDS}
+    )
+    ref = {n: 4 + sum(n > t for t in dedup._ADAPT_BITS_THRESHOLDS) for n in probes}
+    con = duckdb.connect()
+    for n in probes:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        assert got == ref[n], f"duckdb bits({n}) = {got} != {ref[n]}"
+    df = spark.createDataFrame([(n,) for n in probes], "n long").select(
+        "n", F.expr(expr).alias("b")
+    )
+    assert {r.n: r.b for r in df.collect()} == ref
+
+
 def test_hll_linear_counting_branch(spark, tmp_path):
     """sketch_hll_corrected must actually TAKE the linear-counting branch on
     a low-cardinality corpus (many empty registers) and land closer to the
@@ -1007,3 +1067,63 @@ def test_epoch_shuffle_orders_differ_and_are_stable(spark, sf_dir):
     assert len(set(a.values())) == curation._EPOCHS
     # ... and exactly reproducible run to run (the resumability property)
     assert a == b
+
+
+def test_rrf_hybrid_fuses_both_legs(spark, sf_dir):
+    """Every query gets exactly top-K fused rows; a candidate present in both
+    legs outscores the same ranks taken singly; rank payloads are consistent
+    with the integer RRF score recomputed in-test."""
+    from pg2parquet_spark.operators import quality
+
+    rows = quality.text_rrf_hybrid(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 10  # doc_id % 50 = 0 over the 500-doc fixture corpus
+    for q, rs in by_q.items():
+        assert len(rs) == quality._RRF_TOP_K
+        for r in rs:
+            want = 0
+            if r.lex_rank is not None:
+                assert 1 <= r.lex_rank <= quality._RRF_LEG_TOP
+                want += quality._RRF_SCALE // (quality._RRF_K + r.lex_rank)
+            if r.emb_rank is not None:
+                assert 1 <= r.emb_rank <= quality._RRF_LEG_TOP
+                want += quality._RRF_SCALE // (quality._RRF_K + r.emb_rank)
+            assert r.rrf_score == want and want > 0
+            assert r.cand_id != r.q_id
+    # fusion actually mixes: some returned row carries BOTH leg ranks
+    assert any(r.lex_rank is not None and r.emb_rank is not None for r in rows)
+
+
+def test_tv_drift_bounds_and_totals(spark, sf_dir):
+    """TV numerator obeys 0 <= tv_num <= 2*tot_a*tot_b (TV in [0,1]); totals
+    per type sum to the corpus count; the drift flag is exactly the integer
+    comparison re-derived in-test."""
+    from pg2parquet_spark.operators import quality
+    from pg2parquet_spark.tables import table as load
+
+    rows = quality.quality_tv_drift(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    assert sum(r.tot_a + r.tot_b for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.tv_num <= 2 * r.tot_a * r.tot_b
+        assert r.drifted == (r.tv_num * 5 > r.tot_a * r.tot_b)
+        assert r.n_bins >= 1
+
+
+def test_containment_finds_planted_snippet_inclusions(spark, sf_dir):
+    """The suffix-extended planted copies (doc+2000000 = doc text + 5 new
+    tokens) must appear as (original ⊂ copy) containment pairs, with the
+    original on the small side; containment respects its threshold and the
+    sizes are strictly ordered."""
+    rows = dedup.dedup_containment_ngrams(spark, sf_dir).collect()
+    pairs = {(r.doc_small, r.doc_large): r for r in rows}
+    # docs % 7 == 0 got a ' zz0..zz4'-suffixed copy; 0 % 35 overlaps the
+    # upper-cased copy family but original⊂suffix-copy still holds for all
+    planted = [p for p in pairs if p[1] == p[0] + 2000000]
+    assert len(planted) >= 70  # 72 planted at the fixture corpus size
+    for r in rows:
+        assert r.n_small < r.n_large
+        assert 10 * r.common >= 9 * r.n_small
+        assert r.containment == r.common / r.n_small

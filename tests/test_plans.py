@@ -535,6 +535,7 @@ _BNLJ_WHITELIST = {
     "sketch_quantile_hist",       # 3 targets x bounded bin table
     "text_bm25_topk",             # single-row corpus stats crossJoin
     "text_collocations_lift",     # single-row token-total crossJoin
+    "text_rrf_hybrid",            # bounded query-set crossJoin (ann contract)
     "text_tfidf_topk",            # single-row corpus stats crossJoin
 }
 

@@ -100,6 +100,7 @@ _FAMILY = (
     "dedup_substring_ngrams",
     "dedup_cluster_components",
     "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_adaptive",
 )
 
 
