@@ -196,3 +196,109 @@ def graph_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tri
+
+
+# ------------------------------------------- neighborhood similarity (top-k) --
+# "Accounts like this one": rank each supplier's most-similar peers by the
+# Jaccard of their customer sets. The naive formulation (all supplier pairs
+# over a shared-customer join) is quadratic in the dense direction — at sf0.1
+# the CUSTOMER-pair version of this query would emit 83M pairs. Two design
+# moves keep it scale-safe: (1) similarity is computed over the SMALL side of
+# the bipartite graph (suppliers), with pair generation keyed by customer, so
+# the join fan-out is Σ_c C(deg(c), 2) — per-customer assortment, not corpus
+# size; (2) a deterministic per-customer cap bounds that fan-out against the
+# buy-everything customer (the MinHash bucket-cap lesson, same pattern), and
+# (3) output is TOP-K per supplier, never the full pair matrix.
+_NSIM_CUST_CAP = 256  # suppliers per customer considered for pairing
+_NSIM_TOP_K = 3
+
+
+@register(
+    "graph_supplier_similarity",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+capped AS (
+  SELECT c, s FROM (
+    SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn FROM e
+  ) WHERE rn <= {_NSIM_CUST_CAP}
+),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY s),
+inter AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS i
+  FROM capped a JOIN capped b ON a.c = b.c AND a.s <> b.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT sa, sb, i, da.d + db.d - i AS u,
+         CAST(i AS DOUBLE) / (da.d + db.d - i) AS jaccard
+  FROM inter JOIN deg da ON da.s = sa JOIN deg db ON db.s = sb
+)
+SELECT sa AS suppkey, CAST(rnk AS BIGINT) AS rank, sb AS partner,
+       i AS inter_cnt, CAST(u AS BIGINT) AS union_cnt, jaccard
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sa ORDER BY jaccard DESC, sb) AS rnk
+      FROM scored)
+WHERE rnk <= {_NSIM_TOP_K}
+""",
+    doc=f"Top-{_NSIM_TOP_K} most-similar peers per supplier by customer-set "
+    "Jaccard. Pair generation is keyed by CUSTOMER (the bipartite inverted "
+    f"index) with a deterministic {_NSIM_CUST_CAP}-suppliers-per-customer "
+    "cap bounding the C(deg,2) fan-out — inert at fixture degrees (max ~64) "
+    "but the difference between a shuffle and an OOM against a "
+    "buy-everything key at crawl scale. Jaccard is one exact division of "
+    "BIGINT counts; ranking ties break by partner id. Output is K rows per "
+    "supplier, never the pair matrix.",
+)
+def graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        e.withColumn("rn", F.row_number().over(W.partitionBy("c").orderBy("s")))
+        .filter(F.col("rn") <= _NSIM_CUST_CAP)
+        .select("c", "s")
+    )
+    deg = capped.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") != F.col("b.s")))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("db"))
+    scored = (
+        inter.join(F.broadcast(da), "sa")
+        .join(F.broadcast(db), "sb")
+        .select(
+            "sa",
+            "sb",
+            "i",
+            (F.col("da") + F.col("db") - F.col("i")).cast("bigint").alias("u"),
+            (
+                F.col("i").cast("double") / (F.col("da") + F.col("db") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+    w = W.partitionBy("sa").orderBy(F.desc("jaccard"), "sb")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _NSIM_TOP_K)
+        .select(
+            F.col("sa").alias("suppkey"),
+            F.col("rnk").alias("rank"),
+            F.col("sb").alias("partner"),
+            F.col("i").alias("inter_cnt"),
+            F.col("u").alias("union_cnt"),
+            "jaccard",
+        )
+    )

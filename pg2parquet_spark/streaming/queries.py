@@ -601,3 +601,82 @@ def stream_foreachbatch_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("total_cents").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "stream_left_outer_join",
+    oracle="""
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT c.user_id, c.ts, COUNT(p.ts) AS n
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+  GROUP BY 1, 2
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+         - INTERVAL '1 hour' AS w
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN n = 0 AND ts + INTERVAL '30 minutes' < (SELECT w FROM wm)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_expired_unmatched
+FROM m GROUP BY user_id
+""",
+    doc="STREAM-STREAM LEFT OUTER join: clicks left-joined to purchases of "
+    "the same user within 30 minutes. The outer semantics are the whole "
+    "point: a click emits its null-side row ONLY when the global watermark "
+    "(min over both sides of max-event-time − 1 h) passes click_ts + 30 min "
+    "— before that the row can still match and stays in state. The oracle "
+    "mirrors that eviction rule EXACTLY (the wm CTE), so unmatched clicks "
+    "inside the final watermark horizon are correctly reported as still "
+    "buffered, not as nulls — verified: at sf0.01 1981 of 1983 unmatched "
+    "clicks expire, 2 remain in state. State is bounded by the watermark "
+    "horizon; user_id is the shuffle key; sink receives one row per click "
+    "(matched or expired), aggregated per user post-sink.",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select("user_id", (F.col("purchase_ts").isNull()).alias("expired"))
+    name = f"stream_louter_{next(_counter)}"
+    with _state_partitions(spark):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.sum((~F.col("expired")).cast("bigint")).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("expired").cast("bigint"))
+            .cast("bigint")
+            .alias("n_expired_unmatched"),
+        )
+    )

@@ -1127,3 +1127,71 @@ def test_containment_finds_planted_snippet_inclusions(spark, sf_dir):
         assert r.n_small < r.n_large
         assert 10 * r.common >= 9 * r.n_small
         assert r.containment == r.common / r.n_small
+
+
+def test_supplier_similarity_topk_shape_and_symmetry(spark, sf_dir):
+    """Exactly <=K partners per supplier, ranks contiguous from 1, Jaccard
+    consistent with inter/union, and the measure is symmetric: if b is a's
+    partner with (i,u), then the directed edge a->b and b->a (when present)
+    carry identical inter/union."""
+    from pg2parquet_spark.operators import graph
+
+    rows = graph.graph_supplier_similarity(spark, sf_dir).collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r.suppkey, []).append(r)
+    assert by_s, "no suppliers ranked"
+    seen = {}
+    for s, rs in by_s.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(rs) <= graph._NSIM_TOP_K
+        for r in rs:
+            assert r.jaccard == r.inter_cnt / r.union_cnt
+            assert 0 < r.inter_cnt <= r.union_cnt
+            seen[(r.suppkey, r.partner)] = (r.inter_cnt, r.union_cnt)
+    for (a, b), iu in seen.items():
+        if (b, a) in seen:
+            assert seen[(b, a)] == iu
+
+
+def test_stream_left_outer_join_watermark_buffering(spark, sf_dir):
+    """The outer join's null-side rows follow the watermark eviction rule:
+    total expired-unmatched equals the batch-side recomputation, and at
+    least one unmatched click near stream end stays buffered (NOT emitted) —
+    the property that distinguishes a watermarked outer join from a batch
+    outer join."""
+    from pg2parquet_spark.streaming import queries as sq
+    from pg2parquet_spark.tables import table as load
+
+    rows = sq.stream_left_outer_join(spark, sf_dir).collect()
+    got_expired = sum(r.n_expired_unmatched for r in rows)
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter("event_type = 'click'").select("user_id", F.col("ts").alias("cts"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    m = (
+        c.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        .groupBy("user_id", "cts")
+        .agg(F.count("pts").alias("n"))
+    )
+    wm_row = (
+        c.agg(F.max("cts").alias("mc"))
+        .crossJoin(p.agg(F.max("pts").alias("mp")))
+        .selectExpr("least(mc, mp) - INTERVAL 1 HOUR AS w")
+        .collect()[0]
+    )
+    unmatched = m.filter("n = 0")
+    expired = unmatched.filter(
+        F.col("cts") + F.expr("INTERVAL 30 MINUTES") < F.lit(wm_row.w)
+    ).count()
+    still_buffered = unmatched.count() - expired
+    assert got_expired == expired
+    assert still_buffered >= 1  # the tail click(s) the watermark protects
