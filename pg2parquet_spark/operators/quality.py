@@ -959,7 +959,10 @@ GROUP BY event_type
     f"epoch counts come from the same pass (no per-epoch rescan) and the "
     f"result is |types| rows. The PSI alternative needs ln(); TV keeps the "
     f"identical monitoring decision oracle-exact (see module determinism "
-    f"contract).",
+    f"contract). Domain note: binning assumes value ≥ 0 (true of this "
+    f"corpus); for signed features the integer floor/truncate division "
+    f"split between engines (DuckDB // floors, Spark div truncates) would "
+    f"need a floor-consistent bin expression.",
 )
 def quality_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")

@@ -2471,3 +2471,85 @@ def q_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# -------------------------------------------------- last-touch attribution --
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@register(
+    "q_events_attribution",
+    oracle=f"""
+WITH u AS (
+  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+t AS (
+  SELECT *, CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER
+           (PARTITION BY user_id
+            ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nclicks
+  FROM u
+),
+clicks AS (SELECT user_id, nclicks AS seq, event_id AS c_id, us AS c_us
+           FROM t WHERE event_type = 'click'),
+purch AS (SELECT user_id, event_id, us, nclicks FROM t WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       CASE WHEN p.us - c.c_us <= {_ATTR_WINDOW_US} THEN c.c_id END AS click_event_id,
+       CASE WHEN p.us - c.c_us <= {_ATTR_WINDOW_US} THEN (p.us - c.c_us) // 1000000 END AS gap_seconds,
+       COALESCE(p.us - c.c_us <= {_ATTR_WINDOW_US}, FALSE) AS attributed
+FROM purch p LEFT JOIN clicks c ON c.user_id = p.user_id AND c.seq = p.nclicks
+""",
+    doc="Last-touch marketing attribution: each purchase attributes to the "
+    f"user's most recent click ≤ 7 days before it (ties at the same "
+    "microsecond count the click — clicks sort first). The scale-shaped "
+    "trick: a running conditional COUNT over ONE user-keyed window numbers "
+    "the clicks AND hands every purchase its latest-click ordinal in the "
+    "same pass — no per-purchase subquery, no as-of range join; attribution "
+    "is then a (user, ordinal) equi-join. Gap math in epoch microseconds "
+    "(exact integers); rows = purchases, bounded.",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.when(F.col("event_type") == "click", 0).otherwise(1),
+            "event_id",
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = u.withColumn(
+        "nclicks",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).cast("bigint"),
+    )
+    clicks = t.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("nclicks").alias("seq"),
+        F.col("event_id").alias("c_id"),
+        F.col("us").alias("c_us"),
+    )
+    purch = t.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "us", "nclicks"
+    )
+    joined = purch.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id")) & (F.col("seq") == F.col("nclicks")),
+        "left",
+    )
+    in_window = F.col("us") - F.col("c_us") <= _ATTR_WINDOW_US
+    return joined.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.when(in_window, F.col("c_id")).alias("click_event_id"),
+        F.when(in_window, F.expr(f"(us - c_us) div 1000000")).alias("gap_seconds"),
+        F.coalesce(in_window, F.lit(False)).alias("attributed"),
+    )

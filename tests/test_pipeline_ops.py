@@ -1195,3 +1195,36 @@ def test_stream_left_outer_join_watermark_buffering(spark, sf_dir):
     still_buffered = unmatched.count() - expired
     assert got_expired == expired
     assert still_buffered >= 1  # the tail click(s) the watermark protects
+
+
+def test_attribution_last_touch_semantics(spark, sf_dir):
+    """Row per purchase; attributed rows point at the LATEST click <= 7 days
+    back (cross-checked per user against raw events); same-microsecond
+    click/purchase pairs attribute (click sorts first)."""
+    from pg2parquet_spark.operators import relational as rel
+
+    rows = rel.q_events_attribution(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").collect()
+    purchases = [e for e in ev if e.event_type == "purchase"]
+    clicks = {}
+    for e in ev:
+        if e.event_type == "click":
+            clicks.setdefault(e.user_id, []).append(e)
+    assert len(rows) == len(purchases)
+    by_pid = {r.purchase_event_id: r for r in rows}
+    ev_by_id = {e.event_id: e for e in ev}
+    for p in purchases:
+        r = by_pid[p.event_id]
+        cand = [
+            c
+            for c in clicks.get(p.user_id, [])
+            if (c.ts, 0, c.event_id) <= (p.ts, 1, p.event_id)
+        ]
+        last = max(cand, key=lambda c: (c.ts, c.event_id), default=None)
+        window_us = rel._ATTR_WINDOW_US
+        if last is not None and (p.ts - last.ts).total_seconds() * 1e6 <= window_us:
+            assert r.attributed and r.click_event_id == last.event_id
+            assert r.gap_seconds == int((p.ts - last.ts).total_seconds())
+            assert ev_by_id[r.click_event_id].ts <= p.ts
+        else:
+            assert not r.attributed and r.click_event_id is None

@@ -176,11 +176,12 @@ def decade2(out_path: str) -> None:
             fn = reg[name].fn
             t1 = run(fn, SF_SMALL)
             t2 = run(fn, SF_BIG)
-            # one execution at the top scale: the JIT/codegen is already warm
-            # from the two lower decades of the same plan, and the top point
-            # is minutes-scale — a warm pass would double probe cost for a
-            # single-digit-% timing refinement that cannot change e(upper)
-            t3 = run(fn, synth, n_timed=1, warm=False)
+            # the top point is warm best-of-2 like the lower decades: a cold
+            # single-shot measurement there swung 2-4x across runs (page
+            # cache, first-shuffle materialization, heap growth to Xmx, AQE
+            # stats of the freshly written synth files all land in it), which
+            # is noise in exactly the decade the probe exists to read
+            t3 = run(fn, synth)
             r12, r23 = t2 / max(t1, 1e-9), t3 / max(t2, 1e-9)
             # effective exponent over the upper decade: t ~ n^e => e = log10(r)
             e23 = math.log10(max(r23, 1e-9))
