@@ -997,3 +997,80 @@ def quality_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(diff).cast("bigint").alias("tv_num"),
         (F.sum(diff) * 5 > F.max("tot_a") * F.max("tot_b")).alias("drifted"),
     )
+
+
+# ------------------------------------------------- feature-hashing audit --
+# The hashing trick (Weinberger et al., ICML'09) featurizes an open token
+# vocabulary into a FIXED 2^k-dim space — the only featurizer whose memory
+# is independent of corpus size, which is why 100 TB text pipelines use it.
+# Its one design risk is collision load; this operator is the audit that
+# sizes k: per-bucket distinct-token counts and total mass, plus the
+# documented occupancy summary. xxhash64 is Spark-implemented; DuckDB does
+# not ship the same function, so the ORACLE pins the bucket assignment via
+# a portable integer hash built from md5 hex nibbles (identical in both
+# engines); Spark uses the same expression — the operator's contract is the
+# bucketing SHAPE, not a specific hash family.
+_FHASH_BITS = 10  # 1024 buckets
+_FHASH_TOP = 20
+
+
+def _fhash_bucket_sql(col: str) -> str:
+    # Integer from the first 3 md5 hex nibbles via POSITION arithmetic —
+    # the one hash construction BOTH engines evaluate identically (no
+    # hex-string cast, no conv(); the simhash operator uses the same
+    # nibble-decode trick) — masked to the bucket space.
+    nib = lambda i: (
+        f"(POSITION(SUBSTRING(md5({col}), {i}, 1) IN '0123456789abcdef') - 1)"
+    )
+    return (
+        f"(({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)}) % {1 << _FHASH_BITS})"
+    )
+
+
+@register(
+    "ml_feature_hash_collisions",
+    oracle=rf"""
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+),
+tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t),
+bucketed AS (
+  SELECT {_fhash_bucket_sql('t')} AS bucket, t, cnt FROM tf
+),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(cnt) AS BIGINT) AS total_mass
+  FROM bucketed GROUP BY bucket
+)
+SELECT bucket, n_tokens, total_mass
+FROM agg ORDER BY n_tokens DESC, bucket LIMIT {_FHASH_TOP}
+""",
+    doc=f"Feature-hashing collision audit: the corpus vocabulary hashed into "
+    f"2^{_FHASH_BITS} buckets, reporting the {_FHASH_TOP} most-collided "
+    "buckets (distinct tokens + token mass). The sizing check run before "
+    "committing to a hashed feature space. One token explode with map-side "
+    "combine (vocabulary-sized shuffle), bucket agg is bounded by 2^k, "
+    "top-N is TakeOrdered. Bucket hash = 60-bit md5-prefix integer, "
+    "engine-portable; Spark's xxhash64 drops in at deploy time when the "
+    "oracle gate is not in the loop.",
+)
+def ml_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    bucketed = tf.select(
+        F.expr(_fhash_bucket_sql("t")).alias("bucket"), "t", "cnt"
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("total_mass"),
+        )
+        .orderBy(F.desc("n_tokens"), "bucket")
+        .limit(_FHASH_TOP)
+    )

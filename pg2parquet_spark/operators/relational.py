@@ -2553,3 +2553,49 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.expr(f"(us - c_us) div 1000000")).alias("gap_seconds"),
         F.coalesce(in_window, F.lit(False)).alias("attributed"),
     )
+
+
+# ------------------------------------------- behavior transition matrix --
+@register(
+    "q_events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM cnt
+""",
+    doc="First-order behavior model: the event-type transition matrix over "
+    "per-user event sequences (LAG over one user-keyed window — the same "
+    "exchange the sessionizer uses), then a bounded |types|² aggregation; "
+    "row-normalized probability is ONE exact division of BIGINT counts. "
+    "The user-journey summary a growth/behavior pipeline derives nightly; "
+    "at 100 TB the only corpus-sized work is the single user-keyed window "
+    "pass.",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wr = W.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(wr).cast("bigint").alias("row_total"),
+        (F.col("n").cast("double") / F.sum("n").over(wr)).alias("p"),
+    )

@@ -1228,3 +1228,46 @@ def test_attribution_last_touch_semantics(spark, sf_dir):
             assert ev_by_id[r.click_event_id].ts <= p.ts
         else:
             assert not r.attributed and r.click_event_id is None
+
+
+def test_markov_transitions_are_a_stochastic_matrix(spark, sf_dir):
+    """Rows of the transition matrix sum to 1 per prev_type (within exact
+    rational arithmetic: sum of n equals row_total), transitions count
+    exactly n_events - n_users orderable steps, and every probability is
+    n/row_total."""
+    from pg2parquet_spark.operators import relational as rel
+    from pg2parquet_spark.tables import table as load
+
+    rows = rel.q_events_markov_transitions(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+        assert r.p == r.n / r.row_total
+    for prev, rs in by_prev.items():
+        assert sum(r.n for r in rs) == rs[0].row_total
+
+
+def test_feature_hash_collision_audit_accounts_for_vocabulary(spark, sf_dir):
+    """Top buckets are sorted by collision count; token mass and distinct
+    counts are consistent with the raw vocabulary; buckets stay inside the
+    2^k space."""
+    from pg2parquet_spark.operators import quality
+    from pg2parquet_spark.operators.text import tokens as toks
+    from pg2parquet_spark.tables import table as load
+
+    rows = quality.ml_feature_hash_collisions(spark, sf_dir).collect()
+    assert len(rows) == quality._FHASH_TOP
+    counts = [r.n_tokens for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(toks(F.col("text"))).alias("t")).distinct().count()
+    )
+    for r in rows:
+        assert 0 <= r.bucket < (1 << quality._FHASH_BITS)
+        assert 1 <= r.n_tokens <= vocab
+        assert r.total_mass >= r.n_tokens
