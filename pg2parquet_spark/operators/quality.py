@@ -1074,3 +1074,90 @@ def ml_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tokens"), "bucket")
         .limit(_FHASH_TOP)
     )
+
+
+# ------------------------------------------------ Poisson bootstrap CI --
+# Uncertainty for a corpus statistic at scale: the classic bootstrap
+# resamples n rows B times (B·n work, a shuffle per replicate); the
+# SCALABLE published form is the Poisson bootstrap (Chamandy et al.,
+# "Estimating Uncertainty for Massive Data Streams", Google 2012): each row
+# contributes to replicate b with weight ~ Poisson(1), independent across
+# replicates — all B replicate sums accumulate in ONE scan with map-side
+# combine and no data movement beyond a single 1-row aggregate. Weights are
+# DETERMINISTIC here: u = 3 md5 hex nibbles of (row id, b) → integer in
+# [0,4096), mapped through the precomputed Poisson(1) CDF thresholds (an
+# integer CASE chain — no float RNG, both engines agree exactly).
+_BOOT_B = 64  # replicates; CI indices below assume this
+# floor(cdf * 4096) for Poisson(1): P(X<=k), k = 0..4
+_BOOT_THRESH = (1507, 3013, 3767, 4018, 4081)
+
+
+def _boot_u_sql(b: int) -> str:
+    h = f"md5(CONCAT(l_orderkey, '_', l_linenumber, '_', {b}))"
+    nib = lambda i: f"(POSITION(SUBSTRING({h}, {i}, 1) IN '0123456789abcdef') - 1)"
+    return f"({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
+
+
+def _boot_w_sql(b: int) -> str:
+    u = _boot_u_sql(b)
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"(CASE {cases} ELSE {len(_BOOT_THRESH)} END)"
+
+
+def _boot_mean_sql(b: int) -> str:
+    w = _boot_w_sql(b)
+    return (
+        f"CAST(SUM({w} * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)"
+        f" / SUM({w})"
+    )
+
+
+@register(
+    "quality_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS point_mean_cents,
+         {", ".join(f"{_boot_mean_sql(b)} AS m{b}" for b in range(_BOOT_B))}
+  FROM lineitem
+)
+SELECT n_rows, CAST({_BOOT_B} AS BIGINT) AS n_replicates, point_mean_cents,
+       list_sort([{", ".join(f"m{b}" for b in range(_BOOT_B))}])[2] AS ci_lo_cents,
+       list_sort([{", ".join(f"m{b}" for b in range(_BOOT_B))}])[63] AS ci_hi_cents
+FROM reps
+""",
+    doc=f"Poisson-bootstrap 95% CI for the mean lineitem price (Chamandy et "
+    f"al. 2012 — the bootstrap that scales): {_BOOT_B} replicates, each "
+    "row's per-replicate weight drawn Poisson(1) via DETERMINISTIC integer "
+    "thresholds on 3 md5 nibbles (no RNG, engine-exact), ALL replicates "
+    f"accumulated in ONE corpus scan as 2x{_BOOT_B} conditional sums with "
+    "map-side combine — no explode, no per-replicate shuffle, 1-row "
+    "output. CI = 2nd/63rd order statistic of the replicate means "
+    "(2.5/97.5 percentile at B=64). The classic resample-B-times bootstrap "
+    "moves B corpora; this moves one row of partial sums — the difference "
+    "between feasible and not at 100 TB.",
+)
+def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    aggs = [
+        F.expr(f"CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+        F.expr(f"CAST(SUM({cents}) AS DOUBLE) / COUNT(*)").alias("point_mean_cents"),
+    ]
+    for b in range(_BOOT_B):
+        w = _boot_w_sql(b)
+        aggs.append(
+            F.expr(f"CAST(SUM({w} * {cents}) AS DOUBLE) / SUM({w})").alias(f"m{b}")
+        )
+    reps = li.agg(*aggs)
+    means = "array_sort(array(" + ", ".join(f"m{b}" for b in range(_BOOT_B)) + "))"
+    return reps.select(
+        "n_rows",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        "point_mean_cents",
+        F.expr(f"element_at({means}, 2)").alias("ci_lo_cents"),
+        F.expr(f"element_at({means}, 63)").alias("ci_hi_cents"),
+    )

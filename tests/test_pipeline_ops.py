@@ -1271,3 +1271,24 @@ def test_feature_hash_collision_audit_accounts_for_vocabulary(spark, sf_dir):
         assert 0 <= r.bucket < (1 << quality._FHASH_BITS)
         assert 1 <= r.n_tokens <= vocab
         assert r.total_mass >= r.n_tokens
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """The Poisson-bootstrap CI must bracket the exact mean, be ordered, and
+    be plausibly tight (width well under the mean for a 6000-row fixture);
+    replicate count and row count are pinned."""
+    from pg2parquet_spark.operators import quality
+    from pg2parquet_spark.tables import table as load
+
+    r = quality.quality_bootstrap_ci(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem")
+    assert r.n_rows == li.count()
+    assert r.n_replicates == quality._BOOT_B
+    assert r.ci_lo_cents < r.point_mean_cents < r.ci_hi_cents
+    # relative width sanity: sigma/mean is O(1) for prices, so the CI of the
+    # MEAN at n >= 600 rows is a few percent of the mean, not 100%
+    width = r.ci_hi_cents - r.ci_lo_cents
+    assert 0 < width < 0.5 * r.point_mean_cents
+    # determinism: second run bit-identical
+    r2 = quality.quality_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert (r.ci_lo_cents, r.ci_hi_cents) == (r2.ci_lo_cents, r2.ci_hi_cents)
