@@ -192,6 +192,37 @@ def stop_filtered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingled.select("doc_id", F.array_except("sh", stops).alias("sh"))
 
 
+def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, na, nb, common): distinct-shingle intersection counts
+    for every document pair sharing ≥1 stop-filtered shingle — the shared
+    candidate front end of dedup_ngram_jaccard (symmetric Jaccard) and
+    dedup_containment_ngrams (asymmetric containment), kept in ONE place so
+    the two decision rules can never drift apart on candidate semantics.
+
+    Set sizes ride the explode (functionally dependent on doc_id, so adding
+    them to the groupBy keys changes nothing) — no post-agg size-lookup
+    joins. The self-join-vs-grouped-emission tradeoff is measured and
+    documented at the Jaccard call site."""
+    sh = stop_filtered_shingles(spark, sf_dir)
+    exploded = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
 # ------------------------------------------------------------------ exact --
 @register(
     "dedup_exact",
@@ -259,20 +290,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # make the double consumption one scan. No executor-storage footprint
     # survives the query (pinned by
     # tests/test_pipeline_ops.py::test_dedup_leaves_no_persistent_rdds).
-    sh = stop_filtered_shingles(spark, sf_dir)
-    exploded = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    pairs = _shingle_pair_counts(spark, sf_dir)
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
     return pairs.select(
         "doc_a",
@@ -644,7 +662,8 @@ EMB_DIM = 64
 # table iff their 4-bit keys differ in <= 1 bit: p^4 + 4*p^3*(1-p) ~= 0.53
 # at the cos 0.4 decision boundary, so 4 tables predict ~1-(1-0.53)^4 ~= 0.95
 # for ideal random planes; with these deterministic integer planes the
-# MEASURED recall is 0.86-0.88 (vs ~0.48 single-probe) —
+# MEASURED recall is 0.88-0.90 (vs ~0.48 single-probe with the r4
+# plane family) —
 # tests/test_pipeline_ops.py::test_embedding_lsh_recall. Probing multiplies
 # join-key fanout (5x, on ONE side only), not stored signatures or tables —
 # at 100 TB that is the cheap direction: more planes (smaller buckets,
@@ -738,7 +757,7 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "materializes the O(n²) pair space; plan-tested to contain no "
     "BroadcastNestedLoopJoin/CartesianProduct (tests/test_plans.py). Candidate "
     "recall vs dedup_embedding_cosine_exact is MEASURED on the fixture corpus "
-    "(test_embedding_lsh_recall): 0.86-0.88 at sf0.001/sf0.01 over all pairs "
+    "(test_embedding_lsh_recall): 0.88-0.90 at sf0.001/sf0.01 over all pairs "
     ">= the 0.4 decision boundary, floor-asserted at 0.70 (was ~0.48 before "
     "probing; pairs now collide iff keys differ in <= 1 bit per table), "
     "zero false positives (the re-score is exact). The recall dials are "
@@ -964,15 +983,8 @@ def dedup_embedding_cosine_lsh_adaptive(spark: SparkSession, sf_dir: str) -> Dat
     from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
-    par = (
-        emb.agg(F.count("*").alias("n"))
-        .select(F.expr(_adapt_bits_case("n")).alias("bits"))
-        .select(
-            "bits",
-            F.expr(
-                _adapt_masks_case(lambda ms: "array(" + ", ".join(map(str, ms)) + ")")
-            ).alias("probe_masks"),
-        )
+    par = emb.agg(F.count("*").alias("n")).select(
+        F.expr(_adapt_bits_case("n")).alias("bits")
     )
     bkf = emb.select(
         "vec_id",
@@ -983,10 +995,10 @@ def dedup_embedding_cosine_lsh_adaptive(spark: SparkSession, sf_dir: str) -> Dat
             for t, off in enumerate(_EMB_LSH_OFFSETS)
         ],
     )
-    # 1-row params side: bits + the active probe-mask array
+    # 1-row params side: the derived bucket width rides every row as ONE int
     bk = bkf.crossJoin(F.broadcast(par)).select(
         "vec_id",
-        "probe_masks",
+        "bits",
         *[
             F.expr(f"kf{t} % shiftleft(1, bits)").alias(f"k{t}")
             for t in range(len(_EMB_LSH_OFFSETS))
@@ -996,20 +1008,26 @@ def dedup_embedding_cosine_lsh_adaptive(spark: SparkSession, sf_dir: str) -> Dat
     # and the 40 plane dots (4 tables × 10 planes × ~60 mult-adds) are the
     # dominant map cost — one expression that wide also falls out of
     # whole-stage codegen, so recomputing it per consumer is interpreted
-    # work. Materializing the NARROW signature rows (vec_id + 4 ints + the
-    # shared mask array) is exactly what a signature store does at 100 TB;
-    # measured 118 s → 8.3 s at sf0.1. Lazy checkpoint: blocks materialize on
-    # first consumption and ContextCleaner reclaims them when the returned
-    # DataFrame is GC'd (same lifecycle as connected_components' final
-    # labels checkpoint below).
+    # work. Materializing the NARROW signature rows (vec_id + bits + 4 key
+    # ints — the probe-mask ARRAY is rebuilt per consumer from `bits`, a
+    # constant-int CASE, so the up-to-176-element constant is never
+    # duplicated into every checkpointed row) is exactly what a signature
+    # store does at 100 TB; measured 118 s → 8.3 s at sf0.1. Lazy
+    # checkpoint: blocks materialize on first consumption and
+    # ContextCleaner reclaims them when the returned DataFrame is GC'd
+    # (same lifecycle as connected_components' final labels checkpoint
+    # below).
     bk = bk.localCheckpoint(eager=False)
+    probe_masks = F.expr(
+        _adapt_masks_case(lambda ms: "array(" + ", ".join(map(str, ms)) + ")")
+    )
     per_table = []
     for t in range(len(_EMB_LSH_OFFSETS)):
         k = F.col(f"k{t}")
         a = bk.select(
             F.col("vec_id").alias("a_id"),
             F.explode(
-                F.transform("probe_masks", lambda m: k.bitwiseXOR(m))
+                F.transform(probe_masks, lambda m: k.bitwiseXOR(m))
             ).alias("ka"),
         )
         b = bk.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
@@ -1784,22 +1802,7 @@ WHERE LEAST(na, nb) < GREATEST(na, nb)
     "planted suffix-extended near-copies as (original ⊂ copy).",
 )
 def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = stop_filtered_shingles(spark, sf_dir)
-    exploded = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(
-            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    pairs = _shingle_pair_counts(spark, sf_dir)
     n_small = F.least("na", "nb")
     n_large = F.greatest("na", "nb")
     return (

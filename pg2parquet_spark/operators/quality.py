@@ -945,7 +945,8 @@ SELECT event_type,
        CAST(MAX(tot_a) AS BIGINT) AS tot_a,
        CAST(MAX(tot_b) AS BIGINT) AS tot_b,
        CAST(SUM(ABS(cnt_a * tot_b - cnt_b * tot_a)) AS BIGINT) AS tv_num,
-       CAST(SUM(ABS(cnt_a * tot_b - cnt_b * tot_a)) * 5 > MAX(tot_a) * MAX(tot_b) AS BOOLEAN) AS drifted
+       CAST(SUM(ABS(cnt_a * tot_b - cnt_b * tot_a)) * 5 > MAX(tot_a) * MAX(tot_b)
+            OR (MAX(tot_a) = 0) <> (MAX(tot_b) = 0) AS BOOLEAN) AS drifted
 FROM tot
 GROUP BY event_type
 """,
@@ -990,12 +991,19 @@ def quality_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt_b").over(w).alias("tot_b"),
     )
     diff = F.abs(F.col("cnt_a") * F.col("tot_b") - F.col("cnt_b") * F.col("tot_a"))
+    # the one-epoch-empty case is MAXIMAL drift (true TV = 1) but makes the
+    # integer numerator 0/0-shaped (tv_num = 0): flag it explicitly — a feed
+    # dying or a new event_type appearing mid-window must read as drifted,
+    # never as "no drift" (review finding, r5)
+    one_sided = (F.max("tot_a") == 0) != (F.max("tot_b") == 0)
     return tot.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         F.max("tot_a").cast("bigint").alias("tot_a"),
         F.max("tot_b").cast("bigint").alias("tot_b"),
         F.sum(diff).cast("bigint").alias("tv_num"),
-        (F.sum(diff) * 5 > F.max("tot_a") * F.max("tot_b")).alias("drifted"),
+        ((F.sum(diff) * 5 > F.max("tot_a") * F.max("tot_b")) | one_sided).alias(
+            "drifted"
+        ),
     )
 
 
@@ -1015,10 +1023,12 @@ _FHASH_TOP = 20
 
 
 def _fhash_bucket_sql(col: str) -> str:
-    # Integer from the first 3 md5 hex nibbles via POSITION arithmetic —
-    # the one hash construction BOTH engines evaluate identically (no
-    # hex-string cast, no conv(); the simhash operator uses the same
-    # nibble-decode trick) — masked to the bucket space.
+    # 12-bit integer from the first 3 md5 hex nibbles via POSITION
+    # arithmetic — the one hash construction BOTH engines evaluate
+    # identically (no hex-string cast, no conv(); the simhash operator uses
+    # the same nibble-decode trick) — then % 2^k, so each bucket has exactly
+    # 2^(12-k) pre-images from the hash itself. A deployment swaps in
+    # xxhash64 when the DuckDB gate is out of the loop.
     nib = lambda i: (
         f"(POSITION(SUBSTRING(md5({col}), {i}, 1) IN '0123456789abcdef') - 1)"
     )
@@ -1051,8 +1061,8 @@ FROM agg ORDER BY n_tokens DESC, bucket LIMIT {_FHASH_TOP}
     "buckets (distinct tokens + token mass). The sizing check run before "
     "committing to a hashed feature space. One token explode with map-side "
     "combine (vocabulary-sized shuffle), bucket agg is bounded by 2^k, "
-    "top-N is TakeOrdered. Bucket hash = 60-bit md5-prefix integer, "
-    "engine-portable; Spark's xxhash64 drops in at deploy time when the "
+    "top-N is TakeOrdered. Bucket hash = 12-bit md5-nibble integer % 2^k "
+    "(engine-portable); Spark's xxhash64 drops in at deploy time when the "
     "oracle gate is not in the loop.",
 )
 def ml_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,7 +1099,8 @@ def ml_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer CASE chain — no float RNG, both engines agree exactly).
 _BOOT_B = 64  # replicates; CI indices below assume this
 # floor(cdf * 4096) for Poisson(1): P(X<=k), k = 0..4
-_BOOT_THRESH = (1507, 3013, 3767, 4018, 4081)
+# (4096·cdf = 1506.83, 3013.67, 3767.09, 4018.22, 4081.01 — floored)
+_BOOT_THRESH = (1506, 3013, 3767, 4018, 4081)
 
 
 def _boot_u_sql(b: int) -> str:

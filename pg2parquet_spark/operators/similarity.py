@@ -7,7 +7,8 @@ All strategies are pure DataFrame ops:
   row_number window for top-k. O(|Q|·N) — correct at any scale when |Q| is
   bounded, and the query side broadcasts so the corpus never shuffles.
 - `ann_lsh_bucketed` — the scale path: random-hyperplane sign LSH.
-  Deterministic integer hyperplanes w[j][i] = ((37·i + 101·j) mod 13) − 6
+  Deterministic integer hyperplanes w[j][i] = (((37·i + 101·j) mod 1013)
+  mod 13) − 6 (see plane_dot_sql for why the double mod is load-bearing)
   give each vector a B-bit bucket; candidates are bucket collisions only,
   then exact re-rank inside the bucket. The bucket id is the shuffle key →
   near-linear instead of quadratic.
@@ -59,11 +60,22 @@ def dot_col(a: str, b: str) -> F.Column:
 
 def plane_dot_sql(emb: str, plane: int, dim: int, zero_based: bool) -> str:
     """Σ w[plane][i]·emb[i] with deterministic integer weights; zero-weight
-    terms are skipped identically on both sides."""
+    terms are skipped identically on both sides.
+
+    Weight family: w = (((37·i + 101·j) % 1013) % 13) − 6. The inner mod by
+    a prime ≫ #planes is load-bearing: the original single-mod family
+    ((37·i + 101·j) % 13) − 6 depends on j only through j mod 13, so the
+    ENTIRE family contained 13 distinct hyperplanes — the 4 "independent"
+    hash tables (plane offsets 0/100/200/300) shared most of their planes
+    and the multi-table union recall math was silently invalid (r5 review
+    finding, verified numerically: offset 300 shared 9/10 planes with
+    offset 0 at 10 planes/table). With the double mod, all 40 planes used
+    across the tables are pairwise distinct (pinned by
+    tests/test_pipeline_ops.py::test_plane_family_is_distinct)."""
     off = -1 if zero_based else 0
     terms = []
     for i in range(1, dim + 1):
-        w = ((37 * i + 101 * plane) % 13) - 6
+        w = (((37 * i + 101 * plane) % 1013) % 13) - 6
         if w == 0:
             continue
         terms.append(f"{w} * CAST({emb}[{i + off}] AS DOUBLE)")

@@ -623,6 +623,9 @@ SELECT user_id,
        CAST(SUM(CASE WHEN n = 0 AND ts + INTERVAL '30 minutes' < (SELECT w FROM wm)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_expired_unmatched
 FROM m GROUP BY user_id
+HAVING SUM(n) > 0
+    OR SUM(CASE WHEN n = 0 AND ts + INTERVAL '30 minutes' < (SELECT w FROM wm)
+                THEN 1 ELSE 0 END) > 0
 """,
     doc="STREAM-STREAM LEFT OUTER join: clicks left-joined to purchases of "
     "the same user within 30 minutes. The outer semantics are the whole "
@@ -632,9 +635,12 @@ FROM m GROUP BY user_id
     "mirrors that eviction rule EXACTLY (the wm CTE), so unmatched clicks "
     "inside the final watermark horizon are correctly reported as still "
     "buffered, not as nulls — verified: at sf0.01 1981 of 1983 unmatched "
-    "clicks expire, 2 remain in state. State is bounded by the watermark "
-    "horizon; user_id is the shuffle key; sink receives one row per click "
-    "(matched or expired), aggregated per user post-sink.",
+    "clicks expire, 2 remain in state. A user whose EVERY click is "
+    "still-buffered-unmatched emits no sink row at all, so the oracle's "
+    "HAVING drops those users rather than fabricating a (0,0) row the "
+    "stream never produced (review finding, r5). State is bounded by the "
+    "watermark horizon; user_id is the shuffle key; sink receives one row "
+    "per click (matched or expired), aggregated per user post-sink.",
 )
 def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)

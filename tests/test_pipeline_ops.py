@@ -1108,7 +1108,8 @@ def test_tv_drift_bounds_and_totals(spark, sf_dir):
     assert sum(r.tot_a + r.tot_b for r in rows) == ev.count()
     for r in rows:
         assert 0 <= r.tv_num <= 2 * r.tot_a * r.tot_b
-        assert r.drifted == (r.tv_num * 5 > r.tot_a * r.tot_b)
+        one_sided = (r.tot_a == 0) != (r.tot_b == 0)
+        assert r.drifted == ((r.tv_num * 5 > r.tot_a * r.tot_b) or one_sided)
         assert r.n_bins >= 1
 
 
@@ -1292,3 +1293,56 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
     # determinism: second run bit-identical
     r2 = quality.quality_bootstrap_ci(spark, sf_dir).collect()[0]
     assert (r.ci_lo_cents, r.ci_hi_cents) == (r2.ci_lo_cents, r2.ci_hi_cents)
+
+
+def test_tv_drift_flags_one_sided_epoch_as_drifted(spark, tmp_path):
+    """A type that exists only before (or only after) the split is MAXIMAL
+    drift and must be flagged even though the integer numerator is 0."""
+    from datetime import datetime
+
+    from pg2parquet_spark.operators import quality
+
+    rows = [
+        # 'dead_feed': only before the split
+        (1, datetime(2024, 1, 2), 1, "dead_feed", 10.0, "{}"),
+        (2, datetime(2024, 1, 3), 2, "dead_feed", 12.0, "{}"),
+        # 'new_feed': only after the split
+        (3, datetime(2024, 1, 20), 1, "new_feed", 5.0, "{}"),
+        # 'steady': same distribution both sides → not drifted
+        (4, datetime(2024, 1, 2), 3, "steady", 7.0, "{}"),
+        (5, datetime(2024, 1, 20), 3, "steady", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sfX")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {r.event_type: r for r in quality.quality_tv_drift(spark, d).collect()}
+    assert got["dead_feed"].drifted and got["dead_feed"].tot_b == 0
+    assert got["new_feed"].drifted and got["new_feed"].tot_a == 0
+    assert not got["steady"].drifted
+
+
+def test_plane_family_is_distinct():
+    """r5 review finding: the original LSH weight family ((37i+101j)%13)-6
+    had period 13 in the plane id, so the whole multi-table design drew from
+    only 13 distinct hyperplanes (offset 300 shared 9/10 planes with offset
+    0) and the union-recall independence math was silently invalid. The
+    shipped double-mod family must yield pairwise-distinct weight vectors
+    for EVERY plane id any hash table uses at max width — and plane ids
+    congruent mod 13 must no longer coincide."""
+    from pg2parquet_spark.operators import dedup, similarity as sim
+
+    used = [
+        j + off
+        for off in dedup._EMB_LSH_OFFSETS
+        for j in range(dedup._ADAPT_MAX_BITS)
+    ]
+    vecs = {j: sim.plane_dot_sql("e", j, sim.EMB_DIM, False) for j in used}
+    assert len(set(vecs.values())) == len(used), "hash tables share hyperplanes"
+    # the old family's defect, pinned: j and j+13 were identical
+    assert sim.plane_dot_sql("e", 0, sim.EMB_DIM, False) != sim.plane_dot_sql(
+        "e", 13, sim.EMB_DIM, False
+    )
