@@ -669,3 +669,66 @@ def ml_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("dim").cast("bigint").alias("dim"), F.col("v").cast("bigint").alias("v_q")
     )
+
+
+# ------------------------------------------------- cluster-quality eval ---
+@register(
+    "ml_cluster_purity",
+    oracle=f"""
+WITH cent0 AS ({_centroid_cte()}),
+a1 AS ({_km_assign_sql('cent0')}),
+cent1 AS (
+  SELECT cid, {_km_mean_sql('e')} AS cemb
+  FROM a1 JOIN embeddings e USING (vec_id) GROUP BY cid
+),
+a2 AS ({_km_assign_sql('cent1')}),
+counts AS (
+  SELECT a2.cid, e.label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a2 JOIN embeddings e USING (vec_id) GROUP BY a2.cid, e.label
+),
+ranked AS (
+  SELECT cid, label, n,
+         CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rk
+  FROM counts
+)
+SELECT cid, n_members, label AS majority_label, n AS majority_n,
+       CAST(n AS DOUBLE) / n_members AS purity
+FROM ranked WHERE rk = 1
+""",
+    doc="Cluster-vs-label agreement (purity) over the deterministic "
+    "2-iteration Lloyd assignment — the evaluation step that closes the "
+    "clustering loop (train ml_kmeans_fixed → score its coherence against "
+    "held labels before trusting it for IVF lists or semantic dedup cells). "
+    "Per cluster: size, majority label (ties break by label id), and purity "
+    "= majority_n / n_members (one exact division). The only work beyond "
+    "the already-gated k-means plan is a (cid,label) groupBy — bounded by "
+    "k×|labels| — and a cid-keyed window; oracle composes the same "
+    "unrolled-Lloyd CTEs, so both engines score the IDENTICAL partition.",
+)
+def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    assign = kmeans_iterate(emb)
+    counts = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("cid")
+    ranked = counts.select(
+        "cid",
+        "label",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("n_members"),
+        F.row_number().over(w.orderBy(F.desc("n"), "label")).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "cid",
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+            (F.col("n").cast("double") / F.col("n_members")).alias("purity"),
+        )
+    )

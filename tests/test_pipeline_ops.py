@@ -1404,3 +1404,32 @@ def test_adaptive_lsh_five_bit_branch_matches_oracle(spark, tmp_path):
         # per-plane agreement is lowest) — the floor is set to catch a
         # COLLAPSE (plane/probe regression → ~0.4), not boundary-mass noise
         assert recall >= 0.60, f"5-bit recall collapsed: {recall:.3f}"
+
+
+def test_cluster_purity_consistent_with_kmeans_partition(spark, sf_dir):
+    """Purity rows must describe exactly the k-means partition: same cluster
+    ids and sizes as ml_kmeans_fixed, majority counts consistent (recomputed
+    in-test from the assignment + labels), purity = majority/size."""
+    from collections import Counter
+
+    from pg2parquet_spark.operators import similarity as sim
+    from pg2parquet_spark.tables import table as load
+
+    purity = {r.cid: r for r in sim.ml_cluster_purity(spark, sf_dir).collect()}
+    assign = sim.ml_kmeans_fixed(spark, sf_dir).collect()
+    labels = {
+        r.vec_id: r.label for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    by_cid = {}
+    for r in assign:
+        by_cid.setdefault(r.cid, []).append(labels[r.vec_id])
+    assert set(purity) == set(by_cid)
+    for cid, labs in by_cid.items():
+        p = purity[cid]
+        assert p.n_members == len(labs)
+        counts = Counter(labs)
+        best_n = max(counts.values())
+        best_lab = min(l for l, n in counts.items() if n == best_n)
+        assert (p.majority_label, p.majority_n) == (best_lab, best_n)
+        assert p.purity == best_n / len(labs)
+        assert 0 < p.purity <= 1

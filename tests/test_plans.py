@@ -521,6 +521,7 @@ _BNLJ_WHITELIST = {
     "ann_cosine_topk",            # bounded query set crossJoin (broadcast)
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
+    "ml_cluster_purity",          # k-row centroid table (kmeans assignment)
     "ml_kmeans_fixed",            # k-row centroid table per iteration
     "ml_power_iteration_pc1",     # 1-row max-norm crossJoin per iteration
     "pipeline_cluster_safe_split",  # single-row leak-count crossJoin
