@@ -276,9 +276,14 @@ def graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("s").alias("sa"), F.col("d").alias("da"))
     db = deg.select(F.col("s").alias("sb"), F.col("d").alias("db"))
+    # NO static broadcast hints on the degree tables: deg has one row per
+    # supplier, which grows linearly with the corpus — an unbounded side.
+    # AQE sizes the join at runtime (broadcast while deg is small, shuffled
+    # hash/sort-merge once it isn't); pinning F.broadcast here would be an
+    # executor-OOM bet at the operator's 100 TB design point (r6 ADVICE).
     scored = (
-        inter.join(F.broadcast(da), "sa")
-        .join(F.broadcast(db), "sb")
+        inter.join(da, "sa")
+        .join(db, "sb")
         .select(
             "sa",
             "sb",
