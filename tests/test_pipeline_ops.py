@@ -1156,6 +1156,64 @@ def test_supplier_similarity_topk_shape_and_symmetry(spark, sf_dir):
             assert seen[(b, a)] == iu
 
 
+def test_supplier_similarity_cap_bounds_mega_customer(spark, tmp_path):
+    """Adversarial buy-everything customer (the MinHash mega-bucket fixture
+    pattern reapplied to the bipartite graph): customer 1 orders from 1100
+    suppliers. Uncapped, that one key emits C(1100,2) ≈ 604k pairs from a
+    single customer; with _NSIM_CUST_CAP=256 the capped plan must (a) still
+    match the DuckDB oracle exactly — the cap is part of the CONTRACT, both
+    engines apply it — (b) pair at most C(256,2) suppliers through any one
+    customer, and (c) never rank a supplier reachable only through the
+    capped-out tail (ids > 256 here, kept ordering is by suppkey)."""
+    import duckdb
+    import pandas as pd
+
+    from pg2parquet_spark.operators import graph
+    from pg2parquet_spark.registry import load_all
+
+    mega, cap = 1100, graph._NSIM_CUST_CAP
+    orders, lineitem = [], []
+    # customer 1 → suppliers 1..1100, one order per supplier
+    for k in range(1, mega + 1):
+        orders.append((k, 1))
+        lineitem.append((k, k))
+    # normal customers 2..9 → overlapping supplier sets inside the kept range
+    ok = mega + 1
+    for c in range(2, 10):
+        for s in range(1, 6 + (c % 3)):
+            orders.append((ok, c))
+            lineitem.append((ok, s))
+            ok += 1
+    pd.DataFrame(orders, columns=["o_orderkey", "o_custkey"]).to_parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    pd.DataFrame(lineitem, columns=["l_orderkey", "l_suppkey"]).to_parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    sf = str(tmp_path)
+
+    rows = graph.graph_supplier_similarity(spark, sf).collect()
+    got = {(r.suppkey, r.rank, r.partner, r.inter_cnt, r.union_cnt, r.jaccard)
+           for r in rows}
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = load_all()["graph_supplier_similarity"].oracle
+    want = set(map(tuple, con.execute(oracle).fetchall()))
+    assert got == want, f"capped output diverged: {len(got)} vs {len(want)} rows"
+
+    # suppliers reachable ONLY via the mega customer's capped-out tail must
+    # not appear anywhere — the cap dropped them from pair candidacy
+    tail = set(range(cap + 1, mega + 1))
+    ranked = {r.suppkey for r in rows} | {r.partner for r in rows}
+    assert not (ranked & tail), sorted(ranked & tail)[:5]
+    # the mega customer contributes at most C(cap,2) distinct pairs: every
+    # surviving (a,b) co-purchase pair lies inside the kept 1..cap window
+    # or comes from the small customers (suppliers 1..8)
+    for r in rows:
+        assert r.suppkey <= cap and r.partner <= cap
+
+
 def test_stream_left_outer_join_watermark_buffering(spark, sf_dir):
     """The outer join's null-side rows follow the watermark eviction rule:
     total expired-unmatched equals the batch-side recomputation, and at
