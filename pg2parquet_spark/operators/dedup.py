@@ -671,14 +671,16 @@ EMB_DIM = 64
 # doubling the table count.
 #
 # PLANE COUNT IS THE SCALE DIAL — now MEASURED, not just asserted: the
-# two-decade probe (SCALING_r05.md) shows e(upper) = 1.53 for this query,
-# because with a fixed 4-bit bucket key, bucket occupancy grows linearly
-# with the corpus and in-bucket candidates quadratically. A deployment
-# sets planes ≈ log2(corpus / target_occupancy) per table (+3-4 planes
-# per 10x), which pins occupancy and restores e ≈ 1; it is a constant
-# here only because the DuckDB oracle must statically mirror the plane
-# hashes. Contrast dedup_minhash_lsh (e = 0.49): its band hashes live in
-# an unbounded space, so granularity scales automatically.
+# two-decade probe (SCALING_r05.md) shows e(upper) = 1.31 for the fixed-
+# plane form, because with a fixed 4-bit bucket key, bucket occupancy grows
+# linearly with the corpus and in-bucket candidates quadratically. That is
+# why the CORPUS-ADAPTIVE variant below is the registered
+# dedup_embedding_cosine_lsh since r7 and this fixed-plane form is demoted
+# to dedup_embedding_cosine_lsh_fixed: it exists as the contract baseline
+# the adaptive dial is candidate-for-candidate equal to at n <= 750, and as
+# the measured counter-example the width dial fixes. Contrast
+# dedup_minhash_lsh (e = 0.33): its band hashes live in an unbounded space,
+# so granularity scales automatically.
 _EMB_LSH_OFFSETS = (0, 100, 200, 300)
 _EMB_PROBE_MASKS = (0, 1, 2, 4, 8)  # own bucket + each single-bit flip
 _EMB_COS_THRESHOLD = 0.4
@@ -740,7 +742,7 @@ def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_fixed",
     oracle=f"""
 WITH bk AS ({_emb_bucketed_sql()}),
 pairs AS (
@@ -748,25 +750,23 @@ pairs AS (
 )
 SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESHOLD}
 """,
-    doc="Embedding-cosine near-dup pairs (embeddings are L2-normalized → dot = "
-    "cosine) the scale-safe way: multi-table MULTI-PROBE sign-LSH candidate "
-    "generation (bucket id is the equi-join/shuffle key, one join per hash "
-    "table; one side additionally probes the 4 Hamming-distance-1 buckets — "
-    "a 5-row explode of join KEYS, not of vectors-per-bucket) → exact "
-    "fixed-order re-score of candidates only → threshold → distinct. Never "
-    "materializes the O(n²) pair space; plan-tested to contain no "
-    "BroadcastNestedLoopJoin/CartesianProduct (tests/test_plans.py). Candidate "
-    "recall vs dedup_embedding_cosine_exact is MEASURED on the fixture corpus "
-    "(test_embedding_lsh_recall): 0.88-0.90 at sf0.001/sf0.01 over all pairs "
-    ">= the 0.4 decision boundary, floor-asserted at 0.70 (was ~0.48 before "
-    "probing; pairs now collide iff keys differ in <= 1 bit per table), "
-    "zero false positives (the re-score is exact). The recall dials are "
-    "(tables, planes, probe radius) at _EMB_LSH_OFFSETS/_EMB_PROBE_MASKS; the "
-    "oracle computes the identical probed semantics so the correctness gate "
-    "is exact, while the recall test keeps the contract gap measured, not "
-    "asserted.",
+    doc="FIXED-PLANE embedding-cosine near-dup pairs — demoted from the "
+    "primary dedup_embedding_cosine_lsh name in r7 because its fixed 4-bit "
+    "bucket key was measured superlinear over the upper synth decade "
+    "(e(upper) = 1.31, SCALING_r05.md): occupancy grows linearly with the "
+    "corpus, in-bucket candidates quadratically. Kept registered as the "
+    "contract baseline: at n <= 750 the corpus-adaptive primary is "
+    "candidate-for-candidate identical to this form (tested), so the two "
+    "names pin the dial's floor behavior. Shape: multi-table MULTI-PROBE "
+    "sign-LSH candidate generation (bucket id is the equi-join/shuffle key, "
+    "one join per hash table; one side additionally probes the 4 "
+    "Hamming-distance-1 buckets — a 5-row explode of join KEYS, not of "
+    "vectors-per-bucket) → exact fixed-order re-score of candidates only → "
+    "threshold → distinct. Candidate recall vs dedup_embedding_cosine_exact "
+    "is MEASURED (test_embedding_lsh_recall): 0.88-0.90 at sf0.001/sf0.01, "
+    "zero false positives (the re-score is exact).",
 )
-def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2parquet_spark.operators.similarity import bucket_sql_offset, dot_col
 
     emb = table(spark, sf_dir, "embeddings")
@@ -867,46 +867,82 @@ def _score_candidate_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
 
 
 # ----------------------------------- corpus-adaptive embedding LSH planes --
-# The two-decade scaling probe (SCALING_r05.md) measured e(upper) = 1.53 for
-# the fixed-plane dedup_embedding_cosine_lsh: with a FIXED bucket-key width,
-# bucket occupancy grows linearly with the corpus and within-bucket candidate
-# pairs quadratically. The documented fix is "planes ≈ log2(corpus /
-# target_occupancy)" — this variant makes that dial REAL and oracle-gated
-# instead of a comment: the bit width is derived from COUNT(*) by an
-# integer threshold chain evaluated identically by Spark and DuckDB (no
-# floats, no log2 rounding hazard), each hash table masks one statically
-# hashed _ADAPT_MAX_BITS-bit key down to the effective width, and the
-# multi-probe radius widens with the width (Hamming ≤1 at 4-5 bits, ≤2 at
-# 6-8, ≤3 at 9-10) so candidate recall stays roughly flat while occupancy is
-# pinned. Probes multiply join-KEY fanout only (2-int rows); vectors still
-# attach exactly once per distinct surviving pair.
-_ADAPT_MAX_BITS = 10
+# The two-decade scaling probe (SCALING_r05.md) measured e(upper) = 1.31 for
+# the fixed-plane variant: with a FIXED bucket-key width, bucket occupancy
+# grows linearly with the corpus and within-bucket candidate pairs
+# quadratically. The documented fix is "planes ≈ log2(corpus /
+# target_occupancy)" — this variant (the PRIMARY dedup_embedding_cosine_lsh
+# since r7) makes that dial REAL and oracle-gated instead of a comment: the
+# bit width is derived from COUNT(*) by an integer threshold chain evaluated
+# identically by Spark and DuckDB (no floats, no log2 rounding hazard), each
+# hash table masks one statically hashed _ADAPT_MAX_BITS-bit key down to the
+# effective width, and the probe set follows a FIXED-BUDGET multi-probe
+# policy (below) so per-vector candidate work — probes × pinned occupancy —
+# stays roughly flat as the corpus grows. Probes multiply join-KEY fanout
+# only (2-int rows); vectors still attach exactly once per distinct
+# surviving pair.
+_ADAPT_MAX_BITS = 14
 # n > threshold[i] → bits ≥ 5+i; n ≤ 750 → the fixed-plane variant's 4 bits,
-# under which this query is candidate-for-candidate identical to it.
-_ADAPT_BITS_THRESHOLDS = (750, 1500, 3000, 6000, 12000, 24000)
+# under which this query is candidate-for-candidate identical to it. The
+# 750·2^i chain pins per-bucket occupancy to the (23.4, 46.9] band at every
+# scale: each doubling of the corpus either stays in-band or adds one bit.
+_ADAPT_BITS_THRESHOLDS = (
+    750, 1500, 3000, 6000, 12000, 24000, 48000, 96000, 192000, 384000,
+)
+# Fixed probe BUDGET (query-independent multi-probe, the Lv et al. T dial
+# without the query-directed ordering that SCALING_r05.md measured and
+# rejected for these isotropic vectors): own bucket + all Hamming-1 flips +
+# 2-bit flips in lexicographic order until the budget. With occupancy pinned
+# by the threshold chain and the probe count capped, per-vector candidate
+# work is ~constant at every width — the r5 policy's full H≤3 ball at 9-10
+# bits (130-176 masks) was the measured cost cliff (89 s at the 20k-vector
+# synth point) AND grew per-vector work ~(log n)^3, which a one-decade probe
+# reads as e ≈ 1.3. The price is recall at extreme widths: truncating the
+# 2-flip ball dials recall down proportionally (isotropic vectors make each
+# 2-flip mask contribute ≈ equally), measured in tests at fixture widths;
+# a deployment that needs more recall at 12+ bits adds HASH TABLES (more
+# _EMB_LSH_OFFSETS entries), not probes — tables multiply recall
+# independently while keeping each join's fan-out bounded.
+_ADAPT_PROBE_BUDGET = 48
+
+
+def _check_adapt_coupling() -> None:
+    """The bits CASE chain emits 4 + len(_ADAPT_BITS_THRESHOLDS) at the top;
+    the masks CASE enumerates arms for bits 4.._ADAPT_MAX_BITS. If the two
+    constants drift apart, the masks CASE has no arm for the emitted width —
+    a raising ELSE guards it at runtime (r6 ADVICE: an ELSE-less CASE would
+    return NULL probe_masks and silently zero the candidate set in BOTH
+    engines), and this import-time assert catches the drift before any query
+    is even built."""
+    if 4 + len(_ADAPT_BITS_THRESHOLDS) != _ADAPT_MAX_BITS:
+        raise AssertionError(
+            f"adaptive-LSH coupling broken: 4 + {len(_ADAPT_BITS_THRESHOLDS)} "
+            f"thresholds != _ADAPT_MAX_BITS={_ADAPT_MAX_BITS}; extend/trim "
+            "_ADAPT_BITS_THRESHOLDS and _ADAPT_MAX_BITS together"
+        )
+    if list(_ADAPT_BITS_THRESHOLDS) != sorted(set(_ADAPT_BITS_THRESHOLDS)):
+        raise AssertionError("_ADAPT_BITS_THRESHOLDS must be strictly increasing")
+
+
+_check_adapt_coupling()
 
 
 def _adapt_probe_masks(bits: int) -> list[int]:
     """Probe masks (own bucket + Hamming-ball flips) for an effective width.
 
-    Radius policy: ≤1 bit always; ≤2 once buckets are 64+; ≤3 once 512+.
-    Per-plane sign agreement at the cos 0.4 boundary is p ≈ 0.63, so the
-    4-table union recall stays ≈0.85-0.98 ideal across the whole range
-    (e.g. bits=6 H≤2 → 0.98, bits=9 H≤3 → 0.96) instead of collapsing as
-    p^bits would with a fixed radius."""
+    Policy: ≤1 bit at 4-5 bits (4 bits must exactly match the fixed-plane
+    variant's probe ball — the n ≤ 750 equivalence contract); from 6 bits,
+    own bucket + all 1-flips + 2-flips in lexicographic (i,j) order,
+    truncated to _ADAPT_PROBE_BUDGET masks. The full H≤2 ball fits the
+    budget through 9 bits; wider keys probe the first 48 masks — a uniform
+    recall dial under isotropy, and the flat cost that keeps per-vector
+    candidate work pinned (probes × occupancy) at every corpus size."""
     masks = [0] + [1 << j for j in range(bits)]
     if bits >= 6:
         masks += [
             (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
         ]
-    if bits >= 9:
-        masks += [
-            (1 << i) | (1 << j) | (1 << h)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-            for h in range(j + 1, bits)
-        ]
-    return masks
+    return masks[:_ADAPT_PROBE_BUDGET]
 
 
 def _adapt_bits_case(n_expr: str) -> str:
@@ -919,14 +955,19 @@ def _adapt_bits_case(n_expr: str) -> str:
     return f"(CASE {clauses} ELSE 4 END)"
 
 
-def _adapt_masks_case(arr) -> str:
+def _adapt_masks_case(arr, err) -> str:
     """CASE bits → static probe-mask array literal; ``arr`` renders a Python
-    list in the engine's array syntax (DuckDB ``[..]`` vs Spark ``array(..)``)."""
+    list in the engine's array syntax (DuckDB ``[..]`` vs Spark
+    ``array(..)``), ``err`` renders an engine-native raising expression
+    (DuckDB ``error(..)`` vs Spark ``raise_error(..)``) for the ELSE arm —
+    a width outside 4.._ADAPT_MAX_BITS must FAIL LOUDLY, never evaluate to
+    NULL masks and an empty candidate set (r6 ADVICE)."""
     clauses = " ".join(
         f"WHEN bits = {b} THEN {arr(_adapt_probe_masks(b))}"
         for b in range(4, _ADAPT_MAX_BITS + 1)
     )
-    return f"(CASE {clauses} END)"
+    msg = f"adaptive LSH: bits outside 4..{_ADAPT_MAX_BITS}"
+    return f"(CASE {clauses} ELSE {err(msg)} END)"
 
 
 def _adapt_oracle_sql() -> str:
@@ -936,7 +977,10 @@ def _adapt_oracle_sql() -> str:
         f"{bucket_sql_offset_n('embedding', EMB_DIM, False, off, _ADAPT_MAX_BITS)} AS kf{t}"
         for t, off in enumerate(_EMB_LSH_OFFSETS)
     )
-    masks = _adapt_masks_case(lambda ms: "[" + ", ".join(map(str, ms)) + "]")
+    masks = _adapt_masks_case(
+        lambda ms: "[" + ", ".join(map(str, ms)) + "]",
+        lambda msg: f"error('{msg}')",
+    )
     joins = []
     for t in range(len(_EMB_LSH_OFFSETS)):
         joins.append(
@@ -962,24 +1006,45 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
 
 
 @register(
-    "dedup_embedding_cosine_lsh_adaptive",
+    "dedup_embedding_cosine_lsh",
     oracle=_adapt_oracle_sql(),
     doc="Embedding-cosine near-dup pairs with a CORPUS-ADAPTIVE bucket width — "
-    "the scale dial SCALING_r05.md's two-decade probe demanded, made real and "
-    "oracle-gated. bits = 4 + #integer-thresholds-exceeded by COUNT(*) "
-    "(750·2^i chain — no float log2, so Spark and DuckDB agree bit-for-bit); "
-    "each of the 4 hash tables hashes one static 10-bit sign key and masks it "
-    "to the effective width, pinning per-bucket occupancy (~constant) so "
-    "within-bucket candidate pairs grow ~linearly with the corpus instead of "
-    "quadratically. Multi-probe radius widens with the width (H≤1/≤2/≤3 at "
-    "4-5/6-8/9-10 bits) to hold candidate recall ≈flat; probes explode join "
-    "KEYS only. At n ≤ 750 (the driver's sf0.01 gate) this is candidate-for-"
-    "candidate identical to dedup_embedding_cosine_lsh (tested); at sf0.1 the "
-    "6-bit/H≤2 path runs under the oracle; the synth decade exercises 9 bits "
+    "the PRIMARY LSH dedup since r7 (the fixed-plane form it replaced is "
+    "dedup_embedding_cosine_lsh_fixed, measured superlinear at e(upper)=1.31 "
+    "in SCALING_r05.md). bits = 4 + #integer-thresholds-exceeded by COUNT(*) "
+    "(750·2^i chain up to 14 bits — no float log2, so Spark and DuckDB agree "
+    "bit-for-bit); each of the 4 hash tables hashes one static 14-bit sign "
+    "key and masks it to the effective width, pinning per-bucket occupancy "
+    "to the (23.4, 46.9] band at every corpus size. Probing is FIXED-BUDGET "
+    "multi-probe (own bucket + 1-flips + lexicographic 2-flips, ≤48 masks), "
+    "so per-vector candidate work = probes × occupancy is ~flat — the dial "
+    "that holds e ≈ 1 through the synth decades (SCALING_r07.md) instead of "
+    "the r5 policy's (log n)^3 probe-ball growth. Probes explode join KEYS "
+    "only. At n ≤ 750 (the driver's sf0.01 gate) this is candidate-for-"
+    "candidate identical to the fixed variant (tested); at sf0.1 the "
+    "6-bit path runs under the oracle; the synth probes exercise 7-11 bits "
     "(tools/scaleprobe.py). Same exact Arrow re-score tail as the fixed "
     "variant (_score_candidate_pairs).",
 )
-def dedup_embedding_cosine_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adaptive_lsh_build(spark, sf_dir, checkpoint=True)
+
+
+def adaptive_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered query localCheckpoints its signature table, which
+    TRUNCATES the visible plan — the 1-row broadcast crossJoin that attaches
+    the derived bit width would otherwise escape every plan gate by
+    invisibility (r6 ADVICE). This audit twin builds the identical plan
+    WITHOUT the checkpoint so tests/test_plans.py and tools/plansnap.py can
+    sweep and snapshot the full pre-checkpoint topology (its one BNLJ is
+    whitelisted: the broadcast side is a 1-row global aggregate by
+    construction)."""
+    return _adaptive_lsh_build(spark, sf_dir, checkpoint=False)
+
+
+def _adaptive_lsh_build(
+    spark: SparkSession, sf_dir: str, checkpoint: bool
+) -> DataFrame:
     from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1010,16 +1075,21 @@ def dedup_embedding_cosine_lsh_adaptive(spark: SparkSession, sf_dir: str) -> Dat
     # whole-stage codegen, so recomputing it per consumer is interpreted
     # work. Materializing the NARROW signature rows (vec_id + bits + 4 key
     # ints — the probe-mask ARRAY is rebuilt per consumer from `bits`, a
-    # constant-int CASE, so the up-to-176-element constant is never
+    # constant-int CASE, so the up-to-48-element constant is never
     # duplicated into every checkpointed row) is exactly what a signature
     # store does at 100 TB; measured 118 s → 8.3 s at sf0.1. Lazy
     # checkpoint: blocks materialize on first consumption and
     # ContextCleaner reclaims them when the returned DataFrame is GC'd
     # (same lifecycle as connected_components' final labels checkpoint
-    # below).
-    bk = bk.localCheckpoint(eager=False)
+    # below). checkpoint=False is the plan-audit path only
+    # (adaptive_lsh_plan_audit): identical plan, nothing truncated.
+    if checkpoint:
+        bk = bk.localCheckpoint(eager=False)
     probe_masks = F.expr(
-        _adapt_masks_case(lambda ms: "array(" + ", ".join(map(str, ms)) + ")")
+        _adapt_masks_case(
+            lambda ms: "array(" + ", ".join(map(str, ms)) + ")",
+            lambda msg: f"raise_error('{msg}')",
+        )
     )
     per_table = []
     for t in range(len(_EMB_LSH_OFFSETS)):
@@ -1674,6 +1744,13 @@ nearp AS (
   WHERE {_eval_match_sum('sa', 'sb')} >= {_EVAL_EST_MIN}
 ),
 neard AS (SELECT doc_a AS doc_id FROM nearp UNION SELECT doc_b FROM nearp),
+bsz AS (
+  SELECT band_idx, bh, COUNT(*) AS sz FROM bands_all GROUP BY band_idx, bh
+),
+capd AS (
+  SELECT COALESCE(SUM(CASE WHEN sz > {_BUCKET_CAP} THEN sz - {_BUCKET_CAP} ELSE 0 END), 0) > 0 AS capped
+  FROM bsz
+),
 ex AS (
   SELECT doc_id,
          COUNT(*) OVER (PARTITION BY md5(norm)) AS n_copies,
@@ -1697,11 +1774,13 @@ sc AS (
   SELECT e.doc_id,
          CASE WHEN e.n_copies > 1 AND e.doc_id <> e.rep THEN 'drop_exact_dup'
               WHEN COALESCE(sf.sfrac, 0) > 0.5 THEN 'drop_substring'
+              WHEN n.doc_id IS NOT NULL AND c.capped THEN 'review_near_dup_capped'
               WHEN n.doc_id IS NOT NULL THEN 'review_near_dup'
               ELSE 'keep' END AS verdict
   FROM ex e
   LEFT JOIN neard n ON n.doc_id = e.doc_id
   LEFT JOIN subf sf ON sf.doc_id = e.doc_id
+  CROSS JOIN capd c
 )
 SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sc GROUP BY verdict
 """,
@@ -1711,10 +1790,17 @@ SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sc GROUP BY verdict
     "representative -> drop; majority of 8-token spans shared -> drop; "
     "MinHash near-dup candidate (>= "
     f"{_EVAL_EST_MIN}/8 lanes) -> review; else keep), reported as verdict "
-    "counts. COMPOSITION of three already-gated operators — exact window, "
-    "capped MinHash candidates, span-sharing fractions — joined on doc_id "
-    "and folded; each signal keeps its own scale-shaped plan, the "
-    "scorecard adds only keyed joins on the bounded per-doc outputs.",
+    "counts. Since r7 the scorecard CONSUMES the bucket-cap audit: when "
+    "dedup_minhash_bucket_audit reports n_dropped_members > 0 (the member "
+    "cap silently excluded documents from pair candidacy), the near-dup "
+    "verdict flips to 'review_near_dup_capped' — a capped run must not "
+    "publish its review channel as complete. COMPOSITION of the already-"
+    "gated operators — exact window, capped MinHash candidates + their "
+    "audit, span-sharing fractions — joined on doc_id and folded; each "
+    "signal keeps its own scale-shaped plan (the audit's drop total rides "
+    "a 1-row broadcast equi-join), the scorecard adds only keyed joins on "
+    "the bounded per-doc outputs. A production run materializes the banded "
+    "signatures once for both the candidate and audit passes.",
 )
 def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1739,15 +1825,29 @@ def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     subf = dedup_substring_ngrams(spark, sf_dir).select(
         "doc_id", F.col("shared_fraction").alias("sfrac")
     )
+    # the audit's drop total is ONE row (sum over <= _BANDS band rows) —
+    # ride it on a broadcast equi-join on a literal key (BroadcastHashJoin,
+    # never a BNLJ), the stop-list/tot pattern above
+    capd = (
+        dedup_minhash_bucket_audit(spark, sf_dir)
+        .agg(F.coalesce(F.sum("n_dropped_members"), F.lit(0)).alias("nd"))
+        .select((F.col("nd") > 0).alias("capped"), F.lit(1).alias("j1"))
+    )
     sc = (
         ex.join(neard, "doc_id", "left")
         .join(subf, "doc_id", "left")
+        .withColumn("j1", F.lit(1))
+        .join(F.broadcast(capd), "j1")
         .select(
             F.when(
                 (F.col("n_copies") > 1) & (F.col("doc_id") != F.col("rep")),
                 "drop_exact_dup",
             )
             .when(F.coalesce(F.col("sfrac"), F.lit(0.0)) > 0.5, "drop_substring")
+            .when(
+                F.col("is_near").isNotNull() & F.col("capped"),
+                "review_near_dup_capped",
+            )
             .when(F.col("is_near").isNotNull(), "review_near_dup")
             .otherwise("keep")
             .alias("verdict")

@@ -173,38 +173,58 @@ def test_embedding_lsh_recall(spark, sf_dir):
 
 
 def test_embedding_lsh_adaptive_equals_fixed_below_first_threshold(spark, sf_dir):
-    """At n ≤ 750 the adaptive variant's masked 10-bit keys reduce to the
-    fixed variant's 4-bit keys and the probe set is the same Hamming-1 ball,
-    so the two must be candidate-for-candidate identical: equal pair sets,
-    bit-identical scores."""
+    """At n ≤ 750 the primary (adaptive) variant's masked 14-bit keys reduce
+    to the fixed variant's 4-bit keys and the probe set is the same
+    Hamming-1 ball, so the two must be candidate-for-candidate identical:
+    equal pair sets, bit-identical scores."""
     base = {
         (r.a_id, r.b_id): r.cos_sim
-        for r in dedup.dedup_embedding_cosine_lsh(spark, sf_dir).collect()
+        for r in dedup.dedup_embedding_cosine_lsh_fixed(spark, sf_dir).collect()
     }
     adap = {
         (r.a_id, r.b_id): r.cos_sim
-        for r in dedup.dedup_embedding_cosine_lsh_adaptive(spark, sf_dir).collect()
+        for r in dedup.dedup_embedding_cosine_lsh(spark, sf_dir).collect()
     }
     assert adap == base
 
 
 def test_adaptive_probe_mask_policy():
-    """Width → probe-radius policy: mask counts follow 1 + C(b,1) [+ C(b,2)
-    at ≥6 bits] [+ C(b,3) at ≥9 bits], every mask stays below 2^bits, no
-    duplicates — a radius-policy edit that silently drops probes (and with
-    them recall) fails here."""
+    """Width → probe policy: Hamming-1 ball at 4-5 bits (the fixed-variant
+    equivalence contract), then own bucket + 1-flips + lexicographic 2-flips
+    truncated to the fixed _ADAPT_PROBE_BUDGET. Every mask below 2^bits, no
+    duplicates, 1-flips always all present (they carry the most recall per
+    probe) — a policy edit that silently drops probes fails here."""
     from math import comb
 
+    budget = dedup._ADAPT_PROBE_BUDGET
     for b in range(4, dedup._ADAPT_MAX_BITS + 1):
         ms = dedup._adapt_probe_masks(b)
-        want = (
-            1
-            + comb(b, 1)
-            + (comb(b, 2) if b >= 6 else 0)
-            + (comb(b, 3) if b >= 9 else 0)
-        )
-        assert len(ms) == len(set(ms)) == want
+        full = 1 + comb(b, 1) + (comb(b, 2) if b >= 6 else 0)
+        assert len(ms) == len(set(ms)) == min(full, budget)
         assert all(0 <= m < (1 << b) for m in ms)
+        # own bucket first, then every single-bit flip, never truncated away
+        assert ms[0] == 0 and set(ms[1 : b + 1]) == {1 << j for j in range(b)}
+
+
+def test_adaptive_coupling_check_fails_loudly():
+    """Widening the threshold chain without moving _ADAPT_MAX_BITS (or vice
+    versa) must raise at import-time check, not silently emit a bits value
+    the masks CASE has no arm for (r6 ADVICE: the ELSE-less CASE would have
+    NULLed the probe masks and zeroed recall in both engines — the ELSE now
+    raises, and this check catches the drift even earlier)."""
+    import pytest
+
+    orig = dedup._ADAPT_BITS_THRESHOLDS
+    try:
+        dedup._ADAPT_BITS_THRESHOLDS = orig + (max(orig) * 2,)
+        with pytest.raises(AssertionError, match="coupling broken"):
+            dedup._check_adapt_coupling()
+        dedup._ADAPT_BITS_THRESHOLDS = orig[:-1] + (orig[0],)
+        with pytest.raises(AssertionError, match="strictly increasing"):
+            dedup._check_adapt_coupling()
+    finally:
+        dedup._ADAPT_BITS_THRESHOLDS = orig
+    dedup._check_adapt_coupling()  # restored constants are coherent
 
 
 def test_adaptive_bits_chain_is_engine_portable(spark):
@@ -815,10 +835,20 @@ def test_minhash_bucket_cap_bounds_mega_bucket(spark, tmp_path):
     n_dup, n_fill = 150, 2000
     boiler = " ".join(f"tmpl{i % 13} tok{i}" for i in range(30))
     rows = [(i, boiler) for i in range(n_dup)]
-    rows += [
-        (10_000 + j, " ".join(f"u{j}x{k}" for k in range(30)))
+    # 12 SHORT fillers (9 tokens) at ids ≡ 0 (mod 7): their zz-suffix near
+    # copies share only 2 of 7 eight-token spans (< the 0.5 substring gate)
+    # and are not exact dups, so they survive the scorecard cascade to the
+    # near-dup verdict — the population that must flip to _capped below
+    short_js = [
+        j
         for j in range(n_fill)
-    ]
+        if (10_000 + j) % 7 == 0 and (10_000 + j) % 5 != 0
+    ][:12]
+    for j in range(n_fill):
+        if j in short_js:
+            rows.append((10_000 + j, " ".join(f"s{j}x{k}" for k in range(9))))
+        else:
+            rows.append((10_000 + j, " ".join(f"u{j}x{k}" for k in range(30))))
     pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
         str(tmp_path / "documents.parquet")
     )
@@ -854,6 +884,38 @@ def test_minhash_bucket_cap_bounds_mega_bucket(spark, tmp_path):
     # kept members are the first 64 by doc_id — all from the base id range
     member_ids = {p.doc_a for p in planted_pairs} | {p.doc_b for p in planted_pairs}
     assert member_ids == set(range(cap))
+
+    # r7: the scorecard CONSUMES the audit — with n_dropped_members > 0 the
+    # near-dup review channel is incomplete and every near-dup verdict must
+    # flip to 'review_near_dup_capped' (no plain 'review_near_dup' row),
+    # in BOTH engines
+    import duckdb
+
+    from pg2parquet_spark.registry import load_all
+
+    card = {r.verdict: r.n_docs for r in dd.pipeline_dedup_scorecard(spark, sf).collect()}
+    assert "review_near_dup" not in card, card
+    assert card.get("review_near_dup_capped", 0) > 0, card
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(load_all()["pipeline_dedup_scorecard"].oracle).fetchall()
+    )
+    assert card == want, (card, want)
+
+
+def test_scorecard_uncapped_fixture_keeps_plain_near_dup_verdict(spark, sf_dir):
+    """On the fixture corpus no bucket exceeds the cap (max bucket ~3), so
+    the audit reports zero drops and the scorecard must emit the PLAIN
+    review_near_dup verdict — the capped flip is reserved for genuinely
+    lossy runs."""
+    from pg2parquet_spark.operators import dedup as dd
+
+    card = {r.verdict: r.n_docs for r in dd.pipeline_dedup_scorecard(spark, sf_dir).collect()}
+    assert "review_near_dup_capped" not in card, card
+    assert card.get("review_near_dup", 0) > 0, card
 
 
 def test_substring_cut_invariants(spark, sf_dir):
@@ -1433,7 +1495,7 @@ def test_adaptive_lsh_five_bit_branch_matches_oracle(spark, tmp_path):
 
     got = {
         (r.a_id, r.b_id): r.cos_sim
-        for r in dedup.dedup_embedding_cosine_lsh_adaptive(spark, d).collect()
+        for r in dedup.dedup_embedding_cosine_lsh(spark, d).collect()
     }
     con = duckdb.connect()
     con.execute(

@@ -108,8 +108,30 @@ def test_dedup_embedding_cosine_lsh_is_bucketed_not_allpairs(spark):
     # LSH-candidates → exact re-score: every join must be an equi-join on a
     # bucket key; an all-pairs `a_id < b_id` BNLJ is the 100 TB killer
     # (dedup_embedding_cosine_exact carries that shape ON PURPOSE — its
-    # contract is the quadratic exact answer; only the _lsh variant is pinned)
-    plan = plan_of(spark, "dedup_embedding_cosine_lsh")
+    # contract is the quadratic exact answer; only the _lsh variants are
+    # pinned). The PRIMARY (adaptive) query localCheckpoints its signature
+    # table, truncating the visible plan — so this sweeps the FULL
+    # pre-checkpoint twin (r6 ADVICE: the BNLJ gate must not pass by
+    # invisibility): exactly ONE BroadcastNestedLoopJoin is allowed, the
+    # 1-row params broadcast that attaches the derived bit width, and the
+    # demoted fixed-plane variant stays BNLJ-free entirely.
+    from pg2parquet_spark.operators.dedup import _EMB_LSH_OFFSETS, adaptive_lsh_plan_audit
+
+    full = (
+        adaptive_lsh_plan_audit(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ONE logical 1-row broadcast; the un-checkpointed lineage duplicates
+    # that subtree into every consumer of the signature table (4 tables × 2
+    # join sides) — which is precisely why the registered form checkpoints.
+    # Any OTHER nested loop (an all-pairs join creeping in) breaks the count.
+    assert full.count("BroadcastNestedLoopJoin") == 2 * len(_EMB_LSH_OFFSETS), (
+        full.count("BroadcastNestedLoopJoin")
+    )
+    assert "CartesianProduct" not in full
+    plan = plan_of(spark, "dedup_embedding_cosine_lsh_fixed")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -521,6 +543,11 @@ _BNLJ_WHITELIST = {
     "ann_cosine_topk",            # bounded query set crossJoin (broadcast)
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
+    # 1-row params crossJoin (bits, a global COUNT aggregate) — hidden in
+    # the registered plan by localCheckpoint, so the discipline sweep audits
+    # the pre-checkpoint twin via _PLAN_AUDIT_OVERRIDES below (r6 ADVICE:
+    # whitelisted explicitly, never passed by invisibility)
+    "dedup_embedding_cosine_lsh",
     "ml_cluster_purity",          # k-row centroid table (kmeans assignment)
     "ml_kmeans_fixed",            # k-row centroid table per iteration
     "ml_power_iteration_pc1",     # 1-row max-norm crossJoin per iteration
@@ -541,18 +568,31 @@ _BNLJ_WHITELIST = {
 }
 
 
+def _plan_audit_overrides():
+    """Queries whose REGISTERED plan is truncated (localCheckpoint cuts the
+    visible lineage): the discipline sweep and tools/plansnap.py audit the
+    full pre-checkpoint twin instead, so nothing escapes the gates by
+    invisibility."""
+    from pg2parquet_spark.operators.dedup import adaptive_lsh_plan_audit
+
+    return {"dedup_embedding_cosine_lsh": adaptive_lsh_plan_audit}
+
+
 def test_registry_wide_plan_discipline(spark):
     """Mechanical sweep over EVERY registered query: no cartesian products,
     no nested-loop joins outside the bounded-side whitelist, and no
     row-at-a-time Python (BatchEvalPython) anywhere — the only Python
     execution allowed is Arrow-batched (MapInPandas / ArrowEvalPython).
     A new operator that accidentally plans a scale-killer fails here even
-    while its values stay correct."""
+    while its values stay correct. Checkpoint-truncated queries are swept
+    through their full pre-checkpoint twin (_plan_audit_overrides)."""
     reg = load_all()
+    overrides = _plan_audit_overrides()
     offenders = {}
     stale_whitelist = set(_BNLJ_WHITELIST)
     for name, spec in reg.items():
-        plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        fn = overrides.get(name, spec.fn)
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         tags = []
         if "BatchEvalPython" in plan:
             tags.append("row-at-a-time-python")
@@ -628,16 +668,18 @@ def test_plan_snapshot(spark):
     import json
     import os
 
-    from tools.plansnap import SNAPSHOT, plan_signature
+    from tools.plansnap import SNAPSHOT, extra_plans, plan_signature
 
     with open(SNAPSHOT) as f:
         snap = json.load(f)
     reg = load_all()
-    missing = sorted(set(reg) - set(snap))
+    entries = {name: spec.fn for name, spec in reg.items()}
+    entries.update(extra_plans())
+    missing = sorted(set(entries) - set(snap))
     assert not missing, f"queries missing from snapshot (rerun tools/plansnap.py): {missing}"
     drifted = {}
-    for name, spec in reg.items():
-        got = plan_signature(spec.fn(spark, SF))
+    for name, fn in entries.items():
+        got = plan_signature(fn(spark, SF))
         if got != snap[name]:
             drifted[name] = {"snapshot": snap[name], "live": got}
     assert not drifted, (

@@ -48,6 +48,18 @@ def plan_signature(df) -> list[str]:
     return ops
 
 
+def extra_plans() -> dict:
+    """Audit twins snapshotted ALONGSIDE the registry: plans whose registered
+    form is truncated by localCheckpoint get their full pre-checkpoint
+    topology recorded under ``<name>#pre_checkpoint`` so a structural change
+    upstream of the checkpoint (e.g. the 1-row bit-width broadcast turning
+    into something unbounded) is caught even though the registered plan
+    cannot show it."""
+    from pg2parquet_spark.operators.dedup import adaptive_lsh_plan_audit
+
+    return {"dedup_embedding_cosine_lsh#pre_checkpoint": adaptive_lsh_plan_audit}
+
+
 def main() -> None:
     from pg2parquet_spark.registry import load_all
     from pg2parquet_spark.session import get_spark
@@ -55,9 +67,11 @@ def main() -> None:
     spark = get_spark(app_name="plansnap", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     snap = {}
-    for name, spec in sorted(load_all().items()):
+    entries = {name: spec.fn for name, spec in load_all().items()}
+    entries.update(extra_plans())
+    for name, fn in sorted(entries.items()):
         try:
-            snap[name] = plan_signature(spec.fn(spark, SF))
+            snap[name] = plan_signature(fn(spark, SF))
         except Exception as ex:  # pragma: no cover — record, don't die
             print(f"{name}: ERROR {str(ex)[:100]}", flush=True)
     with open(SNAPSHOT, "w") as f:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -100,54 +101,90 @@ _FAMILY = (
     "dedup_substring_ngrams",
     "dedup_cluster_components",
     "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_adaptive",
+    "dedup_embedding_cosine_lsh_fixed",
 )
 
 
-def synth_decade(spark, src_sf: str, out_dir: str, factor: int = 10) -> None:
+def synth_decade(
+    spark, src_sf: str, out_dir: str, factor: int = 10, tables=("documents", "embeddings")
+) -> None:
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{src_sf}/documents.parquet")
-    emb = spark.read.parquet(f"{src_sf}/embeddings.parquet")
     doc_parts = []
     emb_parts = []
+    docs = spark.read.parquet(f"{src_sf}/documents.parquet") if "documents" in tables else None
+    emb = spark.read.parquet(f"{src_sf}/embeddings.parquet") if "embeddings" in tables else None
     for k in range(factor):
         if k == 0:
-            doc_parts.append(docs)
-            emb_parts.append(emb)
+            if docs is not None:
+                doc_parts.append(docs)
+            if emb is not None:
+                emb_parts.append(emb)
             continue
-        doc_parts.append(
-            docs.select(
-                (F.col("doc_id") + k * 10_000).alias("doc_id"),
-                F.regexp_replace("text", r"(^|\s)", f"$1c{k}").alias("text"),
-                "lang",
-                "source",
-                "n_chars",
+        if docs is not None:
+            doc_parts.append(
+                docs.select(
+                    (F.col("doc_id") + k * 10_000).alias("doc_id"),
+                    F.regexp_replace("text", r"(^|\s)", f"$1c{k}").alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
             )
-        )
-        emb_parts.append(
-            emb.select(
-                (F.col("vec_id") + k * 10_000).alias("vec_id"),
-                F.expr(
-                    f"transform(sequence(0, 63), i -> element_at(embedding, ((i + {k}) % 64) + 1))"
-                ).cast("array<float>").alias("embedding"),
-                "label",
+        if emb is not None:
+            emb_parts.append(
+                emb.select(
+                    (F.col("vec_id") + k * 10_000).alias("vec_id"),
+                    F.expr(
+                        f"transform(sequence(0, 63), i -> element_at(embedding, ((i + {k}) % 64) + 1))"
+                    ).cast("array<float>").alias("embedding"),
+                    "label",
+                )
             )
-        )
-    d = doc_parts[0]
-    for p in doc_parts[1:]:
-        d = d.unionAll(p)
-    e = emb_parts[0]
-    for p in emb_parts[1:]:
-        e = e.unionAll(p)
-    d.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
-    e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    for parts, name in ((doc_parts, "documents"), (emb_parts, "embeddings")):
+        if not parts:
+            continue
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def synth_dir(spark, factor: int, tables=("documents", "embeddings")) -> str:
+    """Deterministic synth corpus at a FIXED path keyed by (source sf,
+    factor, tables), written once and REUSED across probe runs (r6 review:
+    per-run regeneration gave the top decade 2-3x cross-run error bars from
+    fresh file layout / page-cache state). A DONE marker gates completeness;
+    delete the dir to force a rebuild."""
+    import hashlib
+
+    key = f"{SF_BIG}|x{factor}|{','.join(sorted(tables))}"
+    h = hashlib.sha256(key.encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), f"pg2parquet_synth_x{factor}_{h}"
+    )
+    marker = os.path.join(base, "_SYNTH_DONE")
+    if not os.path.exists(marker):
+        synth_decade(spark, SF_BIG, base, factor=factor, tables=tables)
+        with open(marker, "w") as f:
+            f.write(key + "\n")
+    return base
+
+
+def _run_steady(spark, fn, sf: str, n_timed: int = 3, warm: bool = True) -> float:
+    """Warm once, report best-of-n steady-state wall seconds."""
+    if warm:
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(n_timed):
+        t = time.time()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t)
+    return best
 
 
 def decade2(out_path: str) -> None:
     import math
-    import shutil
-    import tempfile
 
     from pg2parquet_spark.session import get_spark
     from pg2parquet_spark.registry import load_all
@@ -155,73 +192,115 @@ def decade2(out_path: str) -> None:
     spark = get_spark(app_name="scaleprobe2", cpus=32, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
-    synth = tempfile.mkdtemp(prefix="probe_sfdoc1_")
-    try:
-        synth_decade(spark, SF_BIG, synth)
+    # fixed, reused synth corpus (r6 review: per-run regeneration put 2-3x
+    # cross-run error bars on exactly the decade the probe exists to read)
+    synth = synth_dir(spark, factor=10)
 
-        def run(fn, sf: str, n_timed: int = 2, warm: bool = True) -> float:
-            if warm:
-                fn(spark, sf).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(n_timed):
-                t = time.time()
-                fn(spark, sf).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t)
-            return best
+    rows = []
+    for name in _FAMILY:
+        if name not in reg:
+            continue
+        fn = reg[name].fn
+        t1 = _run_steady(spark, fn, SF_SMALL)
+        t2 = _run_steady(spark, fn, SF_BIG)
+        # the top point is warm best-of-3 like the lower decades: a cold
+        # single-shot measurement there swung 2-4x across runs (page
+        # cache, first-shuffle materialization, heap growth to Xmx, AQE
+        # stats all land in it)
+        t3 = _run_steady(spark, fn, synth)
+        r12, r23 = t2 / max(t1, 1e-9), t3 / max(t2, 1e-9)
+        # effective exponent over the upper decade: t ~ n^e => e = log10(r)
+        e23 = math.log10(max(r23, 1e-9))
+        rows.append((name, t1, t2, t3, r12, r23, e23))
+        print(
+            f"{name:34s} {t1:6.2f}s {t2:6.2f}s {t3:6.2f}s  "
+            f"x{r12:.2f} x{r23:.2f}  e={e23:.2f}",
+            flush=True,
+        )
+    rows.sort(key=lambda r: -r[5])
+    lines = [
+        "# Scaling probe, two decades — sf0.01 -> sf0.1 -> synth-10x(sf0.1)",
+        "",
+        "Third point: 10 disjoint re-tokened/dim-rotated copies of the",
+        "sf0.1 documents+embeddings (see tools/scaleprobe.py::synth_decade",
+        "— within-copy dup structure preserved, cross-copy collisions",
+        "scrambled, so candidate-pair density per doc is scale-invariant,",
+        "like a real crawl decade), written ONCE to a fixed keyed path and",
+        "reused across runs (r6 fix — per-run regeneration caused 2-3x",
+        "cross-run error bars at the top point). Best-of-3 steady-state",
+        "seconds after a warm pass, one local[32] JVM. The UPPER-decade",
+        "ratio is the honest one (the lower decade is fixed-overhead-",
+        "dominated at these sizes); e = log10(upper ratio) is the effective",
+        "scaling exponent over that decade — e <= ~1.1 reads as",
+        "linear-with-overhead, anything approaching 2 would be quadratic",
+        "candidate blowup.",
+        "",
+        "| query | sf0.01 (s) | sf0.1 (s) | synth-1.0 (s) | x lower | x upper | e(upper) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, t1, t2, t3, r12, r23, e23 in rows:
+        lines.append(
+            f"| {name} | {t1:.2f} | {t2:.2f} | {t3:.2f} | {r12:.2f}x | {r23:.2f}x | {e23:.2f} |"
+        )
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
 
-        rows = []
-        for name in _FAMILY:
-            if name not in reg:
-                continue
-            fn = reg[name].fn
-            t1 = run(fn, SF_SMALL)
-            t2 = run(fn, SF_BIG)
-            # the top point is warm best-of-2 like the lower decades: a cold
-            # single-shot measurement there swung 2-4x across runs (page
-            # cache, first-shuffle materialization, heap growth to Xmx, AQE
-            # stats of the freshly written synth files all land in it), which
-            # is noise in exactly the decade the probe exists to read
-            t3 = run(fn, synth)
-            r12, r23 = t2 / max(t1, 1e-9), t3 / max(t2, 1e-9)
-            # effective exponent over the upper decade: t ~ n^e => e = log10(r)
-            e23 = math.log10(max(r23, 1e-9))
-            rows.append((name, t1, t2, t3, r12, r23, e23))
-            print(
-                f"{name:34s} {t1:6.2f}s {t2:6.2f}s {t3:6.2f}s  "
-                f"x{r12:.2f} x{r23:.2f}  e={e23:.2f}",
-                flush=True,
-            )
-        rows.sort(key=lambda r: -r[5])
-        lines = [
-            "# Scaling probe, two decades — sf0.01 -> sf0.1 -> synth-10x(sf0.1)",
-            "",
-            "Third point: 10 disjoint re-tokened/dim-rotated copies of the",
-            "sf0.1 documents+embeddings (see tools/scaleprobe.py::synth_decade",
-            "— within-copy dup structure preserved, cross-copy collisions",
-            "scrambled, so candidate-pair density per doc is scale-invariant,",
-            "like a real crawl decade). Best-of-2 steady-state seconds after a",
-            "warm pass, one local[32] JVM. The UPPER-decade ratio is the",
-            "honest one (the lower decade is fixed-overhead-dominated at these",
-            "sizes); e = log10(upper ratio) is the effective scaling exponent",
-            "over that decade — e <= ~1.1 reads as linear-with-overhead,",
-            "anything approaching 2 would be quadratic candidate blowup.",
-            "",
-            "| query | sf0.01 (s) | sf0.1 (s) | synth-1.0 (s) | x lower | x upper | e(upper) |",
-            "|---|---|---|---|---|---|---|",
-        ]
-        for name, t1, t2, t3, r12, r23, e23 in rows:
-            lines.append(
-                f"| {name} | {t1:.2f} | {t2:.2f} | {t3:.2f} | {r12:.2f}x | {r23:.2f}x | {e23:.2f} |"
-            )
-        with open(out_path, "w") as f:
-            f.write("\n".join(lines) + "\n")
-        print("wrote", out_path, flush=True)
-    finally:
-        shutil.rmtree(synth, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# Adaptive-LSH width-dial probe (r7): the r6 review's acceptance bar for the
+# promoted corpus-adaptive dedup_embedding_cosine_lsh is a probe point PAST
+# the old _ADAPT_MAX_BITS=10 ceiling (~24k vectors) with e(upper) < 1.15.
+# Probes the embeddings-only synth corpus at 3x sf0.1 (6k vectors — 7-bit
+# keys) and 30x (60k vectors — 11-bit keys, past the old ceiling) and
+# reports the decade exponent. The threshold chain pins occupancy to the
+# (23.4, 46.9] band and the fixed 48-mask probe budget pins per-vector
+# candidate work, so the honest expectation is e ~= 1; the fixed-plane
+# baseline is probed alongside for the contrast (its 4-bit occupancy grows
+# 10x over the same decade).
+def embdial(out_path: str) -> None:
+    import math
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.registry import load_all
+
+    spark = get_spark(app_name="embdial", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    lo = synth_dir(spark, factor=3, tables=("embeddings",))   # 6,000 vectors
+    hi = synth_dir(spark, factor=30, tables=("embeddings",))  # 60,000 vectors
+    lines = [
+        "# Adaptive-LSH width dial, past the old 24k ceiling",
+        "",
+        "Embeddings-only synth corpora from sf0.1 (2,000 vectors): 3x = 6,000",
+        "vectors (7-bit keys) and 30x = 60,000 vectors (11-bit keys — past",
+        "the pre-r7 _ADAPT_MAX_BITS=10 / 24k-vector ceiling). Fixed keyed",
+        "synth paths, reused across runs; best-of-3 steady-state after a",
+        "warm pass. e = log10(t_hi/t_lo) over the 10x decade. The adaptive",
+        "dial pins occupancy (threshold chain) AND probe count (48-mask",
+        "budget), so per-vector candidate work is ~flat; the fixed-plane",
+        "baseline's 4-bit occupancy grows 10x over the same decade.",
+        "",
+        "| query | 6k vecs (s) | 60k vecs (s) | ratio | e(upper) |",
+        "|---|---|---|---|---|",
+    ]
+    for name in ("dedup_embedding_cosine_lsh", "dedup_embedding_cosine_lsh_fixed"):
+        fn = reg[name].fn
+        t_lo = _run_steady(spark, fn, lo)
+        t_hi = _run_steady(spark, fn, hi)
+        r = t_hi / max(t_lo, 1e-9)
+        e = math.log10(max(r, 1e-9))
+        print(f"{name:36s} {t_lo:6.2f}s {t_hi:7.2f}s  x{r:.2f}  e={e:.2f}", flush=True)
+        lines.append(f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {r:.2f}x | {e:.2f} |")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--decade2":
-        decade2(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r05.md")
+        decade2(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r07.md")
+    elif len(sys.argv) > 1 and sys.argv[1] == "--embdial":
+        embdial(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r07_embdial.md")
     else:
         main()
