@@ -79,14 +79,13 @@ def _last_verified_round(root) -> dict[str, int]:
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (registration side effect) and return the registry.
 
-    Ordering policy — mechanical coverage rotation, not hand-picking: the
-    registry is sorted least-recently-driver-verified first.  A query that has
-    never had a green row in any committed ``CORRECTNESS_r*.json`` (including
-    every brand-new query) sorts before one verified in round 1, which sorts
-    before one verified in round 2, ties broken alphabetically.  Under any
-    external gate that samples a prefix of the registration order, this
-    round-robins the whole registry through the gate over successive rounds
-    and always routes the newest (riskiest) code into the next sample window.
+    Ordering policy — mechanical coverage rotation, not hand-picking, and
+    CHANGE-AWARE since r7 (see :func:`_rotation_key`): queries that are
+    unproven (never driver-green) or whose implementing module changed since
+    their last green round sort first, then least-recently-verified, ties
+    broken alphabetically.  Under any external gate that samples a prefix of
+    the registration order, this routes the riskiest code — new AND
+    rewritten — into the next sample window and round-robins the rest.
     The policy is data-driven from the committed artifacts — nothing here
     encodes a preference for particular queries.
     """
@@ -113,5 +112,73 @@ def load_all() -> dict[str, QuerySpec]:
 
     root = Path(__file__).resolve().parent.parent
     verified = _last_verified_round(root)
-    ordered = sorted(REGISTRY, key=lambda name: (verified.get(name, 0), name))
+    changed = _changed_since_verified(root, REGISTRY, verified)
+    ordered = sorted(REGISTRY, key=lambda name: _rotation_key(name, verified, changed))
     return {name: REGISTRY[name] for name in ordered}
+
+
+def _rotation_key(name: str, verified: dict[str, int], changed: set[str]):
+    """CHANGE-AWARE rotation key (r6 review item). Group 0: queries never
+    driver-green OR whose implementing module changed since the round that
+    last verified them (git blob ids vs VERIFIED_FINGERPRINTS.json) — their
+    last-green round carries no information about the CURRENT code, so
+    within the group the order is plain alphabetical (deterministic,
+    replayable, no hand-picking); successive windows cycle the whole group
+    as members re-verify and leave it. Group 1: still-proven queries,
+    least-recently-verified first. The age-only key this replaces let the
+    r5 dedup_substring_ngrams rewrite sail past two verification windows."""
+    rnd = verified.get(name, 0)
+    if rnd == 0 or name in changed:
+        return (0, 0, name)
+    return (1, rnd, name)
+
+
+def _git_blob_id(path) -> str:
+    """Git's content fingerprint of a working-tree file (sha1 of
+    ``blob <len>\\0<bytes>``) — comparable to ``git ls-tree`` output without
+    invoking git."""
+    import hashlib
+
+    data = path.read_bytes()
+    return hashlib.sha1(b"blob %d\x00%s" % (len(data), data)).hexdigest()
+
+
+def _changed_since_verified(
+    root, specs: dict[str, QuerySpec], verified: dict[str, int]
+) -> set[str]:
+    """Names whose implementing module's CURRENT blob id differs from the
+    blob id recorded for their last driver-green round. The committed
+    VERIFIED_FINGERPRINTS.json (tools/fingerprints.py — derived from the
+    round-close commits) records which code each round actually verified;
+    module granularity is deliberately conservative (touching a module
+    re-routes all its queries through the gate). A missing file, round, or
+    module entry degrades to 'unchanged' — the pre-r7 age-only ordering."""
+    import inspect
+    import json
+    from pathlib import Path
+
+    try:
+        rounds = json.loads(
+            (root / "VERIFIED_FINGERPRINTS.json").read_text()
+        )["rounds"]
+    except (OSError, ValueError, KeyError):
+        return set()
+    current: dict[str, str] = {}
+    changed: set[str] = set()
+    for name, spec in specs.items():
+        recorded_round = rounds.get(str(verified.get(name, 0)))
+        if not recorded_round:
+            continue
+        try:
+            mod_path = Path(inspect.getmodule(spec.fn).__file__).resolve()
+            rel = str(mod_path.relative_to(root))
+        except (TypeError, ValueError, AttributeError):
+            continue
+        recorded = recorded_round.get(rel)
+        if recorded is None:
+            continue
+        if rel not in current:
+            current[rel] = _git_blob_id(mod_path)
+        if current[rel] != recorded:
+            changed.add(name)
+    return changed
