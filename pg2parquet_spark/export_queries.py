@@ -32,8 +32,13 @@ GROUP BY l_returnflag
     "Values must survive the write/read cycle bit-exactly.",
 )
 def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
-    out = tempfile.mkdtemp(prefix="pg2parquet_sink_") + "/lineitem_filtered.parquet"
+    # memoized dir per corpus; export() re-writes (mode=overwrite) every
+    # invocation — the write IS the query, only the mkdtemp churn is gone
+    base, _ = memo_tmpdir("pg2parquet_sink", sf_dir)
+    out = base + "/lineitem_filtered.parquet"
     export(li, out, ExportOptions(compression="zstd", compression_level=3,
                                   row_group_bytes=64 * 1024 * 1024))
     back = spark.read.parquet(out)
@@ -95,7 +100,10 @@ def _supplier_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame
     sup = table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = tempfile.mkdtemp(prefix=f"pg2parquet_src_{fmt}_") + f"/supplier.{fmt}"
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
+    base, _ = memo_tmpdir(f"pg2parquet_src_{fmt}", sf_dir)
+    out = base + f"/supplier.{fmt}"
     (
         sup.write.mode("overwrite")
         .format("json" if fmt == "jsonl" else fmt)

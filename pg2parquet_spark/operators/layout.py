@@ -46,8 +46,14 @@ GROUP BY user_id
     "query reads one partition's files, never the full dataset.",
 )
 def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
     ev = table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="pg2parquet_part_") + "/events_by_type"
+    # memoized dir per corpus (no per-invocation mkdtemp churn); the write
+    # itself re-runs every invocation — overwrite into the same layout is
+    # the behavior under test
+    base, _ = memo_tmpdir("pg2parquet_part", sf_dir)
+    out = base + "/events_by_type"
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type") == "click")
     return back.groupBy("user_id").agg(
@@ -214,7 +220,10 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     x8 = (F.col("user_id") % 256).cast("int")
     y8 = ((F.dayofmonth("ts") * 24 + F.hour("ts")) % 256).cast("int")
     staged = ev.select("event_type", "value", x8.alias("x8"), y8.alias("y8"))
-    out = tempfile.mkdtemp(prefix="pg2parquet_zorder_") + "/events_z"
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
+    base, _ = memo_tmpdir("pg2parquet_zorder", sf_dir)
+    out = base + "/events_z"
     write_zordered(staged.withColumn("z", zorder16(F.col("x8"), F.col("y8"))), out, F.col("z"), 4)
     back = spark.read.parquet(out).filter(
         F.col("x8").between(16, 47) & F.col("y8").between(32, 95)

@@ -65,9 +65,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # FileStreamSource requires a directory; expose the single fixture file
-    # through a temp dir (in production this is the landing directory/Kafka)
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    # through a temp dir (in production this is the landing directory/Kafka).
+    # Memoized per sf_dir — one symlink dir per corpus per process, not one
+    # per invocation (r6 review: /tmp churn on every selfcheck pass).
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
+    stream_dir, created = memo_tmpdir("events_stream", sf_dir)
+    if created:
+        os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     stream = spark.readStream.schema(static.schema).parquet(stream_dir)
     # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so values
     # match the batch NTZ view — outputs cast back to NTZ for the oracle
@@ -299,8 +304,11 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
-    os.symlink(f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet")
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
+    stream_dir, created = memo_tmpdir("docs_stream", sf_dir)
+    if created:
+        os.symlink(f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet")
     stream = spark.readStream.schema(docs_schema).parquet(stream_dir)
     hashed = stream.select(
         F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias(
@@ -360,15 +368,21 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = (F.col("event_id") % 7 == 0) & (
         F.col("ts") < F.lit(mx) - F.expr("INTERVAL 2 HOURS")
     )
-    stream_dir = tempfile.mkdtemp(prefix="events_late_")
-    stage_dir = tempfile.mkdtemp(prefix="events_late_stage_")
-    batches = ((1, ev.filter(~newest & ~late)), (2, ev.filter(newest)), (3, ev.filter(late)))
-    for i, part in batches:
-        d = f"{stage_dir}/b{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(d)
-        dst = f"{stream_dir}/batch{i}.parquet"
-        shutil.move(_glob.glob(f"{d}/part-*.parquet")[0], dst)
-        os.utime(dst, (1000 * i, 1000 * i))
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
+    # the 3-batch landing dir is deterministic per corpus: build it once per
+    # process (memoized), and reap the staging scratch after the move
+    stream_dir, created = memo_tmpdir("events_late", sf_dir)
+    if created:
+        stage_dir = tempfile.mkdtemp(prefix="events_late_stage_")
+        batches = ((1, ev.filter(~newest & ~late)), (2, ev.filter(newest)), (3, ev.filter(late)))
+        for i, part in batches:
+            d = f"{stage_dir}/b{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            dst = f"{stream_dir}/batch{i}.parquet"
+            shutil.move(_glob.glob(f"{d}/part-*.parquet")[0], dst)
+            os.utime(dst, (1000 * i, 1000 * i))
+        shutil.rmtree(stage_dir, ignore_errors=True)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -570,10 +584,17 @@ FROM events GROUP BY user_id
     "exactly (integer cents — no float accumulation drift).",
 )
 def stream_foreachbatch_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import shutil
+
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
 
     ev = _events_stream_multibatch(spark, sf_dir)
-    sink_dir = tempfile.mkdtemp(prefix="fb_partials_") + "/partials"
+    # the sink dir is memoized (no per-invocation mkdtemp) but must start
+    # EMPTY every run — the stream appends batch-stamped partials, and a
+    # second invocation folding two runs' partials would double every total
+    base, _ = memo_tmpdir("fb_partials", sf_dir)
+    sink_dir = base + "/partials"
+    shutil.rmtree(sink_dir, ignore_errors=True)
 
     def write_partials(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -1,0 +1,35 @@
+"""Process-lifetime memoized temp dirs for fixture-writing queries.
+
+Ten registered queries build an on-disk fixture (a streaming landing dir, a
+partitioned/bucketed/z-ordered layout, a sink output) as part of their
+contract. Before r7 each invocation called ``tempfile.mkdtemp`` — every
+selfcheck/scaleprobe/plan sweep leaked a fresh /tmp directory per query per
+pass (r5/r6 review item). The fixtures are deterministic per ``sf_dir`` (or
+per (kind, sf_dir) key), so the directory is memoized for the life of the
+process, mirroring the ``_EVO_MEMO``/``_MB_MEMO`` pattern those modules
+already used: first call creates and populates, later calls reuse. Queries
+whose write IS the behavior under test (sink_roundtrip, layout writes)
+still re-write every invocation — into the SAME directory with
+mode("overwrite") — so the end-to-end write path stays exercised without
+directory churn.
+
+Corpus dirs are immutable in this harness; a production deployment would
+key the memo by snapshot id.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+_DIR_MEMO: dict[tuple[str, ...], str] = {}
+
+
+def memo_tmpdir(kind: str, *key: str) -> tuple[str, bool]:
+    """Return ``(path, created)`` for the process-lifetime temp dir memoized
+    under ``(kind, *key)``. ``created`` is True exactly once per key — the
+    caller populates the fixture under that flag."""
+    k = (kind, *key)
+    if k not in _DIR_MEMO:
+        _DIR_MEMO[k] = tempfile.mkdtemp(prefix=f"{kind}_")
+        return _DIR_MEMO[k], True
+    return _DIR_MEMO[k], False

@@ -734,3 +734,50 @@ def test_float16_remote_uri_reconstruction_and_rename_swap(monkeypatch, tmp_path
     assert not (tmp_path / "bucket" / "exp" / "part-0.parquet.f16tmp").exists()
     back = pq.read_table(str(part))
     assert [float(x.as_py()) for x in back["v"]] == [1.5, -0.25]
+
+
+def test_fixture_queries_reuse_tmpdirs_across_invocations(spark):
+    """r6 review item: the ten fixture-writing queries used to mkdtemp per
+    invocation — every selfcheck/scaleprobe/plan sweep leaked temp dirs.
+    They now memoize their fixture dir per (kind, sf_dir)
+    (pg2parquet_spark.tmpdirs): invoking each query twice must create ZERO
+    new temp directories on the second pass."""
+    import tempfile
+
+    from pg2parquet_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "stream_events_hourly",      # _events_stream symlink dir
+        "stream_dedup_exact",        # docs_stream symlink dir
+        "stream_late_data",          # 3-batch landing dir (+ reaped staging)
+        "stream_foreachbatch_partials",  # memoized sink dir, cleared per run
+        "layout_partition_prune",
+        "layout_zorder_cluster",
+        "sink_roundtrip",
+        "source_csv_roundtrip",
+        "source_json_roundtrip",
+        "source_orc_roundtrip",
+    ]
+    reg = load_all()
+    for n in names:
+        reg[n].fn(spark, sf)  # first pass populates the memoized fixtures
+    tmp = tempfile.gettempdir()
+    before = set(os.listdir(tmp))
+    for n in names:
+        reg[n].fn(spark, sf)  # second pass must reuse every fixture dir
+    new = set(os.listdir(tmp)) - before
+    # Spark's own scratch (blockmgr/spark-*/hive) may appear; OUR prefixes
+    # must not
+    ours = {
+        d
+        for d in new
+        if d.startswith(
+            (
+                "events_stream_", "docs_stream_", "events_late_",
+                "fb_partials_", "pg2parquet_part_", "pg2parquet_zorder_",
+                "pg2parquet_sink_", "pg2parquet_src_",
+            )
+        )
+    }
+    assert not ours, sorted(ours)
