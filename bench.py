@@ -22,6 +22,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # machine context BEFORE the JVM boots: r5/r6 recorded +3%/+11% drift on
+    # byte-identical code with no way to tell environment from regression —
+    # the load average at measurement time is the discriminator (a loaded
+    # box inflates every query uniformly; a code regression is query-local)
+    load_before = os.getloadavg()
 
     from pg2parquet_spark.session import get_spark
     from pg2parquet_spark.registry import load_all
@@ -90,6 +95,11 @@ def main() -> None:
             registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
     timings = {n: round(sorted(ts)[1], 3) for n, ts in samples.items()}
+    # per-query min/max alongside the median: in-artifact evidence of the
+    # run's own noise floor (a wide spread on identical passes = environment)
+    spread = {
+        n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()
+    }
 
     # Streaming section (separate from `value` so the headline total stays
     # like-for-like across rounds): the heaviest registered streaming query
@@ -113,12 +123,21 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
         "streaming_queries": stream_timings,
         "streaming_total_sec": round(sum(stream_timings.values()), 3),
         "sf": sf,
+        "env": {
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "os_cpus": os.cpu_count(),
+            "spark_cpus": cpus,
+        },
         "method": "steady-state: 1 untimed warm pass, median of 3 timed passes; "
         "streaming tracked separately from the headline total for "
-        "cross-round comparability",
+        "cross-round comparability; query_spread = [min,max] of the 3 "
+        "passes and env.loadavg separate machine noise from code "
+        "regressions",
     }
     print(json.dumps(out))
 
