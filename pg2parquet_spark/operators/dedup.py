@@ -904,6 +904,17 @@ _ADAPT_BITS_THRESHOLDS = (
 # _EMB_LSH_OFFSETS entries), not probes — tables multiply recall
 # independently while keeping each join's fan-out bounded.
 _ADAPT_PROBE_BUDGET = 48
+# Occupancy gate for probing (r7): a vector probes its Hamming ball only if
+# its OWN bucket holds <= this many members; denser buckets keep own-bucket
+# candidacy (mask 0) in all 4 tables but skip probe traffic. Measured on the
+# 60k-vector synth corpus: real embeddings cluster, bucket mass is heavy-
+# tailed (max 1110 vs mean 39.8 at 11 bits), and dense buckets' Hamming
+# neighborhoods are dense too — un-gated probe volume was 1.08e9 join rows
+# (model e = 1.45 over the upper decade); gated at 64 it is 2.2e8 (e = 1.13).
+# Inert at bits <= 5 (n <= 1500): micro corpora have nothing to save, and
+# this keeps the n <= 750 fixed-variant equivalence and the 900-row 5-bit
+# oracle fixture at full probe recall.
+_EMB_PROBE_OCC_BOUND = 64
 
 
 def _check_adapt_coupling() -> None:
@@ -981,12 +992,18 @@ def _adapt_oracle_sql() -> str:
         lambda ms: "[" + ", ".join(map(str, ms)) + "]",
         lambda msg: f"error('{msg}')",
     )
+    occs = ",\n".join(
+        f"occ{t} AS (SELECT k{t} AS key, COUNT(*) AS c FROM bk GROUP BY k{t})"
+        for t in range(len(_EMB_LSH_OFFSETS))
+    )
     joins = []
     for t in range(len(_EMB_LSH_OFFSETS)):
         joins.append(
             f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} AS cos_sim
-  FROM (SELECT bk.vec_id, bk.embedding, xor(bk.k{t}, pm.m) AS pk FROM bk, pm) a
+  FROM (SELECT bk.vec_id, bk.embedding, xor(bk.k{t}, pm.m) AS pk
+          FROM bk JOIN occ{t} ON bk.k{t} = occ{t}.key, pm
+         WHERE pm.m = 0 OR bk.bits <= 5 OR occ{t}.c <= {_EMB_PROBE_OCC_BOUND}) a
   JOIN bk b ON a.pk = b.k{t} AND a.vec_id < b.vec_id"""
         )
     pair_union = "\n  UNION ALL\n".join(joins)
@@ -996,8 +1013,9 @@ def _adapt_oracle_sql() -> str:
     return f"""
 WITH par AS (SELECT {_adapt_bits_case('COUNT(*)')} AS bits FROM embeddings),
 bkf AS (SELECT vec_id, embedding, {keys} FROM embeddings),
-bk AS (SELECT vec_id, embedding, {kcols} FROM bkf, par),
+bk AS (SELECT vec_id, embedding, bits, {kcols} FROM bkf, par),
 pm AS (SELECT unnest({masks}) AS m FROM par),
+{occs},
 pairs AS (
   {pair_union}
 )
@@ -1016,15 +1034,17 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "bit-for-bit); each of the 4 hash tables hashes one static 14-bit sign "
     "key and masks it to the effective width, pinning per-bucket occupancy "
     "to the (23.4, 46.9] band at every corpus size. Probing is FIXED-BUDGET "
-    "multi-probe (own bucket + 1-flips + lexicographic 2-flips, ≤48 masks), "
-    "so per-vector candidate work = probes × occupancy is ~flat — the dial "
-    "that holds e ≈ 1 through the synth decades (SCALING_r07.md) instead of "
-    "the r5 policy's (log n)^3 probe-ball growth. Probes explode join KEYS "
-    "only. At n ≤ 750 (the driver's sf0.01 gate) this is candidate-for-"
-    "candidate identical to the fixed variant (tested); at sf0.1 the "
-    "6-bit path runs under the oracle; the synth probes exercise 7-11 bits "
-    "(tools/scaleprobe.py). Same exact Arrow re-score tail as the fixed "
-    "variant (_score_candidate_pairs).",
+    "multi-probe (own bucket + 1-flips + lexicographic 2-flips, ≤48 masks) "
+    "and OCCUPANCY-GATED (_EMB_PROBE_OCC_BOUND): clustered corpora make "
+    "bucket mass heavy-tailed, so vectors in dense buckets skip probe "
+    "traffic (own-bucket candidacy always kept) — measured 4.9x candidate "
+    "reduction and model e 1.45 → 1.13 on the 60k-vector synth decade "
+    "(SCALING_r07_embdial.md). Probes explode join KEYS only. At n ≤ 750 "
+    "(the driver's sf0.01 gate) this is candidate-for-candidate identical "
+    "to the fixed variant (tested; the gate is inert at bits<=5); at sf0.1 "
+    "the 6-bit path runs under the oracle; the synth probes exercise 7-11 "
+    "bits (tools/scaleprobe.py). Same exact Arrow re-score tail as the "
+    "fixed variant (_score_candidate_pairs).",
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adaptive_lsh_build(spark, sf_dir, checkpoint=True)
@@ -1091,13 +1111,37 @@ def _adaptive_lsh_build(
             lambda msg: f"raise_error('{msg}')",
         )
     )
+    from pyspark.sql import Window as W
+
     per_table = []
     for t in range(len(_EMB_LSH_OFFSETS)):
         k = F.col(f"k{t}")
-        a = bk.select(
+        # OCCUPANCY-GATED probing (r7, measured on the 60k-vector synth
+        # corpus): real embeddings cluster, so sign buckets are heavy-tailed
+        # (max bucket 1110 vs mean 39.8 at 11 bits) and a dense bucket's
+        # Hamming neighborhood is dense too — un-gated probing put 1.08e9
+        # join rows through the 60k decade (model e = 1.45). A vector whose
+        # OWN bucket holds more than _EMB_PROBE_OCC_BOUND members skips its
+        # probe masks (own bucket, mask 0, always kept): a dense bucket
+        # already contributes >= C(P,2) exact-scored candidates per table
+        # across 4 tables, so the marginal recall of probing FROM it is
+        # small, while its probe traffic is the measured blowup. The gate is
+        # inert at bits<=5 (micro corpora — includes the n<=750 fixed-variant
+        # equivalence contract band). Gated model: 222e6 rows,
+        # e = 1.13 (SCALING_r07_embdial.md). The occupancy count rides a
+        # per-table window over the checkpointed NARROW signature rows —
+        # the same k{t} hash partitioning the join needs anyway.
+        a_base = bk.withColumn(
+            "occ", F.count(F.lit(1)).over(W.partitionBy(f"k{t}"))
+        )
+        gated = F.when(
+            (F.col("bits") <= 5) | (F.col("occ") <= _EMB_PROBE_OCC_BOUND),
+            probe_masks,
+        ).otherwise(F.array(F.lit(0)))
+        a = a_base.select(
             F.col("vec_id").alias("a_id"),
             F.explode(
-                F.transform(probe_masks, lambda m: k.bitwiseXOR(m))
+                F.transform(gated, lambda m: k.bitwiseXOR(m))
             ).alias("ka"),
         )
         b = bk.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
@@ -1798,8 +1842,8 @@ SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sc GROUP BY verdict
     "gated operators — exact window, capped MinHash candidates + their "
     "audit, span-sharing fractions — joined on doc_id and folded; each "
     "signal keeps its own scale-shaped plan (the audit's drop total rides "
-    "a 1-row broadcast equi-join), the scorecard adds only keyed joins on "
-    "the bounded per-doc outputs. A production run materializes the banded "
+    "a 1-row broadcast crossJoin, whitelisted), the scorecard adds only "
+    "keyed joins on the bounded per-doc outputs. A production run materializes the banded "
     "signatures once for both the candidate and audit passes.",
 )
 def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1826,18 +1870,20 @@ def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("shared_fraction").alias("sfrac")
     )
     # the audit's drop total is ONE row (sum over <= _BANDS band rows) —
-    # ride it on a broadcast equi-join on a literal key (BroadcastHashJoin,
-    # never a BNLJ), the stop-list/tot pattern above
+    # attach it with an explicit 1-row broadcast crossJoin, the same shape
+    # as pipeline_cluster_safe_split's leak count. (A literal j1 equi-join
+    # is a lie here: FoldablePropagation folds j1 = j1 to true and plans
+    # the same BroadcastNestedLoopJoin anyway — with a 1-row build side
+    # either plan is scale-safe, so say what we mean and whitelist it.)
     capd = (
         dedup_minhash_bucket_audit(spark, sf_dir)
         .agg(F.coalesce(F.sum("n_dropped_members"), F.lit(0)).alias("nd"))
-        .select((F.col("nd") > 0).alias("capped"), F.lit(1).alias("j1"))
+        .select((F.col("nd") > 0).alias("capped"))
     )
     sc = (
         ex.join(neard, "doc_id", "left")
         .join(subf, "doc_id", "left")
-        .withColumn("j1", F.lit(1))
-        .join(F.broadcast(capd), "j1")
+        .crossJoin(F.broadcast(capd))
         .select(
             F.when(
                 (F.col("n_copies") > 1) & (F.col("doc_id") != F.col("rep")),

@@ -553,6 +553,7 @@ _BNLJ_WHITELIST = {
     "ml_power_iteration_pc1",     # 1-row max-norm crossJoin per iteration
     "pipeline_cluster_safe_split",  # single-row leak-count crossJoin
     "pipeline_contrastive_pairs",   # single-row corpus-count crossJoin
+    "pipeline_dedup_scorecard",   # single-row bucket-audit-total crossJoin
     "pipeline_mix_rebalance",     # single-row corpus-total crossJoin
     "pipeline_mix_temperature",   # single-row weight-sum crossJoin
     "q11_important_stock",        # scalar subquery threshold (TPC-H shape)

@@ -284,9 +284,23 @@ def embdial(out_path: str) -> None:
         "| query | 6k vecs (s) | 60k vecs (s) | ratio | e(upper) |",
         "|---|---|---|---|---|",
     ]
-    for name in ("dedup_embedding_cosine_lsh", "dedup_embedding_cosine_lsh_fixed"):
+    for name, probe_hi in (
+        ("dedup_embedding_cosine_lsh", True),
+        # the fixed-plane baseline is probed at the LOW point only: its
+        # candidate count is quadratic by measurement (SCALING_r05.md,
+        # e=1.31 over 2k->20k) and at 60k vectors a single pass is ~10 min
+        # of pure in-bucket pair blowup — the cost model is already on
+        # record; re-paying it per probe run adds no information
+        ("dedup_embedding_cosine_lsh_fixed", False),
+    ):
         fn = reg[name].fn
         t_lo = _run_steady(spark, fn, lo)
+        if not probe_hi:
+            print(f"{name:36s} {t_lo:6.2f}s   (hi point skipped: quadratic "
+                  "by measured contract)", flush=True)
+            lines.append(f"| {name} | {t_lo:.2f} | (skipped — quadratic by "
+                         "measured contract, SCALING_r05.md) | — | — |")
+            continue
         t_hi = _run_steady(spark, fn, hi)
         r = t_hi / max(t_lo, 1e-9)
         e = math.log10(max(r, 1e-9))
