@@ -825,7 +825,19 @@ def _score_candidate_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
     cand = cand.repartition(default_cpus())
     e_a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     e_b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    paired = cand.join(e_a, "a_id").join(e_b, "b_id")
+    # shuffle-HASH, not sort-merge: SMJ sorts its inputs, and the second
+    # join's input is the first join's WIDE output (candidates + one ~512 B
+    # vector per row) — at the 60k-vector synth point that sort spilled
+    # ~72 GB and filled the disk. Hashing builds from the EMBEDDING side,
+    # whose per-partition slice is |corpus|/P and independent of the pair
+    # count, while the candidate stream is consumed without ever being
+    # sorted; the scored output then pipelines straight into the Arrow
+    # kernel. The same asymmetry holds on a 1000-executor cluster: pair
+    # volume scales with near-dup density, the build side only with corpus
+    # over partition count.
+    paired = cand.join(e_a.hint("shuffle_hash"), "a_id").join(
+        e_b.hint("shuffle_hash"), "b_id"
+    )
 
     # exact re-score in an Arrow numpy kernel (same dimension-fold trick as
     # ann_cosine_topk_arrow: acc += A[:,d]·B[:,d] keeps every pair's sum in
@@ -915,6 +927,22 @@ _ADAPT_PROBE_BUDGET = 48
 # this keeps the n <= 750 fixed-variant equivalence and the 900-row 5-bit
 # oracle fixture at full probe recall.
 _EMB_PROBE_OCC_BOUND = 64
+# Per-bucket CANDIDACY cap (r7) — the _BUCKET_CAP discipline from
+# dedup_minhash_lsh reapplied to the embedding tables: within each
+# (table, bucket) only the first _EMB_BUCKET_CAP members by vec_id emit or
+# receive pairs. The probe gate above bounds probe TRAFFIC, but it cannot
+# touch own-bucket pair emission, and that is where the quadratic mass
+# lives on a clustered corpus: at the 60k-vector synth point (11 bits,
+# table 0) the occupancy tail is max 1110 / p99 803 against a 39.8 mean,
+# and 98% of the 11.6M own-bucket pairs come from buckets with > 64
+# members — a single 1110-member bucket alone is C(1110,2) = 616k pairs
+# per table. When the TRUE answer is quadratic (a mega-cluster of mutual
+# near-dups), no pair-materializing algorithm is subquadratic; the honest
+# contract is a bounded candidacy window plus an audit
+# (dedup_embedding_bucket_audit) that reports exactly how many members
+# were excluded, mirroring dedup_minhash_bucket_audit. Inert at
+# bits <= 5 for the same micro-corpus reasons as the probe gate.
+_EMB_BUCKET_CAP = 64
 
 
 def _check_adapt_coupling() -> None:
@@ -981,16 +1009,40 @@ def _adapt_masks_case(arr, err) -> str:
     return f"(CASE {clauses} ELSE {err(msg)} END)"
 
 
-def _adapt_oracle_sql() -> str:
+def _adapt_bk_sql() -> str:
+    """Shared oracle prefix: the par/bkf/bk CTE chain producing one narrow
+    signature row per vector (vec_id, embedding, bits, k0..k3) — the SQL
+    twin of ``_adaptive_lsh_build``'s checkpointed signature table. Reused
+    by the pair oracle and the bucket-audit oracle so both engines derive
+    buckets from the identical expression text."""
     from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
 
     keys = ", ".join(
         f"{bucket_sql_offset_n('embedding', EMB_DIM, False, off, _ADAPT_MAX_BITS)} AS kf{t}"
         for t, off in enumerate(_EMB_LSH_OFFSETS)
     )
+    kcols = ", ".join(
+        f"kf{t} % (1 << bits) AS k{t}" for t in range(len(_EMB_LSH_OFFSETS))
+    )
+    # AS MATERIALIZED: the signature CTE is consumed by every per-table
+    # pair join (8 references) and each key column unrolls ~600 arithmetic
+    # terms — inlined per reference, DuckDB re-evaluates the whole chain 8x
+    # and the 4-window bkr consumer turned that into a 40 s / multi-GB
+    # oracle on a 900-row corpus. Materializing evaluates it once (exactly
+    # like the Spark side's localCheckpoint of the same narrow rows).
+    return f"""par AS (SELECT {_adapt_bits_case('COUNT(*)')} AS bits FROM embeddings),
+bkf AS (SELECT vec_id, embedding, {keys} FROM embeddings),
+bk AS MATERIALIZED (SELECT vec_id, embedding, bits, {kcols} FROM bkf, par)"""
+
+
+def _adapt_oracle_sql() -> str:
     masks = _adapt_masks_case(
         lambda ms: "[" + ", ".join(map(str, ms)) + "]",
         lambda msg: f"error('{msg}')",
+    )
+    rns = ", ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY k{t} ORDER BY vec_id) AS rn{t}"
+        for t in range(len(_EMB_LSH_OFFSETS))
     )
     occs = ",\n".join(
         f"occ{t} AS (SELECT k{t} AS key, COUNT(*) AS c FROM bk GROUP BY k{t})"
@@ -1002,18 +1054,16 @@ def _adapt_oracle_sql() -> str:
             f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} AS cos_sim
   FROM (SELECT bk.vec_id, bk.embedding, xor(bk.k{t}, pm.m) AS pk
-          FROM bk JOIN occ{t} ON bk.k{t} = occ{t}.key, pm
-         WHERE pm.m = 0 OR bk.bits <= 5 OR occ{t}.c <= {_EMB_PROBE_OCC_BOUND}) a
-  JOIN bk b ON a.pk = b.k{t} AND a.vec_id < b.vec_id"""
+          FROM bkr bk JOIN occ{t} ON bk.k{t} = occ{t}.key, pm
+         WHERE (bk.bits <= 5 OR bk.rn{t} <= {_EMB_BUCKET_CAP})
+           AND (pm.m = 0 OR bk.bits <= 5 OR occ{t}.c <= {_EMB_PROBE_OCC_BOUND})) a
+  JOIN bkr b ON a.pk = b.k{t} AND a.vec_id < b.vec_id
+            AND (b.bits <= 5 OR b.rn{t} <= {_EMB_BUCKET_CAP})"""
         )
     pair_union = "\n  UNION ALL\n".join(joins)
-    kcols = ", ".join(
-        f"kf{t} % (1 << bits) AS k{t}" for t in range(len(_EMB_LSH_OFFSETS))
-    )
     return f"""
-WITH par AS (SELECT {_adapt_bits_case('COUNT(*)')} AS bits FROM embeddings),
-bkf AS (SELECT vec_id, embedding, {keys} FROM embeddings),
-bk AS (SELECT vec_id, embedding, bits, {kcols} FROM bkf, par),
+WITH {_adapt_bk_sql()},
+bkr AS MATERIALIZED (SELECT *, {rns} FROM bk),
 pm AS (SELECT unnest({masks}) AS m FROM par),
 {occs},
 pairs AS (
@@ -1034,20 +1084,87 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "bit-for-bit); each of the 4 hash tables hashes one static 14-bit sign "
     "key and masks it to the effective width, pinning per-bucket occupancy "
     "to the (23.4, 46.9] band at every corpus size. Probing is FIXED-BUDGET "
-    "multi-probe (own bucket + 1-flips + lexicographic 2-flips, ≤48 masks) "
-    "and OCCUPANCY-GATED (_EMB_PROBE_OCC_BOUND): clustered corpora make "
-    "bucket mass heavy-tailed, so vectors in dense buckets skip probe "
-    "traffic (own-bucket candidacy always kept) — measured 4.9x candidate "
-    "reduction and model e 1.45 → 1.13 on the 60k-vector synth decade "
-    "(SCALING_r07_embdial.md). Probes explode join KEYS only. At n ≤ 750 "
-    "(the driver's sf0.01 gate) this is candidate-for-candidate identical "
-    "to the fixed variant (tested; the gate is inert at bits<=5); at sf0.1 "
-    "the 6-bit path runs under the oracle; the synth probes exercise 7-11 "
+    "multi-probe (own bucket + 1-flips + lexicographic 2-flips, ≤48 masks), "
+    "OCCUPANCY-GATED (_EMB_PROBE_OCC_BOUND: vectors in dense buckets skip "
+    "probe traffic, own-bucket candidacy kept) and CANDIDACY-CAPPED "
+    "(_EMB_BUCKET_CAP: first 64 members by vec_id per bucket emit/receive "
+    "pairs, dropped mass reported by dedup_embedding_bucket_audit) — on a "
+    "clustered corpus the occupancy tail is heavy (max 1110 vs mean 39.8 "
+    "at the 60k-vector synth point) and own-bucket pair emission is "
+    "quadratic in bucket size, so when the TRUE near-dup answer is "
+    "quadratic the bounded-candidacy-plus-audit contract is the only "
+    "100 TB-honest one (SCALING_r07_embdial.md; the minhash _BUCKET_CAP "
+    "discipline). Probes explode join KEYS only; both dials are inert at "
+    "bits<=5. At n ≤ 750 (the driver's sf0.01 gate) this is candidate-for-"
+    "candidate identical to the fixed variant (tested); at sf0.1 the "
+    "6-bit path runs under the oracle; the synth probes exercise 7-11 "
     "bits (tools/scaleprobe.py). Same exact Arrow re-score tail as the "
     "fixed variant (_score_candidate_pairs).",
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adaptive_lsh_build(spark, sf_dir, checkpoint=True)
+
+
+def _emb_audit_oracle_sql() -> str:
+    sizes = "\n  UNION ALL ".join(
+        f"SELECT {t} AS table_idx, k{t} AS key, bits, COUNT(*) AS sz "
+        f"FROM bk GROUP BY 1, 2, 3"
+        for t in range(len(_EMB_LSH_OFFSETS))
+    )
+    return f"""
+WITH {_adapt_bk_sql()},
+ls AS (
+  {sizes}
+)
+SELECT CAST(table_idx AS BIGINT) AS table_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN bits > 5 AND sz > {_EMB_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+       CAST(SUM(CASE WHEN bits > 5 AND sz > {_EMB_BUCKET_CAP} THEN sz - {_EMB_BUCKET_CAP} ELSE 0 END) AS BIGINT) AS n_dropped_members
+FROM ls WHERE sz >= 2
+GROUP BY table_idx
+"""
+
+
+@register(
+    "dedup_embedding_bucket_audit",
+    oracle=_emb_audit_oracle_sql(),
+    doc="Candidacy-cap OBSERVABILITY for dedup_embedding_cosine_lsh — "
+    "dedup_minhash_bucket_audit's contract reapplied to the embedding "
+    "tables: per hash table, the collision-bucket count, the largest "
+    "bucket, and how many members the _EMB_BUCKET_CAP candidacy window "
+    "actually excluded from pair emission (zero when the cap is inert at "
+    "bits <= 5). A capped run that silently dropped members must not "
+    "publish its pair list as complete; this is the row a curation "
+    "scorecard consumes before trusting the near-dup channel. Plan: the "
+    "same narrow signature rows as the pair build (_adapt_signature_rows), "
+    "one groupBy per table unioned, one bounded per-table fold — no "
+    "embeddings shuffle, no pairs.",
+)
+def dedup_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, bk = _adapt_signature_rows(spark, sf_dir)
+    per_table = [
+        bk.groupBy(F.col(f"k{t}").alias("key"))
+        .agg(F.count(F.lit(1)).alias("sz"), F.min("bits").alias("bits"))
+        .select(F.lit(t).alias("table_idx"), "sz", "bits")
+        for t in range(len(_EMB_LSH_OFFSETS))
+    ]
+    ls = per_table[0]
+    for p in per_table[1:]:
+        ls = ls.unionAll(p)
+    over = (F.col("bits") > 5) & (F.col("sz") > _EMB_BUCKET_CAP)
+    return (
+        ls.filter(F.col("sz") >= 2)
+        .groupBy(F.col("table_idx").cast("bigint").alias("table_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_oversized"),
+            F.sum(F.when(over, F.col("sz") - _EMB_BUCKET_CAP).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_members"),
+        )
+    )
 
 
 def adaptive_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,9 +1179,11 @@ def adaptive_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adaptive_lsh_build(spark, sf_dir, checkpoint=False)
 
 
-def _adaptive_lsh_build(
-    spark: SparkSession, sf_dir: str, checkpoint: bool
-) -> DataFrame:
+def _adapt_signature_rows(spark: SparkSession, sf_dir: str):
+    """(embeddings, narrow signature rows) for the corpus-adaptive LSH:
+    one row per vector with vec_id, bits, k0..k3 — the Spark twin of the
+    ``_adapt_bk_sql`` oracle CTE chain. Shared by the pair build and
+    ``dedup_embedding_bucket_audit`` so both derive buckets identically."""
     from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1089,6 +1208,13 @@ def _adaptive_lsh_build(
             for t in range(len(_EMB_LSH_OFFSETS))
         ],
     )
+    return emb, bk
+
+
+def _adaptive_lsh_build(
+    spark: SparkSession, sf_dir: str, checkpoint: bool
+) -> DataFrame:
+    emb, bk = _adapt_signature_rows(spark, sf_dir)
     # hash once, reuse 8×: the 4 tables each consume bk on BOTH join sides,
     # and the 40 plane dots (4 tables × 10 planes × ~60 mult-adds) are the
     # dominant map cost — one expression that wide also falls out of
@@ -1116,35 +1242,48 @@ def _adaptive_lsh_build(
     per_table = []
     for t in range(len(_EMB_LSH_OFFSETS)):
         k = F.col(f"k{t}")
-        # OCCUPANCY-GATED probing (r7, measured on the 60k-vector synth
-        # corpus): real embeddings cluster, so sign buckets are heavy-tailed
-        # (max bucket 1110 vs mean 39.8 at 11 bits) and a dense bucket's
-        # Hamming neighborhood is dense too — un-gated probing put 1.08e9
-        # join rows through the 60k decade (model e = 1.45). A vector whose
-        # OWN bucket holds more than _EMB_PROBE_OCC_BOUND members skips its
-        # probe masks (own bucket, mask 0, always kept): a dense bucket
-        # already contributes >= C(P,2) exact-scored candidates per table
-        # across 4 tables, so the marginal recall of probing FROM it is
-        # small, while its probe traffic is the measured blowup. The gate is
-        # inert at bits<=5 (micro corpora — includes the n<=750 fixed-variant
-        # equivalence contract band). Gated model: 222e6 rows,
-        # e = 1.13 (SCALING_r07_embdial.md). The occupancy count rides a
-        # per-table window over the checkpointed NARROW signature rows —
-        # the same k{t} hash partitioning the join needs anyway.
-        a_base = bk.withColumn(
-            "occ", F.count(F.lit(1)).over(W.partitionBy(f"k{t}"))
+        # Two r7 dials over the checkpointed NARROW signature rows, both
+        # riding ONE k{t}-partitioned window pass (the same hash
+        # partitioning the candidate join needs anyway), both inert at
+        # bits<=5 (micro corpora — includes the n<=750 fixed-variant
+        # equivalence contract band), both mirrored in the oracle:
+        #
+        # 1. OCCUPANCY-GATED probing: real embeddings cluster, so sign
+        #    buckets are heavy-tailed (max bucket 1110 vs mean 39.8 at 11
+        #    bits on the 60k-vector synth corpus) and a dense bucket's
+        #    Hamming neighborhood is dense too — un-gated probing put
+        #    1.08e9 join rows through the 60k decade. A vector whose OWN
+        #    bucket holds more than _EMB_PROBE_OCC_BOUND members skips its
+        #    probe masks (own bucket, mask 0, always kept): a dense bucket
+        #    already contributes exact-scored in-bucket candidates across
+        #    4 tables, so the marginal recall of probing FROM it is small,
+        #    while its probe traffic is the measured blowup.
+        # 2. CANDIDACY CAP (_EMB_BUCKET_CAP): only the first cap members
+        #    by vec_id per bucket emit or receive pairs — own-bucket pair
+        #    emission is quadratic in bucket size and the probe gate
+        #    cannot touch it (98% of own-bucket pairs at the 60k point
+        #    came from >64-member buckets; the un-capped run sort-spilled
+        #    ~72 GB attaching embeddings to the pair stream). The dropped
+        #    mass is reported by dedup_embedding_bucket_audit, the
+        #    minhash _BUCKET_CAP discipline reapplied.
+        wp = W.partitionBy(f"k{t}")
+        enriched = bk.withColumn("occ", F.count(F.lit(1)).over(wp)).withColumn(
+            "rn", F.row_number().over(wp.orderBy("vec_id"))
+        )
+        capped = enriched.filter(
+            (F.col("bits") <= 5) | (F.col("rn") <= _EMB_BUCKET_CAP)
         )
         gated = F.when(
             (F.col("bits") <= 5) | (F.col("occ") <= _EMB_PROBE_OCC_BOUND),
             probe_masks,
         ).otherwise(F.array(F.lit(0)))
-        a = a_base.select(
+        a = capped.select(
             F.col("vec_id").alias("a_id"),
             F.explode(
                 F.transform(gated, lambda m: k.bitwiseXOR(m))
             ).alias("ka"),
         )
-        b = bk.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
+        b = capped.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
         per_table.append(
             a.join(
                 b, (F.col("ka") == F.col("kb")) & (F.col("a_id") < F.col("b_id"))

@@ -732,3 +732,71 @@ def ml_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_members")).alias("purity"),
         )
     )
+
+
+# ------------------------------------------------------ IVF balance audit --
+@register(
+    "ann_ivf_balance_audit",
+    oracle=f"""
+WITH cent AS ({_centroid_cte()}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+ls AS (SELECT cid, COUNT(*) AS sz FROM assign GROUP BY cid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(sz) AS BIGINT) AS n_vectors,
+       CAST(MIN(sz) AS BIGINT) AS min_list,
+       CAST(MAX(sz) AS BIGINT) AS max_list,
+       CAST(SUM(sz) AS DOUBLE) / COUNT(*) AS avg_list,
+       CAST(MAX(sz) * COUNT(*) AS DOUBLE) / SUM(sz) AS imbalance
+FROM ls
+""",
+    doc="IVF inverted-list SKEW AUDIT — the observability half of "
+    "ann_ivf_probe: per-centroid list sizes folded to one row (list count, "
+    "vector total, min/max/avg list size, imbalance = max_list / avg_list). "
+    "At 100 TB the inverted-list layout IS the partition layout, and a hot "
+    "list is a straggler partition every query batch pays for — this audit "
+    "is the dial a production rollout watches before re-training centroids "
+    "or splitting lists (the same role dedup_minhash_bucket_audit plays "
+    "for the banded-signature buckets). Plan: the identical k-row "
+    "broadcast-centroid assignment join as ann_ivf_probe (whitelisted), one "
+    "cid groupBy whose key count is bounded by the centroid table, one 1-row "
+    "global fold. Ratios are single divisions of exact integers "
+    "(oracle-hash safe).",
+)
+def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter(F.expr(CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    cdot = dot_col("embedding", "cemb")
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc(cdot), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    ls = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    return ls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("sz").cast("bigint").alias("n_vectors"),
+        F.min("sz").cast("bigint").alias("min_list"),
+        F.max("sz").cast("bigint").alias("max_list"),
+        (F.sum("sz").cast("double") / F.count(F.lit(1))).alias("avg_list"),
+        (
+            (F.max("sz") * F.count(F.lit(1))).cast("double") / F.sum("sz")
+        ).alias("imbalance"),
+    )

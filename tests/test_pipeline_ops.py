@@ -1491,7 +1491,11 @@ def test_adaptive_lsh_five_bit_branch_matches_oracle(spark, tmp_path):
         "vec_id long, embedding array<float>, label int",
     )
     d = str(tmp_path / "sf5bit")
-    df.write.parquet(f"{d}/embeddings.parquet")
+    # one part file, matching the driver's sf-dir layout: DuckDB evaluates
+    # the oracle's ~600-term key expressions per 28-row scan chunk on a
+    # 32-file glob (measured 17 s + a multi-GB balloon that OOMs next to
+    # the JVM vs 1.7 s consolidated)
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
 
     got = {
         (r.a_id, r.b_id): r.cos_sim
@@ -1553,3 +1557,82 @@ def test_cluster_purity_consistent_with_kmeans_partition(spark, sf_dir):
         assert (p.majority_label, p.majority_n) == (best_lab, best_n)
         assert p.purity == best_n / len(labs)
         assert 0 < p.purity <= 1
+
+
+def test_embedding_lsh_cap_bounds_mega_cluster(spark, tmp_path):
+    """Adversarial mega-cluster (the MinHash mega-bucket fixture pattern
+    reapplied to the embedding tables): 300 of 1600 vectors are tiny
+    deterministic perturbations of one base vector, so they share one sign
+    bucket in every hash table. Uncapped, that bucket alone emits
+    C(300,2) ≈ 45k pairs per table; with _EMB_BUCKET_CAP=64 the capped plan
+    must (a) still match the DuckDB oracle exactly — the cap is part of the
+    CONTRACT, both engines apply it — (b) actually drop members, which the
+    bucket audit must report (and the audit must match ITS oracle), and
+    (c) emit no pair whose BOTH endpoints sit past the per-bucket candidacy
+    window in every table."""
+    import duckdb
+    import numpy as np
+
+    n_total, n_mega = 1600, 300  # 1600 > 1500 -> bits = 6, cap live
+    dim = similarity.EMB_DIM
+    base = np.array([(((7 * i + 3) % 101) - 50) / 50.0 for i in range(dim)])
+    base /= np.linalg.norm(base)
+    vecs = []
+    for vid in range(n_mega):
+        # perturb magnitude 1e-4: sign pattern (and every bucket key) is
+        # identical across the mega-cluster, cosine stays ~1
+        pert = np.array(
+            [((vid * 131 + i * 17) % 7 - 3) * 1e-4 for i in range(dim)]
+        )
+        v = base + pert
+        vecs.append((vid, (v / np.linalg.norm(v)).tolist(), 0))
+    for vid in range(n_mega, n_total):
+        raw = np.array(
+            [(((vid * 257 + i * 29) % 1009) - 504) / 504.0 for i in range(dim)]
+        )
+        vecs.append((vid, (raw / np.linalg.norm(raw)).tolist(), 1))
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sfmega")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+    got = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_lsh(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1]): r[2] for r in con.execute(dedup._adapt_oracle_sql()).fetchall()
+    }
+    assert got == want, f"capped output diverged: {len(got)} vs {len(want)} pairs"
+
+    # the cap must be LIVE here: every hash table sees the >=300-member
+    # bucket, so each reports >= 300 - 64 dropped members — and the audit
+    # agrees with its own oracle
+    audit = {
+        r.table_idx: r
+        for r in dedup.dedup_embedding_bucket_audit(spark, d).collect()
+    }
+    audit_want = {
+        r[0]: r for r in con.execute(dedup._emb_audit_oracle_sql()).fetchall()
+    }
+    assert set(audit) == set(audit_want)
+    for t, r in audit.items():
+        assert (r.table_idx, r.n_buckets, r.max_bucket, r.n_oversized,
+                r.n_dropped_members) == tuple(audit_want[t])
+        assert r.max_bucket >= n_mega
+        assert r.n_dropped_members >= n_mega - dedup._EMB_BUCKET_CAP
+
+    # no pair may join two capped-out members: the mega-cluster's candidacy
+    # window is its first 64 vec_ids per bucket, identical in all tables
+    # (identical keys), so pairs with BOTH ids in the capped-out tail
+    # (>= 64 within the mega cluster) must be absent
+    tail_pairs = [
+        p for p in got
+        if p[0] >= dedup._EMB_BUCKET_CAP and p[1] < n_mega
+    ]
+    assert not tail_pairs, f"{len(tail_pairs)} pairs between capped-out members"

@@ -541,6 +541,8 @@ def test_embedding_lsh_kernel_parallelism_pinned(spark):
 # must plan equi-joins only.
 _BNLJ_WHITELIST = {
     "ann_cosine_topk",            # bounded query set crossJoin (broadcast)
+    "ann_ivf_balance_audit",      # k-row centroid table crossJoin (same
+                                  # assignment join as ann_ivf_probe)
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
     # 1-row params crossJoin (bits, a global COUNT aggregate) — hidden in
@@ -548,6 +550,10 @@ _BNLJ_WHITELIST = {
     # the pre-checkpoint twin via _PLAN_AUDIT_OVERRIDES below (r6 ADVICE:
     # whitelisted explicitly, never passed by invisibility)
     "dedup_embedding_cosine_lsh",
+    # same 1-row bits crossJoin as the pair build, but the audit never
+    # checkpoints, so its BNLJ is VISIBLE in the registered plan — honest
+    # crossJoin, whitelisted (the dedup_minhash_bucket_audit precedent)
+    "dedup_embedding_bucket_audit",
     "ml_cluster_purity",          # k-row centroid table (kmeans assignment)
     "ml_kmeans_fixed",            # k-row centroid table per iteration
     "ml_power_iteration_pc1",     # 1-row max-norm crossJoin per iteration
