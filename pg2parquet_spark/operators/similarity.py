@@ -800,3 +800,118 @@ def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("sz") * F.count(F.lit(1))).cast("double") / F.sum("sz")
         ).alias("imbalance"),
     )
+
+
+# ---------------------------------------------------------- ANN recall eval --
+def _recall_eval_oracle() -> str:
+    dotqc = dot_sql("q_emb", "c_emb", EMB_DIM, False)
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE {QUERY_FILTER}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY {dotqc} DESC, c_id) AS rank
+    FROM q JOIN c ON q_id <> c_id
+  ) WHERE rank <= 3
+),
+b AS (
+  SELECT vec_id, embedding, {bucket_sql('embedding', EMB_DIM, False)} AS bucket
+  FROM embeddings
+),
+lq AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE {QUERY_FILTER}),
+lshp AS (
+  SELECT q_id, c_id FROM (
+    SELECT lq.q_id, b.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY lq.q_id
+                              ORDER BY {dot_sql('lq.q_emb', 'b.embedding', EMB_DIM, False)} DESC, b.vec_id) AS rank
+    FROM lq JOIN b ON lq.bucket = b.bucket AND lq.q_id <> b.vec_id
+  ) WHERE rank <= 3
+),
+cent AS ({_centroid_cte()}),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT q_id, q_emb, cid FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    WHERE {QUERY_FILTER}
+  ) WHERE rn <= {_N_PROBE}
+),
+ivfp AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, a.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {dot_sql('q.q_emb', 'a.embedding', EMB_DIM, False)} DESC, a.vec_id) AS rank
+    FROM qprobe q JOIN assign a ON q.cid = a.cid AND q.q_id <> a.vec_id
+  ) WHERE rank <= 3
+),
+ev AS (
+  SELECT 'ivf_probe' AS method, e.q_id,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN ivfp p ON e.q_id = p.q_id AND e.c_id = p.c_id
+  GROUP BY e.q_id
+  UNION ALL
+  SELECT 'lsh_bucketed', e.q_id,
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM exact e LEFT JOIN lshp p ON e.q_id = p.q_id AND e.c_id = p.c_id
+  GROUP BY e.q_id
+)
+SELECT method, q_id, n_exact, n_hits,
+       CAST(n_hits AS DOUBLE) / n_exact AS recall_at_k
+FROM ev
+"""
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_recall_eval_oracle(),
+    doc="The ANN index measures ITSELF as a query (the "
+    "pipeline_near_dup_eval pattern applied to retrieval): per query "
+    "vector and per approximate method — IVF probe and sign-LSH bucket — "
+    "the top-3 hit count against the exact brute-force top-3, reported as "
+    "recall@3 (one exact integer division per row). This is the "
+    "quality-monitoring job a production retrieval stack runs on a sampled "
+    "query slice before trusting an index build at full scale — recall "
+    "here decides nprobe / table-count dials, and ann_ivf_balance_audit "
+    "decides the list layout. COMPOSITION of three registered plans "
+    "(exact arm's corpus scan never shuffles — the 10-row query set "
+    "broadcasts; both approximate arms join on their bucket/list shuffle "
+    "keys), folded by two (q_id, c_id)-keyed left joins on bounded top-k "
+    "rows and a q_id groupBy.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id")
+    )
+    arms = []
+    for method, fn in (("ivf_probe", ann_ivf_probe), ("lsh_bucketed", ann_lsh_bucketed)):
+        est = fn(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("hit"))
+        arms.append(
+            exact.join(est, ["q_id", "c_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "q_id",
+                "n_exact",
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
+            )
+        )
+    return arms[0].unionAll(arms[1])

@@ -543,6 +543,8 @@ _BNLJ_WHITELIST = {
     "ann_cosine_topk",            # bounded query set crossJoin (broadcast)
     "ann_ivf_balance_audit",      # k-row centroid table crossJoin (same
                                   # assignment join as ann_ivf_probe)
+    "ann_recall_eval",            # composes the whitelisted exact + IVF
+                                  # arms (bounded query set / k centroids)
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
     # 1-row params crossJoin (bits, a global COUNT aggregate) — hidden in
