@@ -707,3 +707,89 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_expired_unmatched"),
         )
     )
+
+
+def _ivf_assign_oracle() -> str:
+    from pg2parquet_spark.operators.similarity import (
+        EMB_DIM,
+        _centroid_cte,
+        dot_sql,
+    )
+
+    return f"""
+WITH cent AS ({_centroid_cte()}),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned
+FROM assign WHERE rn = 1 GROUP BY cid
+"""
+
+
+@register(
+    "stream_ivf_assign",
+    oracle=_ivf_assign_oracle(),
+    doc="Streaming IVF index ingest — the incremental-maintenance path of "
+    "ann_ivf_probe's inverted lists: new vectors stream in and each is "
+    "assigned to its nearest centroid, with per-list ingest counters as the "
+    "running output (the dial a 100 TB rollout watches next to "
+    "ann_ivf_balance_audit's batch view). The SCALE SHAPE is the point: the "
+    "bounded centroid model is COMPILED INTO the map expression (an "
+    "argmax over k struct(dot, -cid) terms — the 'broadcast the model to "
+    "every ingest task' pattern), so assignment is pure map work with NO "
+    "stream-static join and no per-vector state; the only stateful operator "
+    "is a k-key count aggregate (complete mode, state bounded by the "
+    "centroid count, not the stream). Dot products fold left-assoc over "
+    "DOUBLE exactly like the batch arm, so the argmax — and therefore every "
+    "count — is bit-identical to the batch oracle: streaming == batch.",
+)
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pg2parquet_spark.operators.similarity import (
+        CENTROID_FILTER,
+        _N_CENTROIDS,
+        dot_col,
+    )
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stream_dir, created = memo_tmpdir("emb_stream", sf_dir)
+    if created:
+        os.symlink(f"{sf_dir}/embeddings.parquet", f"{stream_dir}/embeddings.parquet")
+    # the centroid model: k rows collected once at stream start (bounded by
+    # contract, exactly like the ANN query-side collect) and baked into the
+    # assignment expression — a production ingest job refreshes this by
+    # restarting the stream on a new model version
+    cents = (
+        static.filter(F.expr(CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    choices = [
+        F.struct(
+            dot_col(
+                "embedding", F.array(*[F.lit(float(x)) for x in r.embedding])
+            ).alias("d"),
+            F.lit(-r.vec_id).alias("negcid"),
+        )
+        for r in cents
+    ]
+    best = F.array_max(F.array(*choices))
+    assigned = stream.select(
+        (-best.getField("negcid")).cast("bigint").alias("cid")
+    )
+    agg = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned")
+    )
+    name = f"stream_ivf_{next(_counter)}"
+    _run_to_memory(agg, name)
+    return spark.table(name).select(
+        "cid", F.col("n_assigned").cast("bigint").alias("n_assigned")
+    )

@@ -750,6 +750,7 @@ def test_fixture_queries_reuse_tmpdirs_across_invocations(spark):
     names = [
         "stream_events_hourly",      # _events_stream symlink dir
         "stream_dedup_exact",        # docs_stream symlink dir
+        "stream_ivf_assign",         # emb_stream symlink dir
         "stream_late_data",          # 3-batch landing dir (+ reaped staging)
         "stream_foreachbatch_partials",  # memoized sink dir, cleared per run
         "layout_partition_prune",
