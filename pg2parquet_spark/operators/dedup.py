@@ -1138,20 +1138,30 @@ GROUP BY table_idx
     "publish its pair list as complete; this is the row a curation "
     "scorecard consumes before trusting the near-dup channel. Plan: the "
     "same narrow signature rows as the pair build (_adapt_signature_rows), "
-    "one groupBy per table unioned, one bounded per-table fold — no "
-    "embeddings shuffle, no pairs.",
+    "the 4 table keys exploded MAP-SIDE to (table_idx, key) so the corpus "
+    "is scanned ONCE (a per-table groupBy union would recompute the "
+    "56-plane hash 4x — the audit path does not checkpoint), one "
+    "(table_idx, key) groupBy, one bounded per-table fold — no embeddings "
+    "shuffle, no pairs.",
 )
 def dedup_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, bk = _adapt_signature_rows(spark, sf_dir)
-    per_table = [
-        bk.groupBy(F.col(f"k{t}").alias("key"))
+    tk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_idx"), F.col(f"k{t}").alias("key")
+                )
+                for t in range(len(_EMB_LSH_OFFSETS))
+            ]
+        )
+    ).alias("tk")
+    ls = (
+        bk.select("bits", tk)
+        .select(F.col("tk.table_idx").alias("table_idx"), F.col("tk.key").alias("key"), "bits")
+        .groupBy("table_idx", "key")
         .agg(F.count(F.lit(1)).alias("sz"), F.min("bits").alias("bits"))
-        .select(F.lit(t).alias("table_idx"), "sz", "bits")
-        for t in range(len(_EMB_LSH_OFFSETS))
-    ]
-    ls = per_table[0]
-    for p in per_table[1:]:
-        ls = ls.unionAll(p)
+    )
     over = (F.col("bits") > 5) & (F.col("sz") > _EMB_BUCKET_CAP)
     return (
         ls.filter(F.col("sz") >= 2)

@@ -816,16 +816,32 @@ exact AS (
   ) WHERE rank <= 3
 ),
 b AS (
-  SELECT vec_id, embedding, {bucket_sql('embedding', EMB_DIM, False)} AS bucket
+  SELECT vec_id, embedding, {bucket_sql('embedding', EMB_DIM, False)} AS bucket,
+         {bucket_sql_offset('embedding', EMB_DIM, False, 100)} AS b1
   FROM embeddings
 ),
-lq AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE {QUERY_FILTER}),
+lq AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket, b1 FROM b WHERE {QUERY_FILTER}),
 lshp AS (
   SELECT q_id, c_id FROM (
     SELECT lq.q_id, b.vec_id AS c_id,
            ROW_NUMBER() OVER (PARTITION BY lq.q_id
                               ORDER BY {dot_sql('lq.q_emb', 'b.embedding', EMB_DIM, False)} DESC, b.vec_id) AS rank
     FROM lq JOIN b ON lq.bucket = b.bucket AND lq.q_id <> b.vec_id
+  ) WHERE rank <= 3
+),
+mtcand AS (
+  SELECT lq.q_id, b.vec_id AS c_id, lq.q_emb, b.embedding AS c_emb
+  FROM lq JOIN b ON lq.bucket = b.bucket AND lq.q_id <> b.vec_id
+  UNION
+  SELECT lq.q_id, b.vec_id, lq.q_emb, b.embedding
+  FROM lq JOIN b ON lq.b1 = b.b1 AND lq.q_id <> b.vec_id
+),
+mtp AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY {dot_sql('q_emb', 'c_emb', EMB_DIM, False)} DESC, c_id) AS rank
+    FROM mtcand
   ) WHERE rank <= 3
 ),
 cent AS ({_centroid_cte()}),
@@ -866,6 +882,12 @@ ev AS (
          CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM exact e LEFT JOIN lshp p ON e.q_id = p.q_id AND e.c_id = p.c_id
   GROUP BY e.q_id
+  UNION ALL
+  SELECT 'lsh_multitable', e.q_id,
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM exact e LEFT JOIN mtp p ON e.q_id = p.q_id AND e.c_id = p.c_id
+  GROUP BY e.q_id
 )
 SELECT method, q_id, n_exact, n_hits,
        CAST(n_hits AS DOUBLE) / n_exact AS recall_at_k
@@ -878,17 +900,19 @@ FROM ev
     oracle=_recall_eval_oracle(),
     doc="The ANN index measures ITSELF as a query (the "
     "pipeline_near_dup_eval pattern applied to retrieval): per query "
-    "vector and per approximate method — IVF probe and sign-LSH bucket — "
-    "the top-3 hit count against the exact brute-force top-3, reported as "
-    "recall@3 (one exact integer division per row). This is the "
-    "quality-monitoring job a production retrieval stack runs on a sampled "
-    "query slice before trusting an index build at full scale — recall "
-    "here decides nprobe / table-count dials, and ann_ivf_balance_audit "
-    "decides the list layout. COMPOSITION of three registered plans "
-    "(exact arm's corpus scan never shuffles — the 10-row query set "
-    "broadcasts; both approximate arms join on their bucket/list shuffle "
-    "keys), folded by two (q_id, c_id)-keyed left joins on bounded top-k "
-    "rows and a q_id groupBy.",
+    "vector and per approximate method — IVF probe, single-table sign-LSH "
+    "bucket, and the 2-table LSH union — the top-3 hit count against the "
+    "exact brute-force top-3, reported as recall@3 (one exact integer "
+    "division per row). This is the quality-monitoring job a production "
+    "retrieval stack runs on a sampled query slice before trusting an "
+    "index build at full scale — the single- vs multi-table rows measure "
+    "the recall bought by each extra hash table (the tables × bits = "
+    "recall × cost dial), nprobe shows up the same way on the IVF row, "
+    "and ann_ivf_balance_audit decides the list layout. COMPOSITION of "
+    "four registered plans (exact arm's corpus scan never shuffles — the "
+    "10-row query set broadcasts; every approximate arm joins on its "
+    "bucket/list shuffle key), folded by (q_id, c_id)-keyed left joins on "
+    "bounded top-k rows and a q_id groupBy.",
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
@@ -897,7 +921,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
     )
     arms = []
-    for method, fn in (("ivf_probe", ann_ivf_probe), ("lsh_bucketed", ann_lsh_bucketed)):
+    for method, fn in (
+        ("ivf_probe", ann_ivf_probe),
+        ("lsh_bucketed", ann_lsh_bucketed),
+        ("lsh_multitable", ann_lsh_multitable),
+    ):
         est = fn(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("hit"))
         arms.append(
             exact.join(est, ["q_id", "c_id"], "left")
@@ -914,4 +942,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
             )
         )
-    return arms[0].unionAll(arms[1])
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out
