@@ -1189,6 +1189,136 @@ def adaptive_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adaptive_lsh_build(spark, sf_dir, checkpoint=False)
 
 
+# ------------------------------------------ incremental embedding ingest --
+# The near-dup twin of pipeline_incremental_dedup's exact-hash ingest: a
+# new vector batch checked against the EXISTING corpus index without ever
+# self-joining the corpus. The batch is a deterministic fixture slice
+# (vec_id % 17 = 5, ~6% of the table) standing in for a daily ingest delta.
+_INC_NEW_FILTER = "vec_id % 17 = 5"
+
+
+def _emb_inc_oracle_sql() -> str:
+    masks = _adapt_masks_case(
+        lambda ms: "[" + ", ".join(map(str, ms)) + "]",
+        lambda msg: f"error('{msg}')",
+    )
+    rns = ", ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY k{t} ORDER BY vec_id) AS rn{t}"
+        for t in range(len(_EMB_LSH_OFFSETS))
+    )
+    occs = ",\n".join(
+        f"occ{t} AS (SELECT k{t} AS key, COUNT(*) AS c FROM oldb GROUP BY k{t})"
+        for t in range(len(_EMB_LSH_OFFSETS))
+    )
+    joins = []
+    for t in range(len(_EMB_LSH_OFFSETS)):
+        joins.append(
+            f"""SELECT n.vec_id AS new_id, o.vec_id AS old_id,
+       {_dot_sql('n.embedding', 'o.embedding', EMB_DIM, False)} AS cos_sim
+  FROM (SELECT bk.vec_id, bk.embedding, xor(bk.k{t}, pm.m) AS pk
+          FROM newb bk LEFT JOIN occ{t} ON bk.k{t} = occ{t}.key, pm
+         WHERE pm.m = 0 OR bk.bits <= 5 OR COALESCE(occ{t}.c, 0) <= {_EMB_PROBE_OCC_BOUND}) n
+  JOIN oldb o ON n.pk = o.k{t} AND (o.bits <= 5 OR o.rn{t} <= {_EMB_BUCKET_CAP})"""
+        )
+    pair_union = "\n  UNION ALL\n".join(joins)
+    return f"""
+WITH {_adapt_bk_sql()},
+newb AS (SELECT * FROM bk WHERE {_INC_NEW_FILTER}),
+oldb AS MATERIALIZED (SELECT *, {rns} FROM bk WHERE NOT ({_INC_NEW_FILTER})),
+pm AS (SELECT unnest({masks}) AS m FROM par),
+{occs},
+pairs AS (
+  {pair_union}
+)
+SELECT DISTINCT new_id, old_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_incremental",
+    oracle=_emb_inc_oracle_sql(),
+    doc="Incremental-ingest NEAR-DUP dedup for the vector channel — "
+    "pipeline_incremental_dedup's shape applied to embeddings: a new batch "
+    "(deterministic fixture slice, ~6% of the table) is LSH-probed against "
+    "the EXISTING corpus index and reports (new_id, old_id, cos_sim >= "
+    f"{_EMB_COS_THRESHOLD}) — the 'is this incoming vector already in the "
+    "index' decision a daily crawl ingest makes before admitting data. The "
+    "shape is the point: the corpus is NEVER self-joined or re-shuffled to "
+    "admit new vectors — the asymmetric candidate join explodes probe "
+    "masks on the (small) batch side only, the corpus side contributes "
+    "its already-capped bucket members (_EMB_BUCKET_CAP, corpus-only "
+    "row_number), and probe traffic from the batch is gated by CORPUS "
+    "bucket occupancy (_EMB_PROBE_OCC_BOUND; own bucket always probed) — "
+    "at 100 TB the corpus side reads a materialized signature store "
+    "partitioned by bucket key while the batch streams through it. Same "
+    "adaptive width chain, probe policy, and Arrow re-score tail as "
+    "dedup_embedding_cosine_lsh; both dials inert at bits <= 5.",
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _incremental_lsh_build(spark, sf_dir, checkpoint=True)
+
+
+def incremental_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-checkpoint twin of dedup_embedding_incremental for plan sweeps —
+    same contract as adaptive_lsh_plan_audit (the 1-row bits crossJoin must
+    stay visible to the BNLJ gate)."""
+    return _incremental_lsh_build(spark, sf_dir, checkpoint=False)
+
+
+def _incremental_lsh_build(
+    spark: SparkSession, sf_dir: str, checkpoint: bool
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb, bk = _adapt_signature_rows(spark, sf_dir)
+    # same narrow-row signature-store materialization rationale as
+    # _adaptive_lsh_build: bk feeds the batch side, the corpus side, and
+    # the 4 per-table occupancy aggregates
+    if checkpoint:
+        bk = bk.localCheckpoint(eager=False)
+    is_new = F.expr(_INC_NEW_FILTER)
+    newb = bk.filter(is_new)
+    oldb = bk.filter(~is_new)
+    probe_masks = F.expr(
+        _adapt_masks_case(
+            lambda ms: "array(" + ", ".join(map(str, ms)) + ")",
+            lambda msg: f"raise_error('{msg}')",
+        )
+    )
+    per_table = []
+    for t in range(len(_EMB_LSH_OFFSETS)):
+        k = F.col(f"k{t}")
+        wp = W.partitionBy(f"k{t}")
+        # corpus-side candidacy cap: row_number over CORPUS rows only (a
+        # new batch must not displace existing members from the window)
+        old_t = oldb.withColumn(
+            "rn", F.row_number().over(wp.orderBy("vec_id"))
+        ).filter((F.col("bits") <= 5) | (F.col("rn") <= _EMB_BUCKET_CAP))
+        # batch probe gate keyed by CORPUS occupancy: an absent key means
+        # an empty corpus bucket -> probing is free, keep it (COALESCE 0)
+        occ = oldb.groupBy(k.alias("okey")).agg(F.count(F.lit(1)).alias("occ_c"))
+        n = newb.join(occ, k == F.col("okey"), "left")
+        gated = F.when(
+            (F.col("bits") <= 5)
+            | (F.coalesce(F.col("occ_c"), F.lit(0)) <= _EMB_PROBE_OCC_BOUND),
+            probe_masks,
+        ).otherwise(F.array(F.lit(0)))
+        a = n.select(
+            F.col("vec_id").alias("a_id"),
+            F.explode(F.transform(gated, lambda m: k.bitwiseXOR(m))).alias("ka"),
+        )
+        b = old_t.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
+        per_table.append(
+            a.join(b, F.col("ka") == F.col("kb")).select("a_id", "b_id")
+        )
+    cand = per_table[0]
+    for p in per_table[1:]:
+        cand = cand.unionAll(p)
+    return _score_candidate_pairs(emb, cand).select(
+        F.col("a_id").alias("new_id"), F.col("b_id").alias("old_id"), "cos_sim"
+    )
+
+
 def _adapt_signature_rows(spark: SparkSession, sf_dir: str):
     """(embeddings, narrow signature rows) for the corpus-adaptive LSH:
     one row per vector with vec_id, bits, k0..k3 — the Spark twin of the

@@ -1559,34 +1559,29 @@ def test_cluster_purity_consistent_with_kmeans_partition(spark, sf_dir):
         assert 0 < p.purity <= 1
 
 
-def test_embedding_lsh_cap_bounds_mega_cluster(spark, tmp_path):
-    """Adversarial mega-cluster (the MinHash mega-bucket fixture pattern
-    reapplied to the embedding tables): 300 of 1600 vectors are tiny
-    deterministic perturbations of one base vector, so they share one sign
-    bucket in every hash table. Uncapped, that bucket alone emits
-    C(300,2) ≈ 45k pairs per table; with _EMB_BUCKET_CAP=64 the capped plan
-    must (a) still match the DuckDB oracle exactly — the cap is part of the
-    CONTRACT, both engines apply it — (b) actually drop members, which the
-    bucket audit must report (and the audit must match ITS oracle), and
-    (c) emit no pair whose BOTH endpoints sit past the per-bucket candidacy
-    window in every table."""
-    import duckdb
+_MEGA_N_TOTAL, _MEGA_N = 1600, 300  # 1600 > 1500 -> bits = 6, caps live
+
+
+def _write_mega_corpus(spark, tmp_path) -> str:
+    """Adversarial mega-cluster fixture (the MinHash mega-bucket pattern
+    reapplied to embeddings): 300 of 1600 vectors are tiny deterministic
+    perturbations of one base vector — perturb magnitude 1e-4, so the sign
+    pattern (and every bucket key) is identical across the cluster and
+    cosine stays ~1. Written as ONE part file (DuckDB's evaluation of the
+    ~600-term key expressions is pathological over a multi-file glob)."""
     import numpy as np
 
-    n_total, n_mega = 1600, 300  # 1600 > 1500 -> bits = 6, cap live
     dim = similarity.EMB_DIM
     base = np.array([(((7 * i + 3) % 101) - 50) / 50.0 for i in range(dim)])
     base /= np.linalg.norm(base)
     vecs = []
-    for vid in range(n_mega):
-        # perturb magnitude 1e-4: sign pattern (and every bucket key) is
-        # identical across the mega-cluster, cosine stays ~1
+    for vid in range(_MEGA_N):
         pert = np.array(
             [((vid * 131 + i * 17) % 7 - 3) * 1e-4 for i in range(dim)]
         )
         v = base + pert
         vecs.append((vid, (v / np.linalg.norm(v)).tolist(), 0))
-    for vid in range(n_mega, n_total):
+    for vid in range(_MEGA_N, _MEGA_N_TOTAL):
         raw = np.array(
             [(((vid * 257 + i * 29) % 1009) - 504) / 504.0 for i in range(dim)]
         )
@@ -1596,6 +1591,21 @@ def test_embedding_lsh_cap_bounds_mega_cluster(spark, tmp_path):
     )
     d = str(tmp_path / "sfmega")
     df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_embedding_lsh_cap_bounds_mega_cluster(spark, tmp_path):
+    """Uncapped, the mega bucket alone emits C(300,2) ≈ 45k pairs per
+    table; with _EMB_BUCKET_CAP=64 the capped plan must (a) still match
+    the DuckDB oracle exactly — the cap is part of the CONTRACT, both
+    engines apply it — (b) actually drop members, which the bucket audit
+    must report (and the audit must match ITS oracle), and (c) emit no
+    pair whose BOTH endpoints sit past the per-bucket candidacy window in
+    every table."""
+    import duckdb
+
+    n_mega = _MEGA_N
+    d = _write_mega_corpus(spark, tmp_path)
 
     got = {
         (r.a_id, r.b_id): r.cos_sim
@@ -1636,3 +1646,41 @@ def test_embedding_lsh_cap_bounds_mega_cluster(spark, tmp_path):
         if p[0] >= dedup._EMB_BUCKET_CAP and p[1] < n_mega
     ]
     assert not tail_pairs, f"{len(tail_pairs)} pairs between capped-out members"
+
+
+def test_embedding_incremental_matches_oracle_on_mega_cluster(spark, tmp_path):
+    """The incremental ingest on the adversarial corpus: the new-batch
+    slice (vec_id % 17 = 5) contains mega-cluster members, so the corpus-
+    side candidacy cap and the corpus-occupancy probe gate are both live.
+    Must (a) match the DuckDB oracle exactly, (b) report only cross-split
+    pairs (new ids on the left, corpus ids on the right — the corpus is
+    never self-joined), and (c) find a corpus near-dup for every new
+    mega-cluster member inside the candidacy window (recall sanity: their
+    cosine to the window members is ~1)."""
+    import duckdb
+
+    d = _write_mega_corpus(spark, tmp_path)
+    rows = dedup.dedup_embedding_incremental(spark, d).collect()
+    got = {(r.new_id, r.old_id): r.cos_sim for r in rows}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(dedup._emb_inc_oracle_sql()).fetchall()
+    }
+    assert got == want, f"incremental diverged: {len(got)} vs {len(want)} pairs"
+
+    assert got, "adversarial corpus must produce cross-split near-dups"
+    for new_id, old_id in got:
+        assert new_id % 17 == 5, f"left id {new_id} not in the batch slice"
+        assert old_id % 17 != 5, f"right id {old_id} not in the corpus"
+
+    # every new mega-cluster member must match at least one corpus member:
+    # the first 64 corpus rows of the mega bucket are in the candidacy
+    # window and cosine within the cluster is ~1 >= the 0.4 threshold
+    new_mega = {v for v in range(_MEGA_N) if v % 17 == 5}
+    matched = {n for n, _ in got}
+    assert new_mega <= matched, f"unmatched new mega members: {new_mega - matched}"

@@ -556,6 +556,9 @@ _BNLJ_WHITELIST = {
     # checkpoints, so its BNLJ is VISIBLE in the registered plan — honest
     # crossJoin, whitelisted (the dedup_minhash_bucket_audit precedent)
     "dedup_embedding_bucket_audit",
+    # same 1-row bits crossJoin, checkpoint-hidden like the pair build —
+    # swept via its pre-checkpoint twin (_plan_audit_overrides below)
+    "dedup_embedding_incremental",
     "ml_cluster_purity",          # k-row centroid table (kmeans assignment)
     "ml_kmeans_fixed",            # k-row centroid table per iteration
     "ml_power_iteration_pc1",     # 1-row max-norm crossJoin per iteration
@@ -582,9 +585,15 @@ def _plan_audit_overrides():
     visible lineage): the discipline sweep and tools/plansnap.py audit the
     full pre-checkpoint twin instead, so nothing escapes the gates by
     invisibility."""
-    from pg2parquet_spark.operators.dedup import adaptive_lsh_plan_audit
+    from pg2parquet_spark.operators.dedup import (
+        adaptive_lsh_plan_audit,
+        incremental_lsh_plan_audit,
+    )
 
-    return {"dedup_embedding_cosine_lsh": adaptive_lsh_plan_audit}
+    return {
+        "dedup_embedding_cosine_lsh": adaptive_lsh_plan_audit,
+        "dedup_embedding_incremental": incremental_lsh_plan_audit,
+    }
 
 
 def test_registry_wide_plan_discipline(spark):

@@ -55,9 +55,15 @@ def extra_plans() -> dict:
     upstream of the checkpoint (e.g. the 1-row bit-width broadcast turning
     into something unbounded) is caught even though the registered plan
     cannot show it."""
-    from pg2parquet_spark.operators.dedup import adaptive_lsh_plan_audit
+    from pg2parquet_spark.operators.dedup import (
+        adaptive_lsh_plan_audit,
+        incremental_lsh_plan_audit,
+    )
 
-    return {"dedup_embedding_cosine_lsh#pre_checkpoint": adaptive_lsh_plan_audit}
+    return {
+        "dedup_embedding_cosine_lsh#pre_checkpoint": adaptive_lsh_plan_audit,
+        "dedup_embedding_incremental#pre_checkpoint": incremental_lsh_plan_audit,
+    }
 
 
 def main() -> None:
