@@ -767,7 +767,7 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "zero false positives (the re-score is exact).",
 )
 def dedup_embedding_cosine_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.operators.similarity import bucket_sql_offset, dot_col
+    from pg2parquet_spark.operators.similarity import _PLANES, bucket_col_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
     # candidate generation over NARROW rows: (vec_id, bucket keys) only.
@@ -780,7 +780,7 @@ def dedup_embedding_cosine_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFr
     bk = emb.select(
         "vec_id",
         *[
-            F.expr(bucket_sql_offset("embedding", EMB_DIM, True, off)).alias(f"k{t}")
+            bucket_col_offset_n("embedding", EMB_DIM, off, _PLANES).alias(f"k{t}")
             for t, off in enumerate(_EMB_LSH_OFFSETS)
         ],
     )
@@ -1324,18 +1324,25 @@ def _adapt_signature_rows(spark: SparkSession, sf_dir: str):
     one row per vector with vec_id, bits, k0..k3 — the Spark twin of the
     ``_adapt_bk_sql`` oracle CTE chain. Shared by the pair build and
     ``dedup_embedding_bucket_audit`` so both derive buckets identically."""
-    from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
+    from pg2parquet_spark.operators.similarity import bucket_col_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
     par = emb.agg(F.count("*").alias("n")).select(
         F.expr(_adapt_bits_case("n")).alias("bits")
     )
+    # bucket_col_offset_n, not the unrolled bucket_sql_offset_n string the
+    # ORACLE still evaluates: 4 tables × 14 planes × ~60 terms in one
+    # projection generated >64 KB of Java per method, janino threw
+    # InternalCompilerException, and the whole signature stage silently ran
+    # interpreted (r7 verdict #1). The HOF form is bit-identical (see
+    # plane_dot_col) and keeps the stage in whole-stage codegen — gated by
+    # tests/test_plans.py::test_embedding_lsh_family_compiles_codegen.
     bkf = emb.select(
         "vec_id",
         *[
-            F.expr(
-                bucket_sql_offset_n("embedding", EMB_DIM, True, off, _ADAPT_MAX_BITS)
-            ).alias(f"kf{t}")
+            bucket_col_offset_n("embedding", EMB_DIM, off, _ADAPT_MAX_BITS).alias(
+                f"kf{t}"
+            )
             for t, off in enumerate(_EMB_LSH_OFFSETS)
         ],
     )

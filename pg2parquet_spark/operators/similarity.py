@@ -58,6 +58,57 @@ def dot_col(a: str, b: str) -> F.Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def plane_weights(plane: int, dim: int) -> list[int]:
+    """The deterministic integer hyperplane family shared by every sign-LSH
+    variant: w[i] = (((37·i + 101·plane) % 1013) % 13) − 6 for i in 1..dim.
+    Single source of truth for both the unrolled oracle strings
+    (plane_dot_sql) and the codegen-safe Spark columns (plane_dot_col)."""
+    return [(((37 * i + 101 * plane) % 1013) % 13) - 6 for i in range(1, dim + 1)]
+
+
+def plane_dot_col(emb, plane: int, dim: int) -> F.Column:
+    """Codegen-SAFE Spark twin of ``plane_dot_sql``: the same Σ w[i]·emb[i]
+    as a zip_with + left-fold aggregate over a literal weight array instead
+    of an unrolled ~60-term sum.
+
+    Why this exists (r7 verdict finding #1): the adaptive LSH hashes 4
+    tables × 14 planes × ~60 terms in ONE projection; the unrolled SQL form
+    generates >64 KB of Java in a single method, janino throws
+    InternalCompilerException, and Spark silently runs the PRIMARY dedup
+    operator's whole stage interpreted. Higher-order functions evaluate via
+    a fixed-size loop (CodegenFallback for the HOF node only), so the
+    surrounding stage compiles and every other expression stays in
+    whole-stage codegen.
+
+    Bit-exactness with the unrolled oracle string: the fold is
+    ((0.0+t₁)+t₂)+… in element order and IEEE 0.0+t == t, so the sum order
+    matches the oracle's left-assoc chain. The oracle SKIPS zero-weight
+    terms while this form includes them as w·x = ±0.0; adding ±0.0 never
+    changes an accumulator that is not −0.0, and the accumulator can never
+    BE −0.0 (it starts at +0.0, +0.0 + −0.0 = +0.0, and exact cancellation
+    of finite terms yields +0.0 under round-to-nearest) — so the result is
+    bit-identical for the finite embeddings the corpus contract guarantees.
+    Multiplication commutes bit-exactly, and the integer weight promotes to
+    the same double in both engines."""
+    w = F.array(*[F.lit(float(x)) for x in plane_weights(plane, dim)])
+    prods = F.zip_with(emb, w, lambda x, wj: wj * x.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def bucket_col_offset_n(emb, dim: int, offset: int, nplanes: int) -> F.Column:
+    """Codegen-safe Spark twin of ``bucket_sql_offset_n``: the n-bit sign
+    bucket key as a sum of per-plane CASE bits over ``plane_dot_col`` dots.
+    Same integer result as the unrolled oracle string (the sign test `> 0`
+    treats ±0.0 identically, and the dots are bit-identical per
+    plane_dot_col's contract)."""
+    key = F.lit(0)
+    for j in range(nplanes):
+        key = key + F.when(
+            plane_dot_col(emb, j + offset, dim) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return key
+
+
 def plane_dot_sql(emb: str, plane: int, dim: int, zero_based: bool) -> str:
     """Σ w[plane][i]·emb[i] with deterministic integer weights; zero-weight
     terms are skipped identically on both sides.
@@ -74,8 +125,7 @@ def plane_dot_sql(emb: str, plane: int, dim: int, zero_based: bool) -> str:
     tests/test_pipeline_ops.py::test_plane_family_is_distinct)."""
     off = -1 if zero_based else 0
     terms = []
-    for i in range(1, dim + 1):
-        w = (((37 * i + 101 * plane) % 1013) % 13) - 6
+    for i, w in enumerate(plane_weights(plane, dim), start=1):
         if w == 0:
             continue
         terms.append(f"{w} * CAST({emb}[{i + off}] AS DOUBLE)")

@@ -113,24 +113,46 @@ def load_all() -> dict[str, QuerySpec]:
     root = Path(__file__).resolve().parent.parent
     verified = _last_verified_round(root)
     changed = _changed_since_verified(root, REGISTRY, verified)
-    ordered = sorted(REGISTRY, key=lambda name: _rotation_key(name, verified, changed))
+    cursor = _group0_cursor(verified)
+    ordered = sorted(
+        REGISTRY, key=lambda name: _rotation_key(name, verified, changed, cursor)
+    )
     return {name: REGISTRY[name] for name in ordered}
 
 
-def _rotation_key(name: str, verified: dict[str, int], changed: set[str]):
+def _group0_cursor(verified: dict[str, int]) -> str:
+    """Where the LAST driver window stopped: the alphabetically-greatest
+    name verified in the newest round. Group 0 resumes right after it."""
+    latest = max(verified.values(), default=0)
+    return max(
+        (name for name, rnd in verified.items() if rnd == latest), default=""
+    )
+
+
+def _rotation_key(
+    name: str, verified: dict[str, int], changed: set[str], cursor: str = ""
+):
     """CHANGE-AWARE rotation key (r6 review item). Group 0: queries never
     driver-green OR whose implementing module changed since the round that
     last verified them (git blob ids vs VERIFIED_FINGERPRINTS.json) — their
-    last-green round carries no information about the CURRENT code, so
-    within the group the order is plain alphabetical (deterministic,
-    replayable, no hand-picking); successive windows cycle the whole group
-    as members re-verify and leave it. Group 1: still-proven queries,
-    least-recently-verified first. The age-only key this replaces let the
-    r5 dedup_substring_ngrams rewrite sail past two verification windows."""
+    last-green round carries no information about the CURRENT code. Within
+    the group the order is alphabetical FROM A ROTATING CURSOR (r7 ADVICE:
+    plain alphabetical starved late-alphabet members whenever the group
+    outgrew the sampled window): names after the alphabetically-greatest
+    name the newest round verified come first, then the wrap-around — so a
+    persistently large group still cycles completely across successive
+    windows, deterministically and with no hand-picking. Within group 0 the
+    NEVER-green sort ahead of the changed-but-once-proven: a query with no
+    green row on ANY code is strictly riskier than one whose module merely
+    drifted (r7: stream_ivf_assign, registered late, sat past the window
+    cutoff for a full round behind changed-module backlog). Group 1:
+    still-proven queries, least-recently-verified first. The age-only key
+    this replaces let the r5 dedup_substring_ngrams rewrite sail past two
+    verification windows."""
     rnd = verified.get(name, 0)
     if rnd == 0 or name in changed:
-        return (0, 0, name)
-    return (1, rnd, name)
+        return (0, 0 if rnd == 0 else 1, 0 if name > cursor else 1, name)
+    return (1, rnd, "", name)
 
 
 def _git_blob_id(path) -> str:
@@ -152,17 +174,24 @@ def _changed_since_verified(
     round-close commits) records which code each round actually verified;
     module granularity is deliberately conservative (touching a module
     re-routes all its queries through the gate). A missing file, round, or
-    module entry degrades to 'unchanged' — the pre-r7 age-only ordering."""
+    module entry degrades to 'unchanged' — the pre-r7 age-only ordering.
+
+    ``root`` locates ONLY the fingerprints artifact; module paths always
+    resolve against the live package root (r7 ADVICE: this lets tests point
+    at a tmp_path fingerprints file instead of swapping the committed one
+    in place, where a hard interruption or parallel load_all() would observe
+    or leave a corrupted file)."""
     import inspect
     import json
     from pathlib import Path
 
     try:
         rounds = json.loads(
-            (root / "VERIFIED_FINGERPRINTS.json").read_text()
+            (Path(root) / "VERIFIED_FINGERPRINTS.json").read_text()
         )["rounds"]
     except (OSError, ValueError, KeyError):
         return set()
+    pkg_root = Path(__file__).resolve().parent.parent
     current: dict[str, str] = {}
     changed: set[str] = set()
     for name, spec in specs.items():
@@ -171,7 +200,7 @@ def _changed_since_verified(
             continue
         try:
             mod_path = Path(inspect.getmodule(spec.fn).__file__).resolve()
-            rel = str(mod_path.relative_to(root))
+            rel = str(mod_path.relative_to(pkg_root))
         except (TypeError, ValueError, AttributeError):
             continue
         recorded = recorded_round.get(rel)

@@ -70,9 +70,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per invocation (r6 review: /tmp churn on every selfcheck pass).
     from pg2parquet_spark.tmpdirs import memo_tmpdir
 
-    stream_dir, created = memo_tmpdir("events_stream", sf_dir)
-    if created:
-        os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream_dir, _ = memo_tmpdir(
+        "events_stream",
+        sf_dir,
+        populate=lambda d: os.symlink(
+            f"{sf_dir}/events.parquet", f"{d}/events.parquet"
+        ),
+    )
     stream = spark.readStream.schema(static.schema).parquet(stream_dir)
     # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so values
     # match the batch NTZ view — outputs cast back to NTZ for the oracle
@@ -306,9 +310,13 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pg2parquet_spark.tmpdirs import memo_tmpdir
 
-    stream_dir, created = memo_tmpdir("docs_stream", sf_dir)
-    if created:
-        os.symlink(f"{sf_dir}/documents.parquet", f"{stream_dir}/documents.parquet")
+    stream_dir, _ = memo_tmpdir(
+        "docs_stream",
+        sf_dir,
+        populate=lambda d: os.symlink(
+            f"{sf_dir}/documents.parquet", f"{d}/documents.parquet"
+        ),
+    )
     stream = spark.readStream.schema(docs_schema).parquet(stream_dir)
     hashed = stream.select(
         F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias(
@@ -372,8 +380,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the 3-batch landing dir is deterministic per corpus: build it once per
     # process (memoized), and reap the staging scratch after the move
-    stream_dir, created = memo_tmpdir("events_late", sf_dir)
-    if created:
+    def _build_batches(stream_dir: str) -> None:
         stage_dir = tempfile.mkdtemp(prefix="events_late_stage_")
         batches = ((1, ev.filter(~newest & ~late)), (2, ev.filter(newest)), (3, ev.filter(late)))
         for i, part in batches:
@@ -383,6 +390,8 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(_glob.glob(f"{d}/part-*.parquet")[0], dst)
             os.utime(dst, (1000 * i, 1000 * i))
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+    stream_dir, _ = memo_tmpdir("events_late", sf_dir, populate=_build_batches)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -757,9 +766,13 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2parquet_spark.tmpdirs import memo_tmpdir
 
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    stream_dir, created = memo_tmpdir("emb_stream", sf_dir)
-    if created:
-        os.symlink(f"{sf_dir}/embeddings.parquet", f"{stream_dir}/embeddings.parquet")
+    stream_dir, _ = memo_tmpdir(
+        "emb_stream",
+        sf_dir,
+        populate=lambda d: os.symlink(
+            f"{sf_dir}/embeddings.parquet", f"{d}/embeddings.parquet"
+        ),
+    )
     # the centroid model: k rows collected once at stream start (bounded by
     # contract, exactly like the ANN query-side collect) and baked into the
     # assignment expression — a production ingest job refreshes this by
@@ -792,4 +805,80 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_to_memory(agg, name)
     return spark.table(name).select(
         "cid", F.col("n_assigned").cast("bigint").alias("n_assigned")
+    )
+
+
+# Skew verdict gate for the streaming ingest counters: an ingest where the
+# hottest inverted list holds more than _IVF_SKEW_FACTOR× its fair share
+# (max_list · n_lists > factor · total) is flagged. Integer comparison so
+# the verdict is oracle-exact — same discipline as the scorecard's
+# capped-near-dup flip (dedup.py) and dedup_containment_ngrams' 10·c ≥ 9·n.
+_IVF_SKEW_FACTOR = 2
+
+
+def _ivf_balance_guard_oracle() -> str:
+    from pg2parquet_spark.operators.similarity import (
+        EMB_DIM,
+        _centroid_cte,
+        dot_sql,
+    )
+
+    return f"""
+WITH cent AS ({_centroid_cte()}),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+ls AS (SELECT cid, COUNT(*) AS n_assigned FROM assign WHERE rn = 1 GROUP BY cid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(n_assigned) AS BIGINT) AS n_ingested,
+       CAST(MAX(n_assigned) AS BIGINT) AS max_list,
+       CAST(SUM(n_assigned) AS DOUBLE) / COUNT(*) AS avg_list,
+       CAST(MAX(n_assigned) * COUNT(*) AS DOUBLE) / SUM(n_assigned) AS imbalance,
+       CASE WHEN MAX(n_assigned) * COUNT(*) > {_IVF_SKEW_FACTOR} * SUM(n_assigned)
+            THEN 'skewed_ingest' ELSE 'balanced' END AS verdict
+FROM ls
+"""
+
+
+@register(
+    "stream_ivf_balance_guard",
+    oracle=_ivf_balance_guard_oracle(),
+    doc="STREAM-SIDE skew observability for the IVF ingest (r7 verdict task "
+    "#6): folds stream_ivf_assign's per-list ingest counters into "
+    "ann_ivf_balance_audit's skew metrics — list count, ingest total, "
+    "hottest list, imbalance = max_list/avg_list — plus an in-query VERDICT "
+    "('skewed_ingest' when the hottest list exceeds "
+    f"{_IVF_SKEW_FACTOR}x its fair share, integer-compared so both engines "
+    "agree exactly). The scorecard<->bucket-audit contract applied to the "
+    "vector channel: a skewed streaming ingest is flagged by the query "
+    "itself, not by a human reading counters — at 100 TB the inverted-list "
+    "layout IS the partition layout, and this row is what pages the rollout "
+    "before the hot list becomes every query batch's straggler. Plan: the "
+    "streaming assignment (bounded k-centroid model compiled into the map "
+    "expression, k-key complete-mode state) plus one 1-row fold over the "
+    "k-row counter table; the fold is bounded by the centroid count at any "
+    "corpus size. Streaming == batch bit-exactly (stream_ivf_assign's "
+    "contract), so the batch oracle gates the streaming result.",
+)
+def stream_ivf_balance_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = stream_ivf_assign(spark, sf_dir)
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum("n_assigned").cast("bigint").alias("n_ingested"),
+        F.max("n_assigned").cast("bigint").alias("max_list"),
+        (F.sum("n_assigned").cast("double") / F.count(F.lit(1))).alias("avg_list"),
+        (
+            (F.max("n_assigned") * F.count(F.lit(1))).cast("double")
+            / F.sum("n_assigned")
+        ).alias("imbalance"),
+        F.when(
+            F.max("n_assigned") * F.count(F.lit(1))
+            > _IVF_SKEW_FACTOR * F.sum("n_assigned"),
+            "skewed_ingest",
+        )
+        .otherwise("balanced")
+        .alias("verdict"),
     )

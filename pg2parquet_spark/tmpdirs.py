@@ -24,12 +24,25 @@ import tempfile
 _DIR_MEMO: dict[tuple[str, ...], str] = {}
 
 
-def memo_tmpdir(kind: str, *key: str) -> tuple[str, bool]:
+def memo_tmpdir(kind: str, *key: str, populate=None) -> tuple[str, bool]:
     """Return ``(path, created)`` for the process-lifetime temp dir memoized
-    under ``(kind, *key)``. ``created`` is True exactly once per key — the
-    caller populates the fixture under that flag."""
+    under ``(kind, *key)``.
+
+    Fixture-building callers pass ``populate`` (a callable taking the fresh
+    path); the memo entry is committed ONLY after it returns — r7 ADVICE: the
+    old "return created=True, caller populates afterwards" protocol recorded
+    the dir as built before population ran, so a partial failure (e.g. midway
+    through stream_late_data's 3-batch build) left every later invocation in
+    the process silently consuming the half-built fixture. On a populate
+    error nothing is memoized; the next call starts over on a fresh dir (the
+    orphaned dir is the acceptable cost of a failed build). Callers whose
+    write IS the behavior under test still pass no ``populate`` and re-write
+    into the memoized dir every invocation."""
     k = (kind, *key)
-    if k not in _DIR_MEMO:
-        _DIR_MEMO[k] = tempfile.mkdtemp(prefix=f"{kind}_")
-        return _DIR_MEMO[k], True
-    return _DIR_MEMO[k], False
+    if k in _DIR_MEMO:
+        return _DIR_MEMO[k], False
+    path = tempfile.mkdtemp(prefix=f"{kind}_")
+    if populate is not None:
+        populate(path)
+    _DIR_MEMO[k] = path
+    return path, True

@@ -172,6 +172,40 @@ def test_embedding_lsh_recall(spark, sf_dir):
     assert recall >= 0.80, f"LSH recall collapsed: measured {recall:.3f} < 0.80 floor"
 
 
+def test_ann_recall_floors_at_sf01(spark):
+    """r7 verdict task #4: ann_recall_eval REPORTS recall@3 per method but
+    nothing failed when an index change tanked recall. Assert measured
+    floors at sf0.1 (committed r7/r8 values − tolerance) plus the ordering
+    the extra hash table is supposed to buy:
+
+      measured at sf0.1: ivf_probe 0.4333, lsh_multitable 0.3167,
+      lsh_bucketed 0.175 (micro recall = Σhits/Σexact over 40 queries).
+
+    A deliberate nerf fails this by construction: degrading the multi-table
+    union to one table IS the lsh_bucketed row (0.175 < the 0.28 multitable
+    floor), and any plane-family/probe edit that drops a method below its
+    committed value − tolerance trips its floor. Floors use micro recall
+    (exact integer sums, one final division) so the gate is stable against
+    per-query jitter."""
+    rows = (
+        similarity.ann_recall_eval(spark, "/root/testdata/sf0.1")
+        .groupBy("method")
+        .agg(
+            F.sum("n_hits").alias("h"),
+            F.sum("n_exact").alias("e"),
+        )
+        .collect()
+    )
+    micro = {r.method: r.h / r.e for r in rows}
+    floors = {"ivf_probe": 0.40, "lsh_multitable": 0.28, "lsh_bucketed": 0.15}
+    for method, floor in floors.items():
+        assert micro[method] >= floor, (
+            f"{method} recall@3 collapsed: {micro[method]:.3f} < {floor} floor"
+        )
+    # each extra hash table must BUY recall, not just cost a join
+    assert micro["lsh_multitable"] > micro["lsh_bucketed"], micro
+
+
 def test_embedding_lsh_adaptive_equals_fixed_below_first_threshold(spark, sf_dir):
     """At n ≤ 750 the primary (adaptive) variant's masked 14-bit keys reduce
     to the fixed variant's 4-bit keys and the probe set is the same

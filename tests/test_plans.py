@@ -124,12 +124,23 @@ def test_dedup_embedding_cosine_lsh_is_bucketed_not_allpairs(spark):
         .toString()
     )
     # ONE logical 1-row broadcast; the un-checkpointed lineage duplicates
-    # that subtree into every consumer of the signature table (4 tables × 2
+    # that subtree into the signature table's consumers (up to 4 tables × 2
     # join sides) — which is precisely why the registered form checkpoints.
-    # Any OTHER nested loop (an all-pairs join creeping in) breaks the count.
-    assert full.count("BroadcastNestedLoopJoin") == 2 * len(_EMB_LSH_OFFSETS), (
-        full.count("BroadcastNestedLoopJoin")
-    )
+    # r7 ADVICE: pinning the EXACT duplication count coupled the test to
+    # Spark's subtree-duplication behavior (CTE reuse / subquery dedup would
+    # flip it with no real regression), so assert an upper bound instead and
+    # discriminate on the JOIN SHAPE: the 1-row params broadcast is an
+    # unconditional Cross (no join predicate), while the scale-killer this
+    # test exists to catch — an all-pairs `a_id < b_id` join — carries its
+    # inequality as a BNLJ condition on the same line.
+    n_bnlj = full.count("BroadcastNestedLoopJoin")
+    assert 1 <= n_bnlj <= 2 * len(_EMB_LSH_OFFSETS), n_bnlj
+    bnlj_lines = [l for l in full.splitlines() if "BroadcastNestedLoopJoin" in l]
+    for line in bnlj_lines:
+        # join TYPE must be Cross (the unconditional 1-row params attach);
+        # an all-pairs `a_id < b_id` join would plan as ", Inner, (a < b)".
+        # A Cross line may still carry a pushed isnotnull residual — fine.
+        assert ", Cross" in line, f"non-Cross nested loop: {line}"
     assert "CartesianProduct" not in full
     plan = plan_of(spark, "dedup_embedding_cosine_lsh_fixed")
     assert "BroadcastNestedLoopJoin" not in plan
@@ -532,6 +543,31 @@ def test_embedding_lsh_kernel_parallelism_pinned(spark):
     plan = plan_of(spark, "dedup_embedding_cosine_lsh")
     assert "MapInPandas" in plan
     assert "RoundRobinPartitioning" in plan
+
+
+def test_embedding_lsh_family_compiles_codegen(spark):
+    """r7 verdict #1: the unrolled 4-table × 14-plane × ~60-term bucket-key
+    projection generated >64 KB of Java per method; janino threw
+    InternalCompilerException and Spark SILENTLY ran the primary dedup
+    operator's stages interpreted — hash checks stayed green, so only the
+    ERROR log lines betrayed it. With spark.sql.codegen.fallback=false a
+    compile failure becomes a hard query error, so executing the family
+    under this conf pins "stays in whole-stage codegen" as a tested
+    property. tools/selfcheck.py applies the same conf registry-wide each
+    round; this test keeps the regression local and fast."""
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        reg = load_all()
+        for name in (
+            "dedup_embedding_cosine_lsh",
+            "dedup_embedding_cosine_lsh_fixed",
+            "dedup_embedding_incremental",
+            "dedup_embedding_bucket_audit",
+        ):
+            assert reg[name].fn(spark, SF).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
 
 
 # Queries where a nested-loop join is CORRECT because one side is bounded by

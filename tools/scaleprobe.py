@@ -158,7 +158,12 @@ def synth_dir(spark, factor: int, tables=("documents", "embeddings")) -> str:
     delete the dir to force a rebuild."""
     import hashlib
 
-    key = f"{SF_BIG}|x{factor}|{','.join(sorted(tables))}"
+    # r7 ADVICE: the key must change whenever the GENERATOR changes, not
+    # just its parameters — otherwise editing synth_decade silently reuses
+    # stale /tmp corpora from older code and corrupts the measurements the
+    # reuse exists to stabilize. Bump the version on any synth_decade edit.
+    gen_version = "r7-retoken-dimrot-v1"
+    key = f"{gen_version}|{SF_BIG}|x{factor}|{','.join(sorted(tables))}"
     h = hashlib.sha256(key.encode()).hexdigest()[:10]
     base = os.path.join(
         tempfile.gettempdir(), f"pg2parquet_synth_x{factor}_{h}"
@@ -327,10 +332,58 @@ def embdial(out_path: str) -> None:
     print("wrote", out_path, flush=True)
 
 
+# --------------------------------------------------------------------------
+# Third decade for the adaptive LSH (r7 verdict task #5): the width dial was
+# proven to 60k vectors / 11-bit keys; the _ADAPT_BITS_THRESHOLDS tail (13
+# and 14 bits) had never executed. Probe 60k (11 bits) -> 600k vectors
+# (n > 384000 -> the full 14-bit arm) and report e over that decade. The
+# 600k corpus is 300 disjoint dim-rotated copies of the sf0.1 embeddings —
+# same construction as embdial, one decade up.
+def embdial3(out_path: str) -> None:
+    import math
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.registry import load_all
+
+    spark = get_spark(app_name="embdial3", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    lo = synth_dir(spark, factor=30, tables=("embeddings",))   # 60,000 / 11 bits
+    hi = synth_dir(spark, factor=300, tables=("embeddings",))  # 600,000 / 14 bits
+    name = "dedup_embedding_cosine_lsh"
+    fn = reg[name].fn
+    t_lo = _run_steady(spark, fn, lo)
+    t_hi = _run_steady(spark, fn, hi, n_timed=2)
+    r = t_hi / max(t_lo, 1e-9)
+    e = math.log10(max(r, 1e-9))
+    print(f"{name:36s} {t_lo:6.2f}s {t_hi:7.2f}s  x{r:.2f}  e={e:.2f}", flush=True)
+    lines = [
+        "# Adaptive-LSH width dial, third decade — the 14-bit arm executes",
+        "",
+        "Embeddings-only synth corpora from sf0.1 (2,000 vectors): 30x =",
+        "60,000 vectors (11-bit keys) and 300x = 600,000 vectors (n >",
+        "384,000 -> the 14-bit CASE arm, the _ADAPT_BITS_THRESHOLDS tail",
+        "that had never executed before this probe). Fixed keyed synth",
+        "paths; warm pass then best-of-N steady-state (N=3 lo / N=2 hi).",
+        "e = log10(t_hi/t_lo) over the 10x decade; the dial's contract is",
+        "e <= ~1.1 (occupancy pinned by the threshold chain, probe count",
+        "pinned by the 48-mask budget).",
+        "",
+        "| query | 60k vecs (s) | 600k vecs (s) | ratio | e(upper) |",
+        "|---|---|---|---|---|",
+        f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {r:.2f}x | {e:.2f} |",
+    ]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--decade2":
         decade2(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r07.md")
     elif len(sys.argv) > 1 and sys.argv[1] == "--embdial":
         embdial(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r07_embdial.md")
+    elif len(sys.argv) > 1 and sys.argv[1] == "--embdial3":
+        embdial3(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r08_embdial3.md")
     else:
         main()
