@@ -736,6 +736,32 @@ def test_float16_remote_uri_reconstruction_and_rename_swap(monkeypatch, tmp_path
     assert [float(x.as_py()) for x in back["v"]] == [1.5, -0.25]
 
 
+def test_memo_tmpdir_failed_populate_not_committed():
+    """r7 ADVICE: the old protocol recorded the dir as created BEFORE the
+    caller populated it, so a partial population failure left every later
+    invocation silently consuming the half-built fixture. Now the memo
+    entry commits only after populate() returns: a raising populate leaves
+    the key unmemoized and the next call rebuilds on a fresh dir."""
+    import pytest as _pytest
+
+    from pg2parquet_spark.tmpdirs import memo_tmpdir
+
+    calls = []
+
+    def boom(path):
+        calls.append(path)
+        raise OSError("simulated partial build")
+
+    with _pytest.raises(OSError):
+        memo_tmpdir("memo_fail_test", "k1", populate=boom)
+    built = []
+    path, created = memo_tmpdir("memo_fail_test", "k1", populate=built.append)
+    assert created and built == [path]  # rebuilt, not reused half-built
+    assert path != calls[0]
+    path2, created2 = memo_tmpdir("memo_fail_test", "k1", populate=built.append)
+    assert path2 == path and not created2 and len(built) == 1
+
+
 def test_fixture_queries_reuse_tmpdirs_across_invocations(spark):
     """r6 review item: the ten fixture-writing queries used to mkdtemp per
     invocation — every selfcheck/scaleprobe/plan sweep leaked temp dirs.

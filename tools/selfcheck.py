@@ -89,11 +89,16 @@ def main() -> int:
         # tables their probe needs — e.g. embeddings-only at 600k vectors
         # for the 14-bit adaptive-LSH arm); queries over a missing table
         # fail loudly at execution, which is the right place
-        if not os.path.exists(f"{SF_DIR}/{t}.parquet"):
+        path = f"{SF_DIR}/{t}.parquet"
+        if not os.path.exists(path):
             print(f"NOTE  {t}.parquet absent in {SF_DIR}; view skipped")
             continue
+        # Spark-written corpora (the synth scaling dirs) are parquet
+        # DIRECTORIES of part files; the driver's testdata are single files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     names = [n for n in sorted(qs) if not filters or any(f in n for f in filters)]
