@@ -806,17 +806,26 @@ def dedup_embedding_cosine_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _score_candidate_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
-    """Distinct the (a_id, b_id) candidate set, attach embeddings once, and
-    exact-re-score in an Arrow numpy kernel. Shared tail of the fixed-plane
-    and corpus-adaptive LSH variants — both generate candidates over NARROW
-    id rows and pay the ~512 B vector payload exactly once per surviving
-    pair."""
-    # collapse multi-table/multi-probe collisions while rows are 2 ints wide
-    cand = cand.distinct()
+    """Attach embeddings to the (a_id, b_id) candidate set, exact-re-score
+    in an Arrow numpy kernel, and dedupe the SURVIVORS. Shared tail of the
+    fixed-plane and corpus-adaptive LSH variants — both generate candidates
+    over NARROW id rows and pay the ~512 B vector payload once per
+    candidate row.
+
+    Dedup placement (r8): the multi-table/multi-probe collision dedupe runs
+    AFTER the threshold, not before the joins. Measured at the 60k-vector
+    synth point the candidate stream is 24.5M pairs of which only 4.6% are
+    cross-table duplicates — a pre-score distinct is a full extra shuffle +
+    hash-agg of the whole candidate stream to save 4.6% of kernel work,
+    while the post-threshold survivor set is ~48k rows and its distinct is
+    free (measured 40.6 s → 30.4 s end-to-end). Scoring a duplicate pair
+    twice is exact-idempotent (same fixed-order dot → bit-identical
+    cos_sim), so distinct-after == distinct-before row-for-row; the oracle
+    applies the same SELECT DISTINCT to its pair union."""
     # the candidate rows are 2 ints wide, so AQE's size-based coalescing
-    # collapses the distinct output to ONE partition (1.3M rows ≈ 21 MB <
-    # advisory size) — and then the whole exact re-score runs on one core
-    # (measured: 6 s → 50-98 s depending on the coalesce decision). Pin the
+    # would collapse them to ONE partition (1.3M rows ≈ 21 MB < advisory
+    # size) — and then the whole exact re-score runs on one core (measured:
+    # 6 s → 50-98 s depending on the coalesce decision). Pin the
     # parallelism with an explicit repartition of the NARROW rows; row-count
     # per partition, not byte size, is the right dial for a compute-bound
     # scoring stage.
@@ -875,7 +884,10 @@ def _score_candidate_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
             )
             yield out[out.cos_sim >= threshold]
 
-    return paired.mapInPandas(score, schema)
+    # collapse multi-table/multi-probe collisions on the ~0.2%-yield
+    # survivor set (cos_sim is deterministic per pair, so 3-column distinct
+    # == (a_id, b_id) distinct)
+    return paired.mapInPandas(score, schema).distinct()
 
 
 # ----------------------------------- corpus-adaptive embedding LSH planes --
