@@ -129,3 +129,74 @@ def test_range_grammar_exhaustive_matrix(spark):
             r.r.lower, r.r.upper, r.r.lower_inclusive, r.r.upper_inclusive, r.r.is_empty
         )
         assert got == want, (txt, got, want)
+
+
+def test_hof_bucket_keys_bit_identical_to_unrolled_oracle(spark):
+    """The r8 codegen fix swapped the Spark-side LSH bucket keys from the
+    unrolled SQL strings (still what the DuckDB oracles evaluate) to
+    zip_with + left-fold aggregate columns; plane_dot_col's docstring
+    argues IEEE bit-identity (0.0+t==t; zero-weight terms add ±0.0 which
+    never changes a non-negative-zero accumulator). This pins that
+    argument on ADVERSARIAL values the fixture corpora never contain —
+    ±0.0, float32 denormals, extreme magnitudes, exact-cancellation pairs
+    — by evaluating BOTH forms in the same Spark session per hash-table
+    offset and requiring equal keys row-for-row. (DuckDB parses the
+    identical unrolled string, and cross-engine agreement on fixture data
+    is hash-gated by every dedup_embedding_* oracle row.)"""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pg2parquet_spark.operators.dedup import _ADAPT_MAX_BITS, _EMB_LSH_OFFSETS
+    from pg2parquet_spark.operators.similarity import (
+        EMB_DIM,
+        bucket_col_offset_n,
+        bucket_sql_offset_n,
+    )
+
+    denorm = struct.unpack("f", struct.pack("I", 1))[0]  # smallest f32 denormal
+    specials = [0.0, -0.0, denorm, -denorm, 1e30, -1e30, 1e-30, 3.14159, -2.5]
+    vecs = []
+    for s in range(12):
+        v = [specials[(s * 7 + i) % len(specials)] for i in range(EMB_DIM)]
+        if s % 3 == 0:
+            v[1] = -v[0]  # exact cancellation inside the fold
+        if s % 4 == 0:
+            v = [0.0 if i % 2 else -0.0 for i in range(EMB_DIM)]  # all ±0 dots
+        vecs.append((s, v))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cols = []
+    for t, off in enumerate(_EMB_LSH_OFFSETS):
+        cols.append(
+            bucket_col_offset_n("embedding", EMB_DIM, off, _ADAPT_MAX_BITS).alias(
+                f"hof{t}"
+            )
+        )
+        cols.append(
+            F.expr(
+                bucket_sql_offset_n("embedding", EMB_DIM, True, off, _ADAPT_MAX_BITS)
+            ).alias(f"unr{t}")
+        )
+    spark_rows = {
+        r.vec_id: r for r in df.select("vec_id", *cols).collect()
+    }
+    for r in spark_rows.values():
+        for t in range(len(_EMB_LSH_OFFSETS)):
+            assert r[f"hof{t}"] == r[f"unr{t}"], (r.vec_id, t, r)
+
+    # cross-engine arm: DuckDB evaluates the same unrolled strings on the
+    # same float32 values — the actual oracle path, now on adversarial data
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO v VALUES (?, ?)", [(s, vec) for s, vec in vecs]
+    )
+    keys = ", ".join(
+        f"{bucket_sql_offset_n('embedding', EMB_DIM, False, off, _ADAPT_MAX_BITS)} AS k{t}"
+        for t, off in enumerate(_EMB_LSH_OFFSETS)
+    )
+    for vid, *ks in con.execute(f"SELECT vec_id, {keys} FROM v").fetchall():
+        for t, k in enumerate(ks):
+            assert k == spark_rows[vid][f"hof{t}"], (vid, t, k)
