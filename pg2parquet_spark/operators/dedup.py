@@ -770,13 +770,14 @@ def dedup_embedding_cosine_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFr
     from pg2parquet_spark.operators.similarity import _PLANES, bucket_col_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
-    # candidate generation over NARROW rows: (vec_id, bucket keys) only.
-    # Carrying the 64-float embedding through the bucket joins would ship
-    # every candidate row with two ~512 B vectors (measured: 2.6 M candidate
-    # rows at sf0.1 → >1 GB of shuffled vector payload, and each table-probe
-    # collision re-scored the same pair). Instead: ids through the joins,
-    # distinct the pair set FIRST, then attach embeddings once and score
-    # each surviving pair exactly once. Measured 9.2 s → see bench/README.
+    # candidate generation over NARROW rows: (vec_id, bucket keys) only —
+    # carrying the 64-float embedding through the bucket joins would ship
+    # every candidate row with two ~512 B vectors through every probe
+    # collision (measured: 2.6 M candidate rows at sf0.1 → >1 GB of
+    # shuffled vector payload). Ids go through the joins; embeddings attach
+    # once per candidate in _score_candidate_pairs, which since r8 scores
+    # duplicates (exact-idempotent) and dedupes the post-threshold
+    # survivors — see its docstring for the measured trade.
     bk = emb.select(
         "vec_id",
         *[

@@ -86,10 +86,19 @@ def plane_dot_col(emb, plane: int, dim: int) -> F.Column:
     terms while this form includes them as w·x = ±0.0; adding ±0.0 never
     changes an accumulator that is not −0.0, and the accumulator can never
     BE −0.0 (it starts at +0.0, +0.0 + −0.0 = +0.0, and exact cancellation
-    of finite terms yields +0.0 under round-to-nearest) — so the result is
-    bit-identical for the finite embeddings the corpus contract guarantees.
-    Multiplication commutes bit-exactly, and the integer weight promotes to
-    the same double in both engines."""
+    of finite terms yields +0.0 under round-to-nearest). Multiplication
+    commutes bit-exactly, and the integer weight promotes to the same
+    double in both engines.
+
+    SCOPE of the claim (r8 review): the two forms agree bit-for-bit on the
+    dot VALUE except in one corner — when every included term is ±0.0 the
+    oracle's chain (which starts at its first term, possibly −0.0) can
+    yield −0.0 while this fold (anchored at +0.0) yields +0.0. The sign
+    test `> 0` that every bucket key applies treats −0.0 and +0.0
+    identically, so BUCKET KEYS are unconditionally bit-identical
+    (property-tested on ±0.0/denormal/cancellation vectors in
+    tests/test_property.py); do NOT expose a raw plane dot as a hash-gated
+    output column without normalizing −0.0 first."""
     w = F.array(*[F.lit(float(x)) for x in plane_weights(plane, dim)])
     prods = F.zip_with(emb, w, lambda x, wj: wj * x.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, t: acc + t)

@@ -817,21 +817,12 @@ _IVF_SKEW_FACTOR = 2
 
 
 def _ivf_balance_guard_oracle() -> str:
-    from pg2parquet_spark.operators.similarity import (
-        EMB_DIM,
-        _centroid_cte,
-        dot_sql,
-    )
-
+    # compose the assign oracle as a subquery (r8 review: duplicating its
+    # cent/assign CTE chain here meant a tie-break or centroid change had
+    # to be edited twice or the guard silently diverged from the very
+    # assignment it gates)
     return f"""
-WITH cent AS ({_centroid_cte()}),
-assign AS (
-  SELECT e.vec_id, c.cid,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY {dot_sql('e.embedding', 'c.cemb', EMB_DIM, False)} DESC, c.cid) AS rn
-  FROM embeddings e CROSS JOIN cent c
-),
-ls AS (SELECT cid, COUNT(*) AS n_assigned FROM assign WHERE rn = 1 GROUP BY cid)
+WITH ls AS ({_ivf_assign_oracle()})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
        CAST(SUM(n_assigned) AS BIGINT) AS n_ingested,
        CAST(MAX(n_assigned) AS BIGINT) AS max_list,

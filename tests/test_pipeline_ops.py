@@ -187,8 +187,10 @@ def test_ann_recall_floors_at_sf01(spark):
     committed value − tolerance trips its floor. Floors use micro recall
     (exact integer sums, one final division) so the gate is stable against
     per-query jitter."""
+    from tests.conftest import SF_RECALL
+
     rows = (
-        similarity.ann_recall_eval(spark, "/root/testdata/sf0.1")
+        similarity.ann_recall_eval(spark, SF_RECALL)
         .groupBy("method")
         .agg(
             F.sum("n_hits").alias("h"),

@@ -132,11 +132,33 @@ def synth_decade(
                 )
             )
         if emb is not None:
+            # dim-rotation alone wraps at dim=64: copies k and k+64 would be
+            # BIT-IDENTICAL vectors (r8 review finding — a factor-300 corpus
+            # carried ~4-5 exact clones per rotation class, ~1.1M artifact
+            # cos=1.0 pairs, violating the constant-pair-density premise the
+            # decade probes rest on). Beyond the first rotation cycle, apply
+            # a deterministic per-(cycle, dim) SIGN-FLIP pattern: signs
+            # preserve norms and within-copy cosines exactly (s_i^2 = 1) but
+            # scramble cross-copy cosines between equal rotation classes
+            # (half the products flip sign -> E[dot] ~ 0). Identity for
+            # k < 64 keeps the committed factor<=30 corpora byte-stable.
+            # flip mask: (31·i + 17·cyc) mod 64 < 32 — distinct for every
+            # cycle pair (17·Δcyc mod 64 ≠ 0 for 0 < Δcyc < 64), ~half the
+            # dims flip between any two cycles of the same rotation class
+            cyc = k // 64
+            if cyc == 0:
+                rot = f"element_at(embedding, ((i + {k}) % 64) + 1)"
+            else:
+                rot = (
+                    f"element_at(embedding, ((i + {k}) % 64) + 1) * "
+                    f"(CASE WHEN pmod(i * 31 + {cyc} * 17, 64) < 32 "
+                    "THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END)"
+                )
             emb_parts.append(
                 emb.select(
                     (F.col("vec_id") + k * 10_000).alias("vec_id"),
                     F.expr(
-                        f"transform(sequence(0, 63), i -> element_at(embedding, ((i + {k}) % 64) + 1))"
+                        f"transform(sequence(0, 63), i -> {rot})"
                     ).cast("array<float>").alias("embedding"),
                     "label",
                 )
@@ -162,7 +184,9 @@ def synth_dir(spark, factor: int, tables=("documents", "embeddings")) -> str:
     # just its parameters — otherwise editing synth_decade silently reuses
     # stale /tmp corpora from older code and corrupts the measurements the
     # reuse exists to stabilize. Bump the version on any synth_decade edit.
-    gen_version = "r7-retoken-dimrot-v1"
+    # v2 (r8 review): sign-flip pattern beyond the first rotation cycle —
+    # factors <= 64 are byte-identical to v1, factor > 64 corpora change
+    gen_version = "r8-retoken-dimrot-signflip-v2"
     key = f"{gen_version}|{SF_BIG}|x{factor}|{','.join(sorted(tables))}"
     h = hashlib.sha256(key.encode()).hexdigest()[:10]
     base = os.path.join(
