@@ -1137,7 +1137,7 @@ SELECT doc_id, t.token, len(t.token) AS token_len
 FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
       FROM documents WHERE doc_id % 25 = 0) d,
      LATERAL (SELECT UNNEST(toks) AS token) t
-WHERE len(t.token) >= 12
+WHERE len(t.token) >= 6
 """,
     doc="Table-function / LATERAL surface: one row per token via explode — the "
     "generator runs inside the scan stage (no shuffle); PG spells it "
@@ -1148,7 +1148,7 @@ def q_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
     return (
         docs.select("doc_id", F.explode(F.split(norm, " ")).alias("token"))
-        .filter(F.length("token") >= 12)
+        .filter(F.length("token") >= 6)
         .select("doc_id", "token", F.length("token").alias("token_len"))
     )
 
@@ -1233,8 +1233,8 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN customer ON c_custkey = o_custkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY 1, 2, 3
@@ -1258,8 +1258,8 @@ def q07_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
     pair = (
-        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
         .join(supp, supp.s_suppkey == li.l_suppkey)
@@ -1285,9 +1285,9 @@ WITH t AS (
   JOIN nation   ON s_nationkey = n_nationkey
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN n_name = 'BRAZIL' THEN volume ELSE 0 END) AS DOUBLE)
+       CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
        / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
-       CAST(SUM(CASE WHEN n_name = 'BRAZIL' THEN 1 ELSE 0 END) AS BIGINT) AS brazil_lines
+       CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN 1 ELSE 0 END) AS BIGINT) AS brazil_lines
 FROM t GROUP BY o_year
 """,
     doc="TPC-H Q8 analog: one nation's share of yearly volume — conditional decimal "
@@ -1299,7 +1299,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     volume = dec("l_extendedprice", 15, 2) * (F.lit(1) - dec("l_discount", 4, 2))
-    is_brazil = F.col("n_name") == "BRAZIL"
+    is_brazil = F.col("n_name") == "NATION_3"
     return (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
         .join(supp, supp.s_suppkey == li.l_suppkey)
@@ -1634,22 +1634,22 @@ WITH val AS (
          SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS v
   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON n_nationkey = s_nationkey
-  WHERE n_name = 'GERMANY'
+  WHERE n_name = 'NATION_7'
   GROUP BY l_partkey
 )
 SELECT pk AS l_partkey, CAST(v AS DOUBLE) AS part_value
 FROM val
-WHERE v * 500 > (SELECT SUM(v) FROM val)
+WHERE v * 5000 > (SELECT SUM(v) FROM val)
 """,
     doc="TPC-H Q11 analog (shipment value instead of partsupp stock value). "
-    "Fraction-of-total threshold kept exact: `v * 500 > total` is pure decimal "
+    "Fraction-of-total threshold kept exact: `v * 5000 > total` is pure decimal "
     "integer arithmetic — no double division at the boundary, so membership is "
     "bit-stable across engines. Scalar total broadcast to every partition.",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     val = (
         li.join(supp, supp.s_suppkey == li.l_suppkey)
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -1659,7 +1659,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = val.agg(F.sum("v").alias("tot"))
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("v") * 500 > F.col("tot"))
+        .filter(F.col("v") * 5000 > F.col("tot"))
         .select("l_partkey", F.col("v").cast("double").alias("part_value"))
     )
 

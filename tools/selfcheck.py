@@ -13,6 +13,7 @@ Usage: python tools/selfcheck.py [name-substring ...]
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -103,11 +104,13 @@ def main() -> int:
 
     names = [n for n in sorted(qs) if not filters or any(f in n for f in filters)]
     failures = []
+    rowcounts: dict[str, int] = {}
     for name in names:
         if name not in oracles:
             print(f"SKIP  {name} (no oracle — rows-only check)")
             try:
                 n_rows = qs[name](spark, SF_DIR).count()
+                rowcounts[name] = n_rows
                 print(f"      rows={n_rows}")
             except Exception as exc:
                 failures.append(name)
@@ -138,7 +141,24 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            rowcounts[name] = len(s_rows)
             print(f"ok    {name} ({len(s_rows)} rows)")
+
+    # Row-count sidecar for the vacuity tripwire (r8 verdict #1): a query
+    # that returns 0 rows at BOTH selfcheck SFs is "green" only in the sense
+    # that both engines agree on emptiness — its predicate has never moved a
+    # row (q07/q11 filtered on n_name='FRANCE'/'GERMANY' against a corpus
+    # whose names are NATION_0..24 for eight rounds).  tools/vacuity.py
+    # reads two of these sidecars and fails on any 0-at-both entry.
+    if not filters:
+        tag = os.path.basename(SF_DIR.rstrip("/"))
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"SELFCHECK_ROWS_{tag}.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(rowcounts, fh, indent=0, sort_keys=True)
+        print(f"rowcount sidecar -> {out}")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures}")
     return 1 if failures else 0
