@@ -47,17 +47,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-def _last_verified_round(root) -> dict[str, int]:
-    """Map query name -> newest round whose committed CORRECTNESS_r*.json
-    shows it green (hash-matched, or rows-only-by-design).
+def _verified_rounds(root) -> tuple[dict[str, int], dict[str, int]]:
+    """Map query name -> (newest, FIRST) round whose committed
+    CORRECTNESS_r*.json shows it green (hash-matched, or
+    rows-only-by-design).
 
     Queries absent from every round — including brand-new ones — map to
     nothing and therefore sort first under :func:`load_all`'s rotation.
+    The first-green map feeds :func:`_group0_cursor`: a name first seen
+    green in the newest round was necessarily group 0 when that window ran.
     """
     import json
     import re
 
-    seen: dict[str, int] = {}
+    last: dict[str, int] = {}
+    first: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path.name)
         if not m:
@@ -72,8 +76,14 @@ def _last_verified_round(root) -> dict[str, int]:
                 res.get("hash_match") is None and res.get("err") == "no_oracle"
             )
             if green:
-                seen[name] = max(seen.get(name, 0), rnd)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+                first[name] = min(first.get(name, rnd), rnd)
+    return last, first
+
+
+def _last_verified_round(root) -> dict[str, int]:
+    """Back-compat shim: the newest-green map only."""
+    return _verified_rounds(root)[0]
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -111,21 +121,42 @@ def load_all() -> dict[str, QuerySpec]:
     )
 
     root = Path(__file__).resolve().parent.parent
-    verified = _last_verified_round(root)
+    verified, first_green = _verified_rounds(root)
     changed = _changed_since_verified(root, REGISTRY, verified)
-    cursor = _group0_cursor(verified)
+    cursor = _group0_cursor(verified, first_green)
     ordered = sorted(
         REGISTRY, key=lambda name: _rotation_key(name, verified, changed, cursor)
     )
     return {name: REGISTRY[name] for name in ordered}
 
 
-def _group0_cursor(verified: dict[str, int]) -> str:
-    """Where the LAST driver window stopped: the alphabetically-greatest
-    name verified in the newest round. Group 0 resumes right after it."""
+def _group0_cursor(
+    verified: dict[str, int], first_green: dict[str, int] | None = None
+) -> str:
+    """Where the LAST driver window's group-0 scan stopped.
+
+    r9 (r8 ADVICE): derive the cursor only from names that were provably
+    GROUP 0 when the newest window verified them — i.e. names whose FIRST
+    green is that round (never green before ⇒ group 0 by definition). The
+    previous derivation (alphabetically-greatest name verified in the newest
+    round across BOTH groups) let a late-alphabet group-1 re-verification
+    (a 'z...' name) push the cursor past every group-0 member, collapsing
+    the rotation back to plain alphabetical. Changed-but-once-proven names
+    can't be identified retroactively (the old window's `changed` set is
+    gone), so first-greens are the sound subset; when a window verified no
+    first-greens the cursor degrades to "" = plain alphabetical, the
+    pre-cursor behavior.
+    """
     latest = max(verified.values(), default=0)
+    if first_green is None:
+        first_green = verified
     return max(
-        (name for name, rnd in verified.items() if rnd == latest), default=""
+        (
+            name
+            for name, rnd in verified.items()
+            if rnd == latest and first_green.get(name) == latest
+        ),
+        default="",
     )
 
 
@@ -168,13 +199,21 @@ def _git_blob_id(path) -> str:
 def _changed_since_verified(
     root, specs: dict[str, QuerySpec], verified: dict[str, int]
 ) -> set[str]:
-    """Names whose implementing module's CURRENT blob id differs from the
-    blob id recorded for their last driver-green round. The committed
-    VERIFIED_FINGERPRINTS.json (tools/fingerprints.py — derived from the
-    round-close commits) records which code each round actually verified;
-    module granularity is deliberately conservative (touching a module
-    re-routes all its queries through the gate). A missing file, round, or
+    """Names whose implementing CODE differs from what their last
+    driver-green round verified. The committed VERIFIED_FINGERPRINTS.json
+    (tools/fingerprints.py — derived from the round-close commits) records
+    which code each round actually verified. A missing file, round, or
     module entry degrades to 'unchanged' — the pre-r7 age-only ordering.
+
+    Granularity (r8 verdict #3): v2 entries carry per-query SEMANTIC
+    fingerprints (``{"blob": ..., "fns": {qname: sha1}}`` — AST-normalized,
+    docstrings/comments/``doc=`` stripped, same-module name closure
+    included; see :mod:`pg2parquet_spark.fingerprint`), so a comment-only
+    edit to ``dedup.py`` no longer re-flags its ~20 queries — that module
+    churn is why the group-0 backlog sat at 62 against a target of 35.
+    A query absent from the recorded/current ``fns`` (dynamic registration,
+    parse failure) and every v1 string entry falls back to the r7/r8
+    module-blob comparison — strictly conservative.
 
     ``root`` locates ONLY the fingerprints artifact; module paths always
     resolve against the live package root (r7 ADVICE: this lets tests point
@@ -192,7 +231,8 @@ def _changed_since_verified(
     except (OSError, ValueError, KeyError):
         return set()
     pkg_root = Path(__file__).resolve().parent.parent
-    current: dict[str, str] = {}
+    current_blob: dict[str, str] = {}
+    current_fns: dict[str, dict[str, str] | None] = {}
     changed: set[str] = set()
     for name, spec in specs.items():
         recorded_round = rounds.get(str(verified.get(name, 0)))
@@ -206,8 +246,27 @@ def _changed_since_verified(
         recorded = recorded_round.get(rel)
         if recorded is None:
             continue
-        if rel not in current:
-            current[rel] = _git_blob_id(mod_path)
-        if current[rel] != recorded:
-            changed.add(name)
+        rec_blob = recorded if isinstance(recorded, str) else recorded.get("blob")
+        rec_fns = recorded.get("fns", {}) if isinstance(recorded, dict) else {}
+        if rel not in current_blob:
+            current_blob[rel] = _git_blob_id(mod_path)
+        if current_blob[rel] == rec_blob:
+            continue  # byte-identical module: nothing can have drifted
+        if name in rec_fns:
+            if rel not in current_fns:
+                try:
+                    from pg2parquet_spark.fingerprint import module_fingerprints
+
+                    current_fns[rel] = module_fingerprints(
+                        mod_path.read_text()
+                    )
+                except (OSError, SyntaxError):
+                    current_fns[rel] = None
+            fns = current_fns[rel]
+            if fns is not None and name in fns:
+                if fns[name] != rec_fns[name]:
+                    changed.add(name)
+                continue
+        # v1 entry, or the query fn isn't statically visible: blob fallback
+        changed.add(name)
     return changed

@@ -86,3 +86,115 @@ def test_git_blob_id_matches_git(tmp_path):
         ["git", "hash-object", str(f)], capture_output=True, text=True, check=True
     ).stdout.strip()
     assert reg._git_blob_id(f) == want
+
+
+def test_group0_cursor_ignores_group1_reverifications():
+    """r8 ADVICE: a late-alphabet GROUP-1 re-verification (first green in an
+    older round) must not push the cursor past every group-0 member. Only
+    names whose FIRST green is the newest round (provably group 0 in that
+    window) set the cursor."""
+    verified = {"b_new": 7, "z_reverified": 7, "a_stale": 3}
+    first_green = {"b_new": 7, "z_reverified": 2, "a_stale": 3}
+    assert reg._group0_cursor(verified, first_green) == "b_new"
+    # no first-greens in the newest window → plain alphabetical fallback
+    assert reg._group0_cursor({"z": 5}, {"z": 1}) == ""
+
+
+SRC_V1 = '''
+import math
+
+SCALE = 10
+
+def helper(x):
+    return x * SCALE
+
+@register("q_a", oracle="SELECT 1 AS one")
+def q_a(spark, sf_dir):
+    """docstring"""
+    return helper(1)
+
+@register("q_b", oracle="SELECT 2 AS two", doc="prose")
+def q_b(spark, sf_dir):
+    return math.floor(2.5)
+
+@register("q_composed")
+def q_composed(spark, sf_dir):
+    return q_a(spark, sf_dir)
+'''
+
+
+def test_fn_fingerprints_ignore_prose_edits():
+    """The r8 verdict's 'Done' criterion: a comment-only / docstring-only /
+    doc=-only module edit flags ZERO queries."""
+    from pg2parquet_spark.fingerprint import module_fingerprints
+
+    base = module_fingerprints(SRC_V1)
+    assert set(base) == {"q_a", "q_b", "q_composed"}
+    prose = (
+        SRC_V1.replace('"""docstring"""', '"""rewritten docstring"""')
+        .replace('doc="prose"', 'doc="new prose"')
+        .replace("import math", "import math  # a new comment\n# another")
+    )
+    assert module_fingerprints(prose) == base
+
+
+def test_fn_fingerprints_scope_to_name_closure():
+    from pg2parquet_spark.fingerprint import module_fingerprints
+
+    base = module_fingerprints(SRC_V1)
+    # editing q_b's body changes ONLY q_b
+    v2 = module_fingerprints(SRC_V1.replace("math.floor(2.5)", "math.floor(3.5)"))
+    assert v2["q_a"] == base["q_a"] and v2["q_composed"] == base["q_composed"]
+    assert v2["q_b"] != base["q_b"]
+    # editing the helper changes q_a (direct ref) and q_composed
+    # (transitively via q_a) but not q_b
+    v3 = module_fingerprints(SRC_V1.replace("x * SCALE", "x + SCALE"))
+    assert v3["q_b"] == base["q_b"]
+    assert v3["q_a"] != base["q_a"] and v3["q_composed"] != base["q_composed"]
+    # editing a module constant flags its users
+    v4 = module_fingerprints(SRC_V1.replace("SCALE = 10", "SCALE = 11"))
+    assert v4["q_b"] == base["q_b"] and v4["q_a"] != base["q_a"]
+    # the oracle string is semantic: changing it flags the query
+    v5 = module_fingerprints(SRC_V1.replace("SELECT 2 AS two", "SELECT 3 AS two"))
+    assert v5["q_b"] != base["q_b"] and v5["q_a"] == base["q_a"]
+
+
+def test_changed_since_verified_v2_fn_granularity(tmp_path):
+    """v2 entries: a module whose blob drifted but whose per-query
+    fingerprint is unchanged (prose edit elsewhere in the module) is NOT
+    flagged; a recorded fn hash that differs IS; a query missing from the
+    recorded fns falls back to the blob comparison."""
+    from pg2parquet_spark.fingerprint import module_fingerprints
+
+    reg.load_all()
+    spec = reg.REGISTRY["dedup_exact"]
+    mod_rel = "pg2parquet_spark/operators/dedup.py"
+    real_root = Path(reg.__file__).resolve().parent.parent
+    cur_blob = reg._git_blob_id(real_root / mod_rel)
+    cur_fns = module_fingerprints((real_root / mod_rel).read_text())
+    fp = tmp_path / "VERIFIED_FINGERPRINTS.json"
+    verified = {"dedup_exact": 3}
+
+    # blob drifted, fn fingerprint identical → unchanged
+    fp.write_text(json.dumps({"rounds": {"3": {mod_rel: {
+        "blob": "0" * 40, "fns": {"dedup_exact": cur_fns["dedup_exact"]}}}}}))
+    assert reg._changed_since_verified(tmp_path, {"dedup_exact": spec}, verified) == set()
+
+    # fn fingerprint drifted → flagged
+    fp.write_text(json.dumps({"rounds": {"3": {mod_rel: {
+        "blob": "0" * 40, "fns": {"dedup_exact": "f" * 40}}}}}))
+    assert reg._changed_since_verified(
+        tmp_path, {"dedup_exact": spec}, verified
+    ) == {"dedup_exact"}
+
+    # query absent from recorded fns + blob drift → blob-fallback flag
+    fp.write_text(json.dumps({"rounds": {"3": {mod_rel: {
+        "blob": "0" * 40, "fns": {}}}}}))
+    assert reg._changed_since_verified(
+        tmp_path, {"dedup_exact": spec}, verified
+    ) == {"dedup_exact"}
+
+    # byte-identical module short-circuits regardless of recorded fns
+    fp.write_text(json.dumps({"rounds": {"3": {mod_rel: {
+        "blob": cur_blob, "fns": {"dedup_exact": "f" * 40}}}}}))
+    assert reg._changed_since_verified(tmp_path, {"dedup_exact": spec}, verified) == set()

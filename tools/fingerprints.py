@@ -60,6 +60,34 @@ def module_blobs(commit: str) -> dict[str, str]:
     return blobs
 
 
+def module_entries(commit: str) -> dict[str, dict]:
+    """repo-relative module path -> {"blob": id, "fns": {qname: sha1}}.
+
+    v2 format (r8 verdict #3): per-query SEMANTIC fingerprints computed from
+    the module source AS OF the round-close commit, via the same AST
+    normalizer the registry uses on the working tree
+    (``pg2parquet_spark.fingerprint.module_fingerprints``) — so a
+    comment-only edit no longer re-flags a module's whole query population.
+    ``fns`` is omitted when the blob doesn't parse or registers nothing;
+    the registry then falls back to blob comparison for that module.
+    """
+    sys.path.insert(0, ROOT)
+    from pg2parquet_spark.fingerprint import module_fingerprints
+
+    out: dict[str, dict] = {}
+    for path, blob in module_blobs(commit).items():
+        entry: dict = {"blob": blob}
+        try:
+            source = _git("show", f"{commit}:{path}")
+            fns = module_fingerprints(source)
+            if fns:
+                entry["fns"] = fns
+        except (SyntaxError, subprocess.CalledProcessError):
+            pass
+        out[path] = entry
+    return out
+
+
 def main() -> None:
     have_rounds = set()
     for name in os.listdir(ROOT):
@@ -73,7 +101,7 @@ def main() -> None:
             print(f"round {rnd}: no 'round {rnd}:' commit found, skipped",
                   file=sys.stderr)
             continue
-        rounds[str(rnd)] = module_blobs(commits[rnd])
+        rounds[str(rnd)] = module_entries(commits[rnd])
     with open(OUT, "w") as f:
         json.dump({"rounds": rounds}, f, indent=0, sort_keys=True)
         f.write("\n")
