@@ -826,8 +826,8 @@ WITH ls AS ({_ivf_assign_oracle()})
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
        CAST(SUM(n_assigned) AS BIGINT) AS n_ingested,
        CAST(MAX(n_assigned) AS BIGINT) AS max_list,
-       CAST(SUM(n_assigned) AS DOUBLE) / COUNT(*) AS avg_list,
-       CAST(MAX(n_assigned) * COUNT(*) AS DOUBLE) / SUM(n_assigned) AS imbalance,
+       CAST(SUM(n_assigned) AS DOUBLE) / NULLIF(COUNT(*), 0) AS avg_list,
+       CAST(MAX(n_assigned) * COUNT(*) AS DOUBLE) / NULLIF(SUM(n_assigned), 0) AS imbalance,
        CASE WHEN MAX(n_assigned) * COUNT(*) > {_IVF_SKEW_FACTOR} * SUM(n_assigned)
             THEN 'skewed_ingest' ELSE 'balanced' END AS verdict
 FROM ls
@@ -860,10 +860,17 @@ def stream_ivf_balance_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lists"),
         F.sum("n_assigned").cast("bigint").alias("n_ingested"),
         F.max("n_assigned").cast("bigint").alias("max_list"),
-        (F.sum("n_assigned").cast("double") / F.count(F.lit(1))).alias("avg_list"),
+        # NULLIF'd denominators on BOTH sides (r8 ADVICE): on an empty
+        # ingest Spark's non-ANSI Divide returns NULL while DuckDB's IEEE
+        # float mode can yield NaN/inf — NULLIF pins the degenerate case to
+        # NULL in both engines.
+        (
+            F.sum("n_assigned").cast("double")
+            / F.nullif(F.count(F.lit(1)), F.lit(0))
+        ).alias("avg_list"),
         (
             (F.max("n_assigned") * F.count(F.lit(1))).cast("double")
-            / F.sum("n_assigned")
+            / F.nullif(F.sum("n_assigned"), F.lit(0))
         ).alias("imbalance"),
         F.when(
             F.max("n_assigned") * F.count(F.lit(1))

@@ -135,12 +135,54 @@ def test_dedup_embedding_cosine_lsh_is_bucketed_not_allpairs(spark):
     # inequality as a BNLJ condition on the same line.
     n_bnlj = full.count("BroadcastNestedLoopJoin")
     assert 1 <= n_bnlj <= 2 * len(_EMB_LSH_OFFSETS), n_bnlj
-    bnlj_lines = [l for l in full.splitlines() if "BroadcastNestedLoopJoin" in l]
-    for line in bnlj_lines:
+    lines = full.splitlines()
+
+    def marker_col(line: str) -> int:
+        # tree-node marker position; root lines have no marker
+        best = -1
+        for m in ("+- ", ":- "):
+            i = line.find(m)
+            if i != -1 and (best == -1 or i < best):
+                best = i
+        return best
+
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
         # join TYPE must be Cross (the unconditional 1-row params attach);
         # an all-pairs `a_id < b_id` join would plan as ", Inner, (a < b)".
         # A Cross line may still carry a pushed isnotnull residual — fine.
         assert ", Cross" in line, f"non-Cross nested loop: {line}"
+        # r8 ADVICE: ", Cross" alone admits an all-pairs regression written
+        # as crossJoin(embeddings, embeddings) + post-hoc cos_sim filter —
+        # a filter on a computed column never becomes a join condition, so
+        # at a broadcastable test SF it plans as a Cross BNLJ and passes.
+        # Discriminate on the BUILD SIDE: the legitimate params attach
+        # broadcasts a 1-row global aggregate (HashAggregate(keys=[]) under
+        # the BroadcastExchange); a vector-table build side is a row-bearing
+        # scan with no global aggregate above it.
+        c = marker_col(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            mc = marker_col(nxt)
+            if mc != -1 and mc <= c:
+                break
+            subtree.append(nxt)
+        ex = next(
+            (k for k, l in enumerate(subtree) if "BroadcastExchange" in l), None
+        )
+        assert ex is not None, f"BNLJ without a broadcast build side:\n{line}"
+        build_col = marker_col(subtree[ex])
+        build = [subtree[ex]]
+        for nxt in subtree[ex + 1 :]:
+            mc = marker_col(nxt)
+            if mc != -1 and mc <= build_col:
+                break
+            build.append(nxt)
+        assert any("HashAggregate(keys=[]" in l for l in build), (
+            "Cross BNLJ build side is not the 1-row params aggregate — "
+            "looks like a vector-vector cross join:\n" + "\n".join(build[:6])
+        )
     assert "CartesianProduct" not in full
     plan = plan_of(spark, "dedup_embedding_cosine_lsh_fixed")
     assert "BroadcastNestedLoopJoin" not in plan
