@@ -1112,7 +1112,17 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "candidate identical to the fixed variant (tested); at sf0.1 the "
     "6-bit path runs under the oracle; the synth probes exercise 7-11 "
     "bits (tools/scaleprobe.py). Same exact Arrow re-score tail as the "
-    "fixed variant (_score_candidate_pairs).",
+    "fixed variant (_score_candidate_pairs). RECALL CONTRACT (r9, "
+    "SCALING_r09_embrecall.md): holding cost flat pays recall — measured "
+    "planted-pair recall at the 0.4 threshold is 0.67 at sf0.1 (6 bits), "
+    "0.07 at 60k vectors (11 bits), 0.005 at 600k (14 bits); the probe-"
+    "geometry ceiling alone is 0.98/0.41/0.12 and the caps take the rest. "
+    "This is the LSH exponent at work (p = 1 - acos(0.4)/pi = 0.631/bit; "
+    "rho ~ 0.66 — exhaustive pair mining at cos 0.4 is ~n^1.66 however "
+    "buckets are built), not a tuning defect. Consumers MUST read "
+    "dedup_embedding_lsh_recall_audit's verdict before trusting this "
+    "channel at scale; recall-critical moderate-threshold corpora route "
+    "to dedup_embedding_cosine_exact (quadratic by contract).",
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adaptive_lsh_build(spark, sf_dir, checkpoint=True)
@@ -1186,6 +1196,112 @@ def dedup_embedding_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(over, F.col("sz") - _EMB_BUCKET_CAP).otherwise(0))
             .cast("bigint")
             .alias("n_dropped_members"),
+        )
+    )
+
+
+# --------------------------------------------- LSH recall-ceiling audit --
+# r9, from the planted-recall measurement (SCALING_r09_embrecall.md): the
+# adaptive width dial holds COST flat as the corpus grows, but the probe
+# geometry's recall decays exponentially with width at a fixed mask budget —
+# measured planted-pair recall at the 0.4 contract threshold: 0.67 at sf0.1
+# (6 bits), 0.07 at 60k vectors (11 bits), 0.005 at 600k (14 bits). This is
+# not a tuning bug but the LSH exponent: for random hyperplanes the per-bit
+# agreement probability at cos c is p = 1 - acos(c)/pi (Goemans-Williamson),
+# which at c = 0.4 is 0.631 — barely above the 0.5 of an unrelated pair — so
+# ANY subquadratic candidate scheme at this threshold pays recall
+# (rho = ln(1/p1)/ln(1/p0) ~ 0.66: exhaustive pair mining at cos 0.4 costs
+# ~n^1.66 no matter how the buckets are built). The 100 TB-honest contract
+# is therefore the same as the candidacy caps': REPORT the tradeoff from
+# inside the engine. This audit emits the closed-form PROBE-GEOMETRY recall
+# ceiling of the currently-selected width for a grid of pair cosines —
+# P(pair collides in >=1 probed bucket of >=1 table) =
+#   1 - (1 - [p^b + n1·p^(b-1)·q + n2·p^(b-2)·q^2])^T,
+# with n1/n2 the 1-/2-flip masks inside the probe budget — and a verdict
+# ('degraded' below 0.8 at the contract threshold). Ceiling, not estimate:
+# the occupancy gate and candidacy cap can only remove further recall (their
+# drops are reported by dedup_embedding_bucket_audit). The whole model is
+# computed HOST-SIDE into literal rows, so Spark and DuckDB compare pure
+# decimal constants — no acos/pow in either engine, no libm-ulp hazard.
+_RECALL_AUDIT_COS_LEVELS = (0.4, 0.5, 0.6, 0.8, 0.9)
+_RECALL_AUDIT_TARGET = 0.8
+
+
+def _adapt_recall_model() -> list[tuple[int, int, float, float]]:
+    """(bits, n_probe_masks, cos_level, recall_ceiling) for every width arm
+    — the host-side model table both engines select from as literals."""
+    import math
+
+    n_tables = len(_EMB_LSH_OFFSETS)
+    rows: list[tuple[int, int, float, float]] = []
+    for b in range(4, _ADAPT_MAX_BITS + 1):
+        masks = _adapt_probe_masks(b)
+        n1 = sum(1 for m in masks if bin(m).count("1") == 1)
+        n2 = sum(1 for m in masks if bin(m).count("1") == 2)
+        for c in _RECALL_AUDIT_COS_LEVELS:
+            p = 1.0 - math.acos(c) / math.pi
+            q = 1.0 - p
+            p1 = p**b + n1 * p ** (b - 1) * q + n2 * p ** (b - 2) * q * q
+            r = 1.0 - (1.0 - p1) ** n_tables
+            rows.append((b, len(masks), c, round(r, 6)))
+    return rows
+
+
+def _recall_audit_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({b}, {nm}, {c!r}, {r!r})" for b, nm, c, r in _adapt_recall_model()
+    )
+    return f"""
+WITH par AS (SELECT {_adapt_bits_case('COUNT(*)')} AS bits FROM embeddings),
+model(bits, n_probe_masks, cos_level, recall_ceiling) AS (VALUES {vals})
+SELECT CAST(m.bits AS BIGINT) AS bits,
+       CAST({len(_EMB_LSH_OFFSETS)} AS BIGINT) AS n_tables,
+       CAST(m.n_probe_masks AS BIGINT) AS n_probe_masks,
+       m.cos_level AS cos_level,
+       m.recall_ceiling AS recall_ceiling,
+       CASE WHEN m.recall_ceiling >= {_RECALL_AUDIT_TARGET} THEN 'ok'
+            ELSE 'degraded' END AS verdict
+FROM model m JOIN par ON m.bits = par.bits
+"""
+
+
+@register(
+    "dedup_embedding_lsh_recall_audit",
+    oracle=_recall_audit_oracle_sql(),
+    doc="RECALL observability for dedup_embedding_cosine_lsh — the third "
+    "leg of the audit contract (bucket audit reports capped mass, balance "
+    "guard reports skew, THIS reports what the width dial costs in recall). "
+    "Emits the closed-form probe-geometry recall ceiling of the corpus's "
+    "derived width for a grid of pair cosines, with a 'degraded' verdict "
+    f"below {_RECALL_AUDIT_TARGET} — at 14 bits / 48 masks the ceiling at "
+    "the 0.4 contract threshold is ~0.03, which is why the measured "
+    "planted-pair recall collapses at the 600k synth point "
+    "(SCALING_r09_embrecall.md; the bucket/probe dials can only remove "
+    "more). A curation scorecard reads this row BEFORE trusting the LSH "
+    "pair channel at scale, and routes recall-critical corpora to "
+    "dedup_embedding_cosine_exact (quadratic by contract) or accepts the "
+    "ceiling. Model rows are host-computed literals (no acos/pow in either "
+    "engine); plan is one 1-row count crossed with a bounded literal table "
+    "— zero data shuffles.",
+)
+def dedup_embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    par = emb.agg(F.expr(_adapt_bits_case("COUNT(*)")).alias("pbits"))
+    model = spark.createDataFrame(
+        _adapt_recall_model(),
+        "bits int, n_probe_masks int, cos_level double, recall_ceiling double",
+    )
+    return (
+        model.join(F.broadcast(par), F.col("bits") == F.col("pbits"))
+        .select(
+            F.col("bits").cast("bigint").alias("bits"),
+            F.lit(len(_EMB_LSH_OFFSETS)).cast("bigint").alias("n_tables"),
+            F.col("n_probe_masks").cast("bigint").alias("n_probe_masks"),
+            "cos_level",
+            "recall_ceiling",
+            F.when(F.col("recall_ceiling") >= _RECALL_AUDIT_TARGET, "ok")
+            .otherwise("degraded")
+            .alias("verdict"),
         )
     )
 

@@ -1725,3 +1725,51 @@ def test_embedding_incremental_matches_oracle_on_mega_cluster(spark, tmp_path):
     new_mega = {v for v in range(_MEGA_N) if v % 17 == 5}
     matched = {n for n, _ in got}
     assert new_mega <= matched, f"unmatched new mega members: {new_mega - matched}"
+
+
+def test_recall_audit_model_matches_independent_math():
+    """The host-side recall-ceiling table must equal an independently-coded
+    evaluation of P(collide in >=1 probed bucket of >=1 table), and the
+    verdict must flip exactly where the ceiling crosses the 0.8 target:
+    'ok' at the fixture widths (<=8 bits), 'degraded' at the scale widths
+    (>=9 bits) for the 0.4 contract threshold."""
+    import math
+
+    from pg2parquet_spark.operators.dedup import (
+        _ADAPT_MAX_BITS,
+        _EMB_LSH_OFFSETS,
+        _adapt_probe_masks,
+        _adapt_recall_model,
+    )
+
+    model = {(b, c): (nm, r) for b, nm, c, r in _adapt_recall_model()}
+    for b in range(4, _ADAPT_MAX_BITS + 1):
+        masks = _adapt_probe_masks(b)
+        for c in (0.4, 0.9):
+            p = 1.0 - math.acos(c) / math.pi
+            # independent formulation: sum per-mask exact flip-pattern probs
+            p1 = sum(
+                p ** (b - bin(m).count("1")) * (1 - p) ** bin(m).count("1")
+                for m in masks
+            )
+            want = 1.0 - (1.0 - p1) ** len(_EMB_LSH_OFFSETS)
+            nm, got = model[(b, c)]
+            assert nm == len(masks)
+            assert abs(got - want) < 1e-6, (b, c, got, want)
+    # the honesty property this audit exists for: the ceiling at the 0.4
+    # contract threshold is high at fixture widths and COLLAPSES at scale
+    assert model[(6, 0.4)][1] >= 0.95
+    assert model[(11, 0.4)][1] < 0.5
+    assert model[(14, 0.4)][1] < 0.15
+
+
+def test_recall_audit_rows_and_verdict(spark):
+    from pg2parquet_spark.operators.dedup import dedup_embedding_lsh_recall_audit
+
+    rows = dedup_embedding_lsh_recall_audit(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5  # one per reference cosine level
+    by_cos = {r.cos_level: r for r in rows}
+    # sf0.01 (500 vectors) -> 4 bits: every level's ceiling is healthy
+    assert all(r.verdict == "ok" for r in rows)
+    assert by_cos[0.4].bits == 4 and by_cos[0.4].n_tables == 4
+    assert by_cos[0.9].recall_ceiling > by_cos[0.4].recall_ceiling

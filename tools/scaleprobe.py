@@ -402,6 +402,145 @@ def embdial3(out_path: str) -> None:
     print("wrote", out_path, flush=True)
 
 
+
+# --------------------------------------------------------------------------
+# Planted-pair RECALL at scale for the adaptive embedding LSH (r9, r8
+# verdict task #4): the 14-bit arm is timing-probed and hash-green at 600k
+# vectors, but hash parity only proves Spark==DuckDB on the same algorithm —
+# whether the width dial trades RECALL for the measured speed was never
+# checked past sf0.1. The synth corpora make the ground truth analytic: the
+# 60k/600k corpora are 30/300 disjoint copies of the sf0.1 embeddings whose
+# within-copy cosines are preserved EXACTLY (rotation permutes dims,
+# sign-flips square to 1) while cross-copy cosines are scrambled, so the
+# planted truth at factor k is k x the 920 exact sf0.1 pairs (cheap to
+# compute once) with ids shifted by copy*10_000. Membership at the 0.4
+# threshold is stable under fp re-rounding: the nearest-to-threshold planted
+# pair sits ~0.01 away, ~5 orders above rotation-induced jitter. Pairs the
+# LSH reports are always exact-rescored, so precision is 1.0 by
+# construction against the FULL truth; cross-copy finds (pairs the
+# scrambling left above threshold) are true positives outside the planted
+# denominator and are reported separately, not counted as recall.
+_EMB_RECALL_FLOOR = 0.78  # committed sf0.1-family floor 0.80 minus jitter tolerance
+
+
+def embrecall(out_path: str) -> int:
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.registry import load_all
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    spark = get_spark(app_name="embrecall", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    lsh = reg["dedup_embedding_cosine_lsh"].fn
+
+    p0 = {(r.a_id, r.b_id) for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    shift = 10_000
+    rows = []
+    # same-metric baseline at the corpus the committed floors were set on
+    got01 = {(r.a_id, r.b_id) for r in lsh(spark, SF_BIG).collect()}
+    rows.append(("sf0.1 (2k vecs, 5-bit keys)", len(p0), len(got01 & p0), 0, 0,
+                 len(got01 & p0) / len(p0)))
+    for factor, label in ((30, "60k vecs, 11-bit keys"), (300, "600k vecs, 14-bit keys")):
+        d = synth_dir(spark, factor=factor, tables=("embeddings",))
+        got = [(r.a_id, r.b_id) for r in lsh(spark, d).collect()]
+        hits = cross = fp_flips = 0
+        for a, b in got:
+            if a // shift == b // shift:
+                if (a % shift, b % shift) in p0:
+                    hits += 1
+                else:
+                    fp_flips += 1  # exact-rescored, so only a threshold fp-flip can land here
+            else:
+                cross += 1
+        truth = factor * len(p0)
+        rows.append((f"{factor}x ({label})", truth, hits, cross, fp_flips, hits / truth))
+
+    ok = all(r[5] >= _EMB_RECALL_FLOOR for r in rows)
+    lines = [
+        "# Adaptive embedding LSH — planted-pair recall at scale",
+        "",
+        "Ground truth per synth point = factor x the exact sf0.1 pair set",
+        "(920 pairs at cos >= 0.4), id-shifted per copy; within-copy cosines",
+        "are preserved exactly by the rotation/sign-flip construction, and",
+        "the nearest planted pair sits ~0.01 from the threshold (5 orders",
+        "above fp jitter), so the denominator is exact. LSH output is",
+        "exact-rescored -> precision 1.0 vs FULL truth by construction;",
+        "cross-copy finds are true positives outside the planted denominator",
+        "(reported, not counted). Floor = committed sf0.1-family recall",
+        f"floor 0.80 minus tolerance = {_EMB_RECALL_FLOOR}.",
+        "",
+        "| corpus | planted pairs | recovered | cross-copy finds | threshold fp-flips | recall | >= floor |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for label, truth, hits, cross, flips, rec in rows:
+        mark = "yes" if rec >= _EMB_RECALL_FLOOR else "**NO**"
+        lines.append(f"| {label} | {truth} | {hits} | {cross} | {flips} | {rec:.4f} | {mark} |")
+        print(f"{label:32s} truth={truth:7d} hits={hits:7d} cross={cross:5d} "
+              f"flips={flips:3d} recall={rec:.4f}", flush=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0 if ok else 1
+
+
+# --------------------------------------------------------------------------
+# Third decade for the NON-embedding dedup families (r9, r8 verdict task
+# #5): minhash, ngram Jaccard, and cluster components were proven to
+# synth-1.0 (factor 10, ~50k docs); probe the next full decade, factor 10 ->
+# factor 100 (~500k docs), and run the minhash bucket audit at the top
+# point. Same synth construction: disjoint re-tokened copies preserve
+# within-copy shingle structure, the c{k} prefix scrambles cross-copy
+# collisions, so candidate-pair density per document is scale-invariant.
+def docdecade3(out_path: str) -> int:
+    import math
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.registry import load_all
+
+    spark = get_spark(app_name="docdecade3", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    lo = synth_dir(spark, factor=10, tables=("documents",))
+    hi = synth_dir(spark, factor=100, tables=("documents",))
+    lines = [
+        "# Non-embedding dedup families, third decade — factor 10 -> 100",
+        "",
+        "Documents-only synth corpora from sf0.1 (5,000 docs): 10x = 50,000",
+        "docs (the committed synth-1.0 point) and 100x = 500,000 docs. Same",
+        "construction as SCALING_r08 (disjoint re-tokened copies; within-copy",
+        "dup structure preserved, cross-copy collisions scrambled). Fixed",
+        "keyed synth paths; best-of-3 steady-state after a warm pass, one",
+        "local[32] JVM. e = log10(t_hi/t_lo); e <= ~1.1 reads as",
+        "linear-with-overhead over the decade.",
+        "",
+        "| query | 50k docs (s) | 500k docs (s) | ratio | e(upper) |",
+        "|---|---|---|---|---|",
+    ]
+    worst = 0.0
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_cluster_components"):
+        fn = reg[name].fn
+        t_lo = _run_steady(spark, fn, lo)
+        t_hi = _run_steady(spark, fn, hi, n_timed=2)
+        r = t_hi / max(t_lo, 1e-9)
+        e = math.log10(max(r, 1e-9))
+        worst = max(worst, e)
+        print(f"{name:34s} {t_lo:6.2f}s {t_hi:7.2f}s  x{r:.2f}  e={e:.2f}", flush=True)
+        lines.append(f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {r:.2f}x | {e:.2f} |")
+    # minhash bucket audit at the top point: the cap+audit contract must
+    # hold where the buckets are biggest — a 'capped' verdict with real
+    # candidate mass dropped would invalidate the minhash row above
+    audit = reg["dedup_minhash_bucket_audit"].fn(spark, hi).collect()
+    lines += ["", "Minhash bucket audit at 500k docs:", ""]
+    for row in audit:
+        d = row.asDict()
+        lines.append("- " + ", ".join(f"{k}={v}" for k, v in d.items()))
+        print("audit:", d, flush=True)
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--decade2":
         decade2(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r07.md")
@@ -409,5 +548,9 @@ if __name__ == "__main__":
         embdial(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r07_embdial.md")
     elif len(sys.argv) > 1 and sys.argv[1] == "--embdial3":
         embdial3(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r08_embdial3.md")
+    elif len(sys.argv) > 1 and sys.argv[1] == "--embrecall":
+        sys.exit(embrecall(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_embrecall.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--docdecade3":
+        sys.exit(docdecade3(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_docdecade3.md"))
     else:
         main()
