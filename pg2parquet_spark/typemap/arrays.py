@@ -69,3 +69,19 @@ def flatten_with_dims(
             )
         )
     raise ValueError(f"unknown array_handling {array_handling!r}")
+
+
+def parse_array_text(col: Column, spark_type: str) -> Column:
+    """PG array-literal TEXT → nested Spark array (wire-transport decode).
+
+    The live rewrite path (`sources/jdbc.py::rewrite_query_for_exotics`)
+    ships multidim columns as ``(col)::text`` — ``'{{1,2},{3,4}}'`` — plus a
+    sibling ``array_dims`` column; this is the client-side decode for the
+    value text: brace→bracket translation + from_json, e.g.
+    ``parse_array_text(c, "array<array<int>>")``. Valid for NUMERIC/BOOLEAN
+    subtypes (their literals contain no braces/quotes); text subtypes need a
+    quote-aware tokenizer (composites.py's _tokenize family) — refuse them
+    upstream rather than mis-parse. Pure Column expressions, codegen'd,
+    NULL-safe (from_json of NULL is NULL).
+    """
+    return F.from_json(F.translate(col, "{}", "[]"), spark_type)

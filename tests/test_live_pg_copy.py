@@ -1,0 +1,213 @@
+"""LIVE PostgreSQL wire tests over the COPY transport (sources/pgcopy.py).
+
+r9 closes the eight-round 'live-PG coverage is an environment limit' gap:
+this sandbox has no docker daemon and no JDBC jar, but it DOES have a full
+PostgreSQL 15 install — so the COPY/psql transport added this round gets
+wire-proven here, against a real server, in the default suite. The module
+self-manages the server through tools/livepg.py (throwaway cluster under
+/tmp, trust auth, port 55432) and skips cleanly where initdb/psql are
+absent. The JDBC twins in tests/test_live_pg.py keep their `pg` marker and
+their docker recipe — same fixture schema (ci/pg/init.sql), two transports.
+
+Wire-proven here (vs the string/fixture unit tests):
+- A1 table scans and A2 query pushdown transport real rows via COPY,
+- partitioned reads split into per-range server cursors without row loss,
+- the A4 precedence (DATABASE_URL with libpq ?host= socket syntax) resolves,
+- the A3 catalog probes (ENUM_LABELS_SQL / COMPOSITE_FIELDS_SQL / column
+  probe) run against the real pg_catalog,
+- the exotic rewrite -> text wire -> typemap-parse chain round-trips REAL
+  server-rendered enum/range/composite/vector/multidim text (reference
+  parity: /root/reference/py-tests/wrappers.py:96-129 exercises the same
+  surface against its CI container).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+_HAVE_PG = all(shutil.which(t) for t in ("initdb", "pg_ctl", "psql"))
+
+pytestmark = pytest.mark.skipif(
+    not _HAVE_PG, reason="no local PostgreSQL install (initdb/pg_ctl/psql)"
+)
+
+
+@pytest.fixture(scope="module")
+def live_pg():
+    r = subprocess.run(
+        [sys.executable, "tools/livepg.py", "start"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    if r.returncode != 0:
+        pytest.skip(f"local PG could not start: {r.stdout} {r.stderr}"[:300])
+    from pg2parquet_spark.sources.jdbc import PostgresConnection
+
+    return PostgresConnection(host="/tmp", port=55432, dbname="postgres", user="postgres")
+
+
+def test_copy_table_scan_transports_typed_rows(spark, live_pg):
+    from pg2parquet_spark.sources import pgcopy
+
+    df = pgcopy.read(spark, live_pg, table="plain")
+    assert df.count() == 1000
+    types = dict(df.dtypes)
+    assert types["id"] == "bigint" and types["score"] == "double"
+    assert types["created"] == "date"
+    row = df.filter(F.col("id") == 7).collect()[0]
+    assert row.name == "row_7" and row.score == 3.5
+
+
+def test_copy_partitioned_read_preserves_all_rows(spark, live_pg):
+    from pg2parquet_spark.sources import pgcopy
+
+    df = pgcopy.read(
+        spark,
+        live_pg,
+        table="plain",
+        partition_column="id",
+        lower_bound=1,
+        upper_bound=1001,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    assert df.select("id").distinct().count() == 1000
+    # range splits are disjoint: the global sum survives
+    assert df.agg(F.sum("id")).collect()[0][0] == 1000 * 1001 // 2
+
+
+def test_copy_query_pushdown_runs_server_side(spark, live_pg):
+    from pg2parquet_spark.sources import pgcopy
+
+    df = pgcopy.read(
+        spark, live_pg,
+        query="SELECT count(*) AS n, max(id) AS mx FROM plain WHERE id <= 10",
+    )
+    row = df.collect()[0]
+    # ad-hoc queries transport as text by contract
+    assert (row.n, row.mx) == ("10", "10")
+
+
+def test_env_precedence_database_url(spark, live_pg, monkeypatch):
+    from pg2parquet_spark.sources import pgcopy
+    from pg2parquet_spark.sources.jdbc import PostgresConnection
+
+    monkeypatch.setenv(
+        "DATABASE_URL", "postgres://postgres@/postgres?host=/tmp&port=55432"
+    )
+    tgt = pgcopy.resolve_target(PostgresConnection())
+    assert (tgt.host, tgt.port, tgt.dbname, tgt.user) == (
+        "/tmp", 55432, "postgres", "postgres",
+    )
+    assert pgcopy.read(spark, PostgresConnection(), table="plain").count() == 1000
+
+
+def test_live_catalog_probe_enum_and_composite(live_pg):
+    from pg2parquet_spark.sources import pgcopy
+    from pg2parquet_spark.sources.jdbc import COMPOSITE_FIELDS_SQL, ENUM_LABELS_SQL
+
+    labels = [
+        lab for name, lab in pgcopy.run_sql(live_pg, ENUM_LABELS_SQL) if name == "mood"
+    ]
+    assert labels == ["sad", "ok", "happy"]  # pg_enum order = ordinal order
+    fields = [
+        (f, t)
+        for name, f, t, _ in pgcopy.run_sql(live_pg, COMPOSITE_FIELDS_SQL)
+        if name == "dims"
+    ]
+    assert fields == [("w", "int4"), ("h", "int4")]
+    cols = pgcopy.probe_schema(live_pg, "exotic")
+    assert cols[0] == ("id", "int8") and ("m", "mood") in cols
+
+
+def test_exotic_rewrite_roundtrip_live(spark, live_pg):
+    """The full A2+A3 chain against a REAL server: rewrite ::text ->
+    COPY wire -> typemap parsers -> typed values."""
+    from pg2parquet_spark.sources import pgcopy
+    from pg2parquet_spark.sources.jdbc import rewrite_query_for_exotics
+    from pg2parquet_spark.typemap.arrays import flatten_with_dims, parse_array_text
+    from pg2parquet_spark.typemap.composites import parse_composite_fast
+    from pg2parquet_spark.typemap.enums import enum_to_int
+    from pg2parquet_spark.typemap.pgvector import parse_vector
+    from pg2parquet_spark.typemap.ranges import parse_range
+
+    q = "SELECT id, m, r, d, v, grid FROM exotic"
+    rewritten = rewrite_query_for_exotics(
+        q,
+        ["id", "m", "r", "d", "v", "grid"],
+        {
+            "m": "enum",
+            "r": "range",
+            "d": "composite",
+            "v": "vector",
+            "grid": "multidim_array",
+        },
+    )
+    raw = pgcopy.read(spark, live_pg, query=rewritten)
+    assert "grid__dims" in raw.columns  # dims shipped server-side
+    parsed = raw.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("m").alias("mood_name"),
+        enum_to_int(F.col("m"), ["sad", "ok", "happy"]).alias("mood_ord"),
+        parse_range(F.col("r"), lambda c: c.cast("int")).alias("rng"),
+        parse_composite_fast(
+            F.col("d"), ["w", "h"], [lambda c: c.cast("int")] * 2
+        ).alias("d"),
+        parse_vector(F.col("v")).alias("v"),
+        flatten_with_dims(
+            parse_array_text(F.col("grid"), "array<array<int>>"), 2, "dims"
+        ).alias("grid"),
+    )
+    rows = {r.id: r for r in parsed.collect()}
+    assert rows[1].mood_name == "happy" and rows[1].mood_ord == 3
+    # server canonicalizes '[1,5)' -> bounds 1/5, lower inclusive
+    assert (rows[1].rng.lower, rows[1].rng.upper) == (1, 5)
+    assert rows[1].rng.lower_inclusive and not rows[1].rng.upper_inclusive
+    assert (rows[1].d.w, rows[1].d.h) == (3, 4)
+    assert [round(x, 4) for x in rows[1].v] == [0.1, 0.2, 0.3, 0.4]
+    assert rows[1].grid.data == [1, 2, 3, 4] and rows[1].grid.dims == [2, 2]
+    # '(,10]' canonicalizes to '(,11)': open lower NULL, upper exclusive 11
+    assert rows[2].rng.lower is None and rows[2].rng.upper == 11
+    assert rows[2].mood_name == "sad" and rows[2].mood_ord == 1
+    # NULL row: NULL enum/composite/vector; 'empty' range flag set
+    assert rows[3].mood_name is None and rows[3].mood_ord is None
+    assert rows[3].rng.is_empty
+    assert rows[3].d is None and rows[3].v is None
+
+
+def test_copy_null_vs_empty_string_fidelity(spark, live_pg):
+    """The sentinel NULL marker must keep '' (empty string) distinct from
+    SQL NULL across the wire — the classic CSV-transport trap."""
+    from pg2parquet_spark.sources import pgcopy
+
+    df = pgcopy.read(
+        spark, live_pg,
+        query="SELECT 1 AS i, ''::text AS empty_s, NULL::text AS null_s",
+    )
+    row = df.collect()[0]
+    assert row.empty_s == "" and row.null_s is None
+
+
+def test_copy_empty_partition_ranges_yield_no_rows(spark, live_pg):
+    """Ranges past the data (and a fully-empty result) must produce empty
+    partitions, not a pandas EmptyDataError."""
+    from pg2parquet_spark.sources import pgcopy
+
+    df = pgcopy.read(
+        spark, live_pg,
+        table="plain",
+        partition_column="id",
+        lower_bound=1,
+        upper_bound=100_000,  # 97% of ranges are beyond the data
+        num_partitions=8,
+    )
+    assert df.count() == 1000
+    empty = pgcopy.read(spark, live_pg, query="SELECT id FROM plain WHERE id < 0")
+    assert empty.count() == 0
