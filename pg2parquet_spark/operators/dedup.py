@@ -192,23 +192,67 @@ def stop_filtered_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingled.select("doc_id", F.array_except("sh", stops).alias("sh"))
 
 
+# Per-shingle POSTING-LIST candidacy cap — the _BUCKET_CAP discipline
+# applied to the inverted index (r9). The relative stop filter (df·N >
+# total) removes corpus-mode boilerplate, but its cutoff RISES with the
+# corpus: a shingle sitting just under total/N generates ~df² candidate
+# pairs, and df at the cutoff grows linearly with corpus size — measured as
+# e(upper) = 1.19 for dedup_ngram_jaccard over the 50k→500k-doc decade
+# (SCALING_r09_docdecade3.md) while the capped minhash path held e = 0.64
+# on the same corpus. The fix is the same honest contract minhash and the
+# embedding tables already carry: within each shingle's posting list only
+# the first _POSTING_CAP members by doc_id emit or receive pairs (≤
+# C(64,2) = 2016 pairs per shingle — linear total), and
+# dedup_shingle_posting_audit reports exactly how many posting entries the
+# cap excluded, so a capped run can never silently publish its pair list
+# as complete.
+_POSTING_CAP = 64
+
+# posted CTE shared by the jaccard/containment oracles: the exploded
+# inverted index with the per-shingle candidacy window (mirrors
+# _shingle_pair_counts; (s, doc_id) is unique — shingle sets are distinct —
+# so the ROW_NUMBER is deterministic).
+POSTED_SQL = f"""
+posted AS (
+  SELECT doc_id, n, s FROM (
+    SELECT doc_id, n, s,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id) AS rn
+    FROM (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shingled_f)
+  ) WHERE rn <= {_POSTING_CAP}
+)
+"""
+
+
 def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, na, nb, common): distinct-shingle intersection counts
-    for every document pair sharing ≥1 stop-filtered shingle — the shared
-    candidate front end of dedup_ngram_jaccard (symmetric Jaccard) and
-    dedup_containment_ngrams (asymmetric containment), kept in ONE place so
-    the two decision rules can never drift apart on candidate semantics.
+    for every document pair sharing ≥1 stop-filtered shingle within the
+    per-shingle posting window — the shared candidate front end of
+    dedup_ngram_jaccard (symmetric Jaccard) and dedup_containment_ngrams
+    (asymmetric containment), kept in ONE place so the two decision rules
+    can never drift apart on candidate semantics.
 
     Set sizes ride the explode (functionally dependent on doc_id, so adding
     them to the groupBy keys changes nothing) — no post-agg size-lookup
-    joins. The self-join-vs-grouped-emission tradeoff is measured and
-    documented at the Jaccard call site."""
+    joins. The _POSTING_CAP window (see above) bounds per-shingle pair
+    fan-out; its ROW_NUMBER partitions by the same key the join shuffles
+    on, so the window adds no extra exchange on the probe side. The
+    self-join-vs-grouped-emission tradeoff is measured and documented at
+    the Jaccard call site."""
+    from pyspark.sql import Window as W
+
     sh = stop_filtered_shingles(spark, sf_dir)
     exploded = sh.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    posted = (
+        exploded.withColumn(
+            "rn", F.row_number().over(W.partitionBy("s").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") <= _POSTING_CAP)
+        .drop("rn")
+    )
+    a = posted.alias("a")
+    b = posted.alias("b")
     return (
         a.join(
             b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -253,26 +297,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
-sizes AS (SELECT doc_id, len(sh) AS n FROM shingled_f),
+{POSTED_SQL.strip()},
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled_f) a
-  JOIN (SELECT doc_id, unnest(sh) AS s FROM shingled_f) b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+  FROM posted a JOIN posted b
     ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b, common,
-       sa.n + sb.n - common AS union_cnt,
-       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       na + nb - common AS union_cnt,
+       CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
 FROM pairs
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
+WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6
 """,
     doc="Near-dup candidates via 3-gram shingle inverted-index join; Jaccard from distinct-"
     "shingle counts (single integer division). The max-df stop-shingle pre-filter "
     "(stop_filtered_shingles) runs first — boilerplate shingles are what skew this "
-    "join at scale; Jaccard is then computed over the filtered shingle sets.",
+    "join at scale — and the _POSTING_CAP candidacy window bounds per-shingle pair "
+    "fan-out (dropped mass reported by dedup_shingle_posting_audit; r9, after the "
+    "third-decade probe measured the uncapped index at e=1.19).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle-set SIZE rides along through the explode (it is functionally
@@ -299,6 +342,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na") + F.col("nb") - F.col("common")).alias("union_cnt"),
         jac.alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.6)
+
+
+@register(
+    "dedup_shingle_posting_audit",
+    oracle=f"""
+WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+pdf AS (
+  SELECT s, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(sh) AS s FROM shingled_f)
+  GROUP BY s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_posting_lists,
+       CAST(MAX(df) AS BIGINT) AS max_df,
+       CAST(SUM(CASE WHEN df > {_POSTING_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       CAST(SUM(CASE WHEN df > {_POSTING_CAP} THEN df - {_POSTING_CAP} ELSE 0 END) AS BIGINT) AS n_dropped_entries
+FROM pdf WHERE df >= 2
+""",
+    doc=f"Observability for the inverted-index _POSTING_CAP={_POSTING_CAP} "
+    "candidacy window (dedup_ngram_jaccard / dedup_containment_ngrams) — "
+    "the dedup_minhash_bucket_audit contract applied to shingle posting "
+    "lists: how many lists can pair at all (df >= 2), the hottest list, "
+    "and exactly how many posting entries the cap excluded from pair "
+    "candidacy. Zero n_dropped_entries means the pair output is COMPLETE "
+    "over the stop-filtered shingle sets; a large value means boilerplate "
+    "slipped past the relative stop filter (its cutoff rises with the "
+    "corpus — the r9 third-decade probe measured the uncapped index at "
+    "e=1.19 for exactly that reason) and the normalization needs work, "
+    "not a bigger cap. Plan: the shared shingle front end, one (s) count "
+    "shuffle, one bounded fold — no pairs, no doc_id shuffle.",
+)
+def dedup_shingle_posting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = stop_filtered_shingles(spark, sf_dir)
+    pdf = (
+        sh.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    over = F.col("df") > _POSTING_CAP
+    return pdf.filter(F.col("df") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_posting_lists"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_over_cap"),
+        F.sum(F.when(over, F.col("df") - _POSTING_CAP).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_entries"),
+    )
 
 
 # ----------------------------------------------------------- MinHash + LSH --
@@ -2335,10 +2424,10 @@ _CONTAIN_DEN = 10  # containment threshold 0.9
     "dedup_containment_ngrams",
     oracle=f"""
 WITH {AUG_SQL.strip()}, {NORMED_SQL.strip()}, {SHINGLED_SQL.strip()}, {STOPF_SQL.strip()},
+{POSTED_SQL.strip()},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, COUNT(*) AS common
-  FROM (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shingled_f) a
-  JOIN (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shingled_f) b
+  FROM posted a JOIN posted b
     ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )

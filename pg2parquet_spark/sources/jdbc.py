@@ -26,9 +26,13 @@ Scale design (the capability the reference lacks entirely):
   parsers (typemap/*) can rebuild structured values — the moral equivalent
   of the reference's binary decoders in pg_custom_types.rs.
 
-This module cannot run in the test container (no PostgreSQL, no JDBC jar);
-it is import-safe and unit-tested for its pure parts (URL/property/query
-synthesis). ``read`` raises a clear error when the driver jar is absent.
+This module's ``read`` cannot run in the test container (a JDBC jar is
+absent and unfetchable); it is import-safe and unit-tested for its pure
+parts (URL/property/query synthesis), and ``read`` raises a clear error
+when the driver jar is absent. The catalog SQL, identifier quoting, and
+exotic rewrite ARE wire-proven live: r9's COPY/psql transport twin
+(:mod:`pg2parquet_spark.sources.pgcopy` + ``tests/test_live_pg_copy.py``)
+runs them against a real local PostgreSQL 15 in the default suite.
 """
 
 from __future__ import annotations

@@ -526,15 +526,19 @@ def docdecade3(out_path: str) -> int:
         worst = max(worst, e)
         print(f"{name:34s} {t_lo:6.2f}s {t_hi:7.2f}s  x{r:.2f}  e={e:.2f}", flush=True)
         lines.append(f"| {name} | {t_lo:.2f} | {t_hi:.2f} | {r:.2f}x | {e:.2f} |")
-    # minhash bucket audit at the top point: the cap+audit contract must
-    # hold where the buckets are biggest — a 'capped' verdict with real
-    # candidate mass dropped would invalidate the minhash row above
-    audit = reg["dedup_minhash_bucket_audit"].fn(spark, hi).collect()
-    lines += ["", "Minhash bucket audit at 500k docs:", ""]
-    for row in audit:
-        d = row.asDict()
-        lines.append("- " + ", ".join(f"{k}={v}" for k, v in d.items()))
-        print("audit:", d, flush=True)
+    # cap audits at the top point: the cap+audit contracts must hold where
+    # the buckets/posting lists are biggest — a capped run with real
+    # candidate mass dropped would invalidate the timing rows above
+    for audit_name, label in (
+        ("dedup_minhash_bucket_audit", "Minhash bucket audit at 500k docs:"),
+        ("dedup_shingle_posting_audit", "Shingle posting audit at 500k docs:"),
+    ):
+        audit = reg[audit_name].fn(spark, hi).collect()
+        lines += ["", label, ""]
+        for row in audit:
+            d = row.asDict()
+            lines.append("- " + ", ".join(f"{k}={v}" for k, v in d.items()))
+            print("audit:", d, flush=True)
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote", out_path, flush=True)
