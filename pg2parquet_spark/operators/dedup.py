@@ -895,23 +895,34 @@ def dedup_embedding_cosine_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFr
     return _score_candidate_pairs(emb, cand)
 
 
-def _score_candidate_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
+def _score_candidate_pairs(
+    emb: DataFrame, cand: DataFrame, pre_distinct: bool = False
+) -> DataFrame:
     """Attach embeddings to the (a_id, b_id) candidate set, exact-re-score
     in an Arrow numpy kernel, and dedupe the SURVIVORS. Shared tail of the
     fixed-plane and corpus-adaptive LSH variants — both generate candidates
     over NARROW id rows and pay the ~512 B vector payload once per
     candidate row.
 
-    Dedup placement (r8): the multi-table/multi-probe collision dedupe runs
-    AFTER the threshold, not before the joins. Measured at the 60k-vector
-    synth point the candidate stream is 24.5M pairs of which only 4.6% are
-    cross-table duplicates — a pre-score distinct is a full extra shuffle +
-    hash-agg of the whole candidate stream to save 4.6% of kernel work,
-    while the post-threshold survivor set is ~48k rows and its distinct is
-    free (measured 40.6 s → 30.4 s end-to-end). Scoring a duplicate pair
-    twice is exact-idempotent (same fixed-order dot → bit-identical
-    cos_sim), so distinct-after == distinct-before row-for-row; the oracle
-    applies the same SELECT DISTINCT to its pair union."""
+    Dedup placement is a MEASURED, per-tier choice. Primary tier
+    (pre_distinct=False, r8): the multi-table/multi-probe collision dedupe
+    runs AFTER the threshold, not before the joins — at the 60k-vector
+    synth point the primary's candidate stream is 24.5M pairs of which only
+    4.6% are cross-table duplicates, so a pre-score distinct is a full
+    extra shuffle + hash-agg to save 4.6% of kernel work, while the
+    post-threshold survivor set is ~48k rows and its distinct is free
+    (measured 40.6 s → 30.4 s end-to-end). RECALL tier (pre_distinct=True,
+    r9): 8 tables × the full H≤2 ball makes cross-table/mask duplication
+    the DOMINANT mass, and the duplicates ride the ~540 B/row embedding
+    attach — without the pre-distinct the tier's 60k run overran an 80 GB
+    local spill budget and died; with it the same dials complete in ~200 s.
+    The distinct shuffles only the narrow 2-int rows. Either placement is
+    value-identical: scoring a duplicate pair twice is exact-idempotent
+    (same fixed-order dot → bit-identical cos_sim), so distinct-after ==
+    distinct-before row-for-row; the oracle applies the same SELECT
+    DISTINCT to its pair union."""
+    if pre_distinct:
+        cand = cand.distinct()
     # the candidate rows are 2 ints wide, so AQE's size-based coalescing
     # would collapse them to ONE partition (1.3M rows ≈ 21 MB < advisory
     # size) — and then the whole exact re-score runs on one core (measured:
@@ -1068,22 +1079,24 @@ def _check_adapt_coupling() -> None:
 _check_adapt_coupling()
 
 
-def _adapt_probe_masks(bits: int) -> list[int]:
+def _adapt_probe_masks(bits: int, budget: int = _ADAPT_PROBE_BUDGET) -> list[int]:
     """Probe masks (own bucket + Hamming-ball flips) for an effective width.
 
     Policy: ≤1 bit at 4-5 bits (4 bits must exactly match the fixed-plane
     variant's probe ball — the n ≤ 750 equivalence contract); from 6 bits,
     own bucket + all 1-flips + 2-flips in lexicographic (i,j) order,
-    truncated to _ADAPT_PROBE_BUDGET masks. The full H≤2 ball fits the
-    budget through 9 bits; wider keys probe the first 48 masks — a uniform
-    recall dial under isotropy, and the flat cost that keeps per-vector
-    candidate work pinned (probes × occupancy) at every corpus size."""
+    truncated to ``budget`` masks (_ADAPT_PROBE_BUDGET for the primary; the
+    recall tier raises it to cover the full H≤2 ball at every width). The
+    full H≤2 ball fits the default budget through 9 bits; wider keys probe
+    the first 48 masks — a uniform recall dial under isotropy, and the flat
+    cost that keeps per-vector candidate work pinned (probes × occupancy)
+    at every corpus size."""
     masks = [0] + [1 << j for j in range(bits)]
     if bits >= 6:
         masks += [
             (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
         ]
-    return masks[:_ADAPT_PROBE_BUDGET]
+    return masks[:budget]
 
 
 def _adapt_bits_case(n_expr: str) -> str:
@@ -1096,7 +1109,7 @@ def _adapt_bits_case(n_expr: str) -> str:
     return f"(CASE {clauses} ELSE 4 END)"
 
 
-def _adapt_masks_case(arr, err) -> str:
+def _adapt_masks_case(arr, err, budget: int = _ADAPT_PROBE_BUDGET) -> str:
     """CASE bits → static probe-mask array literal; ``arr`` renders a Python
     list in the engine's array syntax (DuckDB ``[..]`` vs Spark
     ``array(..)``), ``err`` renders an engine-native raising expression
@@ -1104,27 +1117,28 @@ def _adapt_masks_case(arr, err) -> str:
     a width outside 4.._ADAPT_MAX_BITS must FAIL LOUDLY, never evaluate to
     NULL masks and an empty candidate set (r6 ADVICE)."""
     clauses = " ".join(
-        f"WHEN bits = {b} THEN {arr(_adapt_probe_masks(b))}"
+        f"WHEN bits = {b} THEN {arr(_adapt_probe_masks(b, budget))}"
         for b in range(4, _ADAPT_MAX_BITS + 1)
     )
     msg = f"adaptive LSH: bits outside 4..{_ADAPT_MAX_BITS}"
     return f"(CASE {clauses} ELSE {err(msg)} END)"
 
 
-def _adapt_bk_sql() -> str:
+def _adapt_bk_sql(offsets: tuple[int, ...] = _EMB_LSH_OFFSETS) -> str:
     """Shared oracle prefix: the par/bkf/bk CTE chain producing one narrow
-    signature row per vector (vec_id, embedding, bits, k0..k3) — the SQL
+    signature row per vector (vec_id, embedding, bits, k0..k{T-1}) — the SQL
     twin of ``_adaptive_lsh_build``'s checkpointed signature table. Reused
     by the pair oracle and the bucket-audit oracle so both engines derive
-    buckets from the identical expression text."""
+    buckets from the identical expression text; ``offsets`` selects the
+    hash-table family (4 tables for the primary, 8 for the recall tier)."""
     from pg2parquet_spark.operators.similarity import bucket_sql_offset_n
 
     keys = ", ".join(
         f"{bucket_sql_offset_n('embedding', EMB_DIM, False, off, _ADAPT_MAX_BITS)} AS kf{t}"
-        for t, off in enumerate(_EMB_LSH_OFFSETS)
+        for t, off in enumerate(offsets)
     )
     kcols = ", ".join(
-        f"kf{t} % (1 << bits) AS k{t}" for t in range(len(_EMB_LSH_OFFSETS))
+        f"kf{t} % (1 << bits) AS k{t}" for t in range(len(offsets))
     )
     # AS MATERIALIZED: the signature CTE is consumed by every per-table
     # pair join (8 references) and each key column unrolls ~600 arithmetic
@@ -1137,34 +1151,40 @@ bkf AS (SELECT vec_id, embedding, {keys} FROM embeddings),
 bk AS MATERIALIZED (SELECT vec_id, embedding, bits, {kcols} FROM bkf, par)"""
 
 
-def _adapt_oracle_sql() -> str:
+def _adapt_oracle_sql(
+    offsets: tuple[int, ...] = _EMB_LSH_OFFSETS,
+    bucket_cap: int = _EMB_BUCKET_CAP,
+    occ_bound: int = _EMB_PROBE_OCC_BOUND,
+    budget: int = _ADAPT_PROBE_BUDGET,
+) -> str:
     masks = _adapt_masks_case(
         lambda ms: "[" + ", ".join(map(str, ms)) + "]",
         lambda msg: f"error('{msg}')",
+        budget,
     )
     rns = ", ".join(
         f"ROW_NUMBER() OVER (PARTITION BY k{t} ORDER BY vec_id) AS rn{t}"
-        for t in range(len(_EMB_LSH_OFFSETS))
+        for t in range(len(offsets))
     )
     occs = ",\n".join(
         f"occ{t} AS (SELECT k{t} AS key, COUNT(*) AS c FROM bk GROUP BY k{t})"
-        for t in range(len(_EMB_LSH_OFFSETS))
+        for t in range(len(offsets))
     )
     joins = []
-    for t in range(len(_EMB_LSH_OFFSETS)):
+    for t in range(len(offsets)):
         joins.append(
             f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} AS cos_sim
   FROM (SELECT bk.vec_id, bk.embedding, xor(bk.k{t}, pm.m) AS pk
           FROM bkr bk JOIN occ{t} ON bk.k{t} = occ{t}.key, pm
-         WHERE (bk.bits <= 5 OR bk.rn{t} <= {_EMB_BUCKET_CAP})
-           AND (pm.m = 0 OR bk.bits <= 5 OR occ{t}.c <= {_EMB_PROBE_OCC_BOUND})) a
+         WHERE (bk.bits <= 5 OR bk.rn{t} <= {bucket_cap})
+           AND (pm.m = 0 OR bk.bits <= 5 OR occ{t}.c <= {occ_bound})) a
   JOIN bkr b ON a.pk = b.k{t} AND a.vec_id < b.vec_id
-            AND (b.bits <= 5 OR b.rn{t} <= {_EMB_BUCKET_CAP})"""
+            AND (b.bits <= 5 OR b.rn{t} <= {bucket_cap})"""
         )
     pair_union = "\n  UNION ALL\n".join(joins)
     return f"""
-WITH {_adapt_bk_sql()},
+WITH {_adapt_bk_sql(offsets)},
 bkr AS MATERIALIZED (SELECT *, {rns} FROM bk),
 pm AS (SELECT unnest({masks}) AS m FROM par),
 {occs},
@@ -1316,15 +1336,18 @@ _RECALL_AUDIT_COS_LEVELS = (0.4, 0.5, 0.6, 0.8, 0.9)
 _RECALL_AUDIT_TARGET = 0.8
 
 
-def _adapt_recall_model() -> list[tuple[int, int, float, float]]:
+def _adapt_recall_model(
+    n_tables: int = len(_EMB_LSH_OFFSETS), budget: int = _ADAPT_PROBE_BUDGET
+) -> list[tuple[int, int, float, float]]:
     """(bits, n_probe_masks, cos_level, recall_ceiling) for every width arm
-    — the host-side model table both engines select from as literals."""
+    — the host-side model table both engines select from as literals.
+    ``n_tables``/``budget`` select the tier (4×48 primary, 8×full-ball
+    recall tier)."""
     import math
 
-    n_tables = len(_EMB_LSH_OFFSETS)
     rows: list[tuple[int, int, float, float]] = []
     for b in range(4, _ADAPT_MAX_BITS + 1):
-        masks = _adapt_probe_masks(b)
+        masks = _adapt_probe_masks(b, budget)
         n1 = sum(1 for m in masks if bin(m).count("1") == 1)
         n2 = sum(1 for m in masks if bin(m).count("1") == 2)
         for c in _RECALL_AUDIT_COS_LEVELS:
@@ -1336,15 +1359,18 @@ def _adapt_recall_model() -> list[tuple[int, int, float, float]]:
     return rows
 
 
-def _recall_audit_oracle_sql() -> str:
+def _recall_audit_oracle_sql(
+    n_tables: int = len(_EMB_LSH_OFFSETS), budget: int = _ADAPT_PROBE_BUDGET
+) -> str:
     vals = ", ".join(
-        f"({b}, {nm}, {c!r}, {r!r})" for b, nm, c, r in _adapt_recall_model()
+        f"({b}, {nm}, {c!r}, {r!r})"
+        for b, nm, c, r in _adapt_recall_model(n_tables, budget)
     )
     return f"""
 WITH par AS (SELECT {_adapt_bits_case('COUNT(*)')} AS bits FROM embeddings),
 model(bits, n_probe_masks, cos_level, recall_ceiling) AS (VALUES {vals})
 SELECT CAST(m.bits AS BIGINT) AS bits,
-       CAST({len(_EMB_LSH_OFFSETS)} AS BIGINT) AS n_tables,
+       CAST({n_tables} AS BIGINT) AS n_tables,
        CAST(m.n_probe_masks AS BIGINT) AS n_probe_masks,
        m.cos_level AS cos_level,
        m.recall_ceiling AS recall_ceiling,
@@ -1374,17 +1400,27 @@ FROM model m JOIN par ON m.bits = par.bits
     "— zero data shuffles.",
 )
 def dedup_embedding_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_audit_df(
+        spark, sf_dir, len(_EMB_LSH_OFFSETS), _ADAPT_PROBE_BUDGET
+    )
+
+
+def _recall_audit_df(
+    spark: SparkSession, sf_dir: str, n_tables: int, budget: int
+) -> DataFrame:
+    """Shared Spark side of the two recall-ceiling audits (primary tier and
+    recall tier) — one parameterized builder so the grids can never drift."""
     emb = table(spark, sf_dir, "embeddings")
     par = emb.agg(F.expr(_adapt_bits_case("COUNT(*)")).alias("pbits"))
     model = spark.createDataFrame(
-        _adapt_recall_model(),
+        _adapt_recall_model(n_tables, budget),
         "bits int, n_probe_masks int, cos_level double, recall_ceiling double",
     )
     return (
         model.join(F.broadcast(par), F.col("bits") == F.col("pbits"))
         .select(
             F.col("bits").cast("bigint").alias("bits"),
-            F.lit(len(_EMB_LSH_OFFSETS)).cast("bigint").alias("n_tables"),
+            F.lit(n_tables).cast("bigint").alias("n_tables"),
             F.col("n_probe_masks").cast("bigint").alias("n_probe_masks"),
             "cos_level",
             "recall_ceiling",
@@ -1405,6 +1441,127 @@ def adaptive_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitelisted: the broadcast side is a 1-row global aggregate by
     construction)."""
     return _adaptive_lsh_build(spark, sf_dir, checkpoint=False)
+
+
+# ------------------------------------ recall-tier embedding LSH (r9) -------
+# The measured recall contract (SCALING_r09_embrecall.md) prices the primary
+# adaptive LSH honestly: flat cost buys recall 0.67/0.07/0.005 at
+# sf0.1/60k/600k for cos 0.4 pairs. The primary's docstring routes
+# recall-critical corpora to the quadratic exact arm — a cliff. This tier is
+# the documented middle rung made real: the OR-construction recall dial
+# ("add HASH TABLES, not probes") as a registered, oracle-gated operator.
+# Same adaptive width chain (occupancy stays pinned per bucket), but:
+#   - 8 independent hash tables instead of 4 (collision probabilities
+#     OR-multiply: 1-(1-x)^8 vs 1-(1-x)^4);
+#   - the FULL H≤2 probe ball at every width (budget 106 covers 1+14+91 at
+#     14 bits) instead of the 48-mask truncation;
+#   - no occupancy gate (probe traffic is exactly what this tier buys);
+#   - candidacy cap raised 64 → 256 (audited; C(256,2) per bucket bounds
+#     the mega-bucket worst case at 16× the primary's).
+#   - the occupancy gate is KEPT at the primary's bound — the r9 dial
+#     experiment ran the gate-off form at the 60k point and it overran an
+#     80 GB local spill budget (dense buckets' Hamming neighborhoods are
+#     dense; un-gated probe traffic is the measured blowup, same finding as
+#     r7's gate introduction), while gate-64 + cap-256 + full ball + a
+#     pre-score distinct completes in ~160 s with recall 0.227 vs the
+#     primary's 0.072.
+# Probe-geometry ceiling at cos 0.4 (host model, dedup_embedding_recall_
+# tier_audit): 0.77 at 11 bits / 0.41 at 14 bits, vs the primary's
+# 0.41 / 0.12. Measured planted-pair recall (SCALING_r09_embrecall2.md):
+# 3.2× the primary's at the 60k point, 0.87 at sf0.1. Cost model:
+# candidate volume ≈ (T/4)·(probes/48)·(cap relaxation)× the primary's —
+# super-linear in the dials, linear in the corpus; every per-bucket bound,
+# audit, and the exact Arrow re-score tail are shared with the primary by
+# construction (same parameterized builder).
+_EMB_RECALL_OFFSETS = (0, 100, 200, 300, 400, 500, 600, 700)
+_EMB_RECALL_BUCKET_CAP = 256
+_EMB_RECALL_OCC_BOUND = _EMB_PROBE_OCC_BOUND  # feasibility bound, see above
+# full own+H1+H2 ball at the maximum width; _adapt_probe_masks never
+# truncates under this budget
+_EMB_RECALL_PROBE_BUDGET = 1 + _ADAPT_MAX_BITS + (_ADAPT_MAX_BITS * (_ADAPT_MAX_BITS - 1)) // 2
+
+
+@register(
+    "dedup_embedding_cosine_lsh_recall",
+    oracle=_adapt_oracle_sql(
+        _EMB_RECALL_OFFSETS,
+        _EMB_RECALL_BUCKET_CAP,
+        _EMB_RECALL_OCC_BOUND,
+        _EMB_RECALL_PROBE_BUDGET,
+    ),
+    doc="RECALL-TIER embedding near-dup pairs — the OR-construction middle "
+    "rung between dedup_embedding_cosine_lsh (flat cost, width-priced "
+    "recall) and dedup_embedding_cosine_exact (full recall, quadratic by "
+    "contract). Same corpus-adaptive width chain and exact Arrow re-score "
+    "tail as the primary, built by the same parameterized builder, but 8 "
+    "independent hash tables (plane offsets 0..700 — all 112 planes "
+    "pairwise distinct, tested), the FULL H≤2 probe ball at every width "
+    "(106 masks at 14 bits), the candidacy cap at 256, and a PRE-SCORE "
+    "distinct on the narrow candidate stream (at 8 tables × full ball, "
+    "cross-table duplication dominates and rides the ~540 B/row vector "
+    "attach — the r8 dedup-after-threshold tradeoff reverses; without it "
+    "the 60k run overran an 80 GB spill budget, with it ~200 s). The "
+    "occupancy gate stays at the primary's bound: the gate-off form was "
+    "measured infeasible (dense Hamming neighborhoods), and the gate is "
+    "what keeps this tier's cost bounded. Probe-geometry ceiling at the "
+    "0.4 contract threshold: 0.77 at 11 bits and 0.41 at 14 bits vs the "
+    "primary's 0.41/0.12 (dedup_embedding_recall_tier_audit emits the "
+    "full grid); MEASURED planted-pair recall (SCALING_r09_embrecall2.md): "
+    "0.227 vs 0.072 at the 60k point (3.2×, 158 s vs 28 s), 0.87 vs 0.67 "
+    "at sf0.1. STRUCTURAL SUPERSET of the primary: tables 0-3 share "
+    "its offsets, the mask list extends its prefix, cap 256 ⊇ cap 64, "
+    "same gate — every primary survivor pair is a recall-tier survivor "
+    "pair (tested at sf0.1). Dropped mass is still audited via the shared "
+    "bucket-audit discipline.",
+)
+def dedup_embedding_cosine_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _adaptive_lsh_build(
+        spark,
+        sf_dir,
+        checkpoint=True,
+        offsets=_EMB_RECALL_OFFSETS,
+        bucket_cap=_EMB_RECALL_BUCKET_CAP,
+        occ_bound=_EMB_RECALL_OCC_BOUND,
+        budget=_EMB_RECALL_PROBE_BUDGET,
+        pre_distinct=True,
+    )
+
+
+def recall_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan twin of dedup_embedding_cosine_lsh_recall —
+    same role as adaptive_lsh_plan_audit for the primary (the registered
+    form localCheckpoints its signature table, truncating the visible
+    plan; the plan gates sweep this full-lineage twin instead)."""
+    return _adaptive_lsh_build(
+        spark,
+        sf_dir,
+        checkpoint=False,
+        offsets=_EMB_RECALL_OFFSETS,
+        bucket_cap=_EMB_RECALL_BUCKET_CAP,
+        occ_bound=_EMB_RECALL_OCC_BOUND,
+        budget=_EMB_RECALL_PROBE_BUDGET,
+        pre_distinct=True,
+    )
+
+
+@register(
+    "dedup_embedding_recall_tier_audit",
+    oracle=_recall_audit_oracle_sql(
+        len(_EMB_RECALL_OFFSETS), _EMB_RECALL_PROBE_BUDGET
+    ),
+    doc="Recall observability for dedup_embedding_cosine_lsh_recall — the "
+    "same closed-form probe-geometry ceiling grid as dedup_embedding_lsh_"
+    "recall_audit, evaluated for the recall tier's dials (8 tables, full "
+    "H≤2 probe ball). Reading both audits side by side prices the tier "
+    "decision: at 14 bits / cos 0.4 the primary's ceiling is ~0.12, this "
+    "tier's ~0.41, the exact arm 1.0 at quadratic cost. Host-computed "
+    "literal model rows; one 1-row count broadcast-joined to a bounded "
+    "literal table — zero data shuffles.",
+)
+def dedup_embedding_recall_tier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_audit_df(
+        spark, sf_dir, len(_EMB_RECALL_OFFSETS), _EMB_RECALL_PROBE_BUDGET
+    )
 
 
 # ------------------------------------------ incremental embedding ingest --
@@ -1537,11 +1694,15 @@ def _incremental_lsh_build(
     )
 
 
-def _adapt_signature_rows(spark: SparkSession, sf_dir: str):
+def _adapt_signature_rows(
+    spark: SparkSession, sf_dir: str, offsets: tuple[int, ...] = _EMB_LSH_OFFSETS
+):
     """(embeddings, narrow signature rows) for the corpus-adaptive LSH:
-    one row per vector with vec_id, bits, k0..k3 — the Spark twin of the
+    one row per vector with vec_id, bits, k0..k{T-1} — the Spark twin of the
     ``_adapt_bk_sql`` oracle CTE chain. Shared by the pair build and
-    ``dedup_embedding_bucket_audit`` so both derive buckets identically."""
+    ``dedup_embedding_bucket_audit`` so both derive buckets identically;
+    ``offsets`` selects the hash-table family (4 for the primary, 8 for
+    the recall tier)."""
     from pg2parquet_spark.operators.similarity import bucket_col_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1561,7 +1722,7 @@ def _adapt_signature_rows(spark: SparkSession, sf_dir: str):
             bucket_col_offset_n("embedding", EMB_DIM, off, _ADAPT_MAX_BITS).alias(
                 f"kf{t}"
             )
-            for t, off in enumerate(_EMB_LSH_OFFSETS)
+            for t, off in enumerate(offsets)
         ],
     )
     # 1-row params side: the derived bucket width rides every row as ONE int
@@ -1570,16 +1731,23 @@ def _adapt_signature_rows(spark: SparkSession, sf_dir: str):
         "bits",
         *[
             F.expr(f"kf{t} % shiftleft(1, bits)").alias(f"k{t}")
-            for t in range(len(_EMB_LSH_OFFSETS))
+            for t in range(len(offsets))
         ],
     )
     return emb, bk
 
 
 def _adaptive_lsh_build(
-    spark: SparkSession, sf_dir: str, checkpoint: bool
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool,
+    offsets: tuple[int, ...] = _EMB_LSH_OFFSETS,
+    bucket_cap: int = _EMB_BUCKET_CAP,
+    occ_bound: int = _EMB_PROBE_OCC_BOUND,
+    budget: int = _ADAPT_PROBE_BUDGET,
+    pre_distinct: bool = False,
 ) -> DataFrame:
-    emb, bk = _adapt_signature_rows(spark, sf_dir)
+    emb, bk = _adapt_signature_rows(spark, sf_dir, offsets)
     # hash once, reuse 8×: the 4 tables each consume bk on BOTH join sides,
     # and the 40 plane dots (4 tables × 10 planes × ~60 mult-adds) are the
     # dominant map cost — one expression that wide also falls out of
@@ -1600,12 +1768,13 @@ def _adaptive_lsh_build(
         _adapt_masks_case(
             lambda ms: "array(" + ", ".join(map(str, ms)) + ")",
             lambda msg: f"raise_error('{msg}')",
+            budget,
         )
     )
     from pyspark.sql import Window as W
 
     per_table = []
-    for t in range(len(_EMB_LSH_OFFSETS)):
+    for t in range(len(offsets)):
         k = F.col(f"k{t}")
         # Two r7 dials over the checkpointed NARROW signature rows, both
         # riding ONE k{t}-partitioned window pass (the same hash
@@ -1636,10 +1805,10 @@ def _adaptive_lsh_build(
             "rn", F.row_number().over(wp.orderBy("vec_id"))
         )
         capped = enriched.filter(
-            (F.col("bits") <= 5) | (F.col("rn") <= _EMB_BUCKET_CAP)
+            (F.col("bits") <= 5) | (F.col("rn") <= bucket_cap)
         )
         gated = F.when(
-            (F.col("bits") <= 5) | (F.col("occ") <= _EMB_PROBE_OCC_BOUND),
+            (F.col("bits") <= 5) | (F.col("occ") <= occ_bound),
             probe_masks,
         ).otherwise(F.array(F.lit(0)))
         a = capped.select(
@@ -1657,7 +1826,7 @@ def _adaptive_lsh_build(
     cand = per_table[0]
     for p in per_table[1:]:
         cand = cand.unionAll(p)
-    return _score_candidate_pairs(emb, cand)
+    return _score_candidate_pairs(emb, cand, pre_distinct=pre_distinct)
 
 
 # ------------------------------------------- end-to-end curation pipeline --

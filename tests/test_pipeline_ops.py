@@ -175,6 +175,53 @@ def test_embedding_lsh_recall(spark, sf_dir):
     assert recall >= 0.80, f"LSH recall collapsed: measured {recall:.3f} < 0.80 floor"
 
 
+def test_recall_tier_dominates_primary_and_stays_exact(spark, sf_dir):
+    """dedup_embedding_cosine_lsh_recall (r9): the OR-construction tier must
+    (a) emit a SUPERSET of the primary's survivor pairs — structural claim:
+    tables 0-3 share the primary's offsets, the full-ball mask list extends
+    the 48-mask prefix, cap 256 ⊇ cap 64, gate off ⊇ gated — and (b) stay
+    inside the exact arm's pair set with bit-identical scores (same Arrow
+    re-score tail). Recall therefore dominates the primary's by
+    construction; assert all three containments on the fixture corpus."""
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_exact(spark, sf_dir).collect()
+    }
+    primary = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_lsh(spark, sf_dir).collect()
+    }
+    tier = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_lsh_recall(spark, sf_dir).collect()
+    }
+    assert set(primary) <= set(tier), "recall tier lost primary pairs"
+    assert set(tier) <= set(exact), "recall tier emitted a false positive"
+    assert all(exact[p] == tier[p] for p in tier)  # bit-identical scores
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_RECALL),
+    reason="sf0.1 corpus absent (r8 ADVICE: fail as a skip, not an error)",
+)
+def test_recall_tier_superset_at_sf01(spark):
+    """Same superset claim at sf0.1, where bits=6 makes the candidacy cap
+    and the full H<=2 ball ACTIVE (the fixture corpus runs the inert 4-bit
+    band) — the containment must survive the capped/gated code paths."""
+    primary = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_embedding_cosine_lsh(spark, SF_RECALL).collect()
+    }
+    tier = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_embedding_cosine_lsh_recall(spark, SF_RECALL).collect()
+    }
+    assert primary <= tier, f"lost {len(primary - tier)} primary pairs at sf0.1"
+    # at 6 bits the tier's extra tables+masks must actually ADD pairs on a
+    # corpus this size unless the primary is already at full recall
+    assert len(tier) >= len(primary)
+
+
 @pytest.mark.skipif(
     not os.path.isdir(SF_RECALL),
     reason="sf0.1 corpus absent (r8 ADVICE: fail as a skip, not an error)",
@@ -1496,9 +1543,12 @@ def test_plane_family_is_distinct():
     congruent mod 13 must no longer coincide."""
     from pg2parquet_spark.operators import dedup, similarity as sim
 
+    # the recall tier's 8-table family is a superset of the primary's 4
+    # offsets — checking the union covers both operators' independence math
+    assert dedup._EMB_LSH_OFFSETS == dedup._EMB_RECALL_OFFSETS[: len(dedup._EMB_LSH_OFFSETS)]
     used = [
         j + off
-        for off in dedup._EMB_LSH_OFFSETS
+        for off in dedup._EMB_RECALL_OFFSETS
         for j in range(dedup._ADAPT_MAX_BITS)
     ]
     vecs = {j: sim.plane_dot_sql("e", j, sim.EMB_DIM, False) for j in used}
@@ -1761,6 +1811,39 @@ def test_recall_audit_model_matches_independent_math():
     assert model[(6, 0.4)][1] >= 0.95
     assert model[(11, 0.4)][1] < 0.5
     assert model[(14, 0.4)][1] < 0.15
+    # recall tier (8 tables, full H<=2 ball): same independent math, and
+    # its ceiling must dominate the primary's at EVERY (bits, cos) point —
+    # the OR-construction monotonicity the tier exists to buy
+    from pg2parquet_spark.operators.dedup import (
+        _EMB_RECALL_OFFSETS,
+        _EMB_RECALL_PROBE_BUDGET,
+    )
+
+    tier = {
+        (b, c): (nm, r)
+        for b, nm, c, r in _adapt_recall_model(
+            len(_EMB_RECALL_OFFSETS), _EMB_RECALL_PROBE_BUDGET
+        )
+    }
+    for b in range(4, _ADAPT_MAX_BITS + 1):
+        masks = _adapt_probe_masks(b, _EMB_RECALL_PROBE_BUDGET)
+        # full-ball budget must never truncate
+        want_n = 1 + b + (b * (b - 1) // 2 if b >= 6 else 0)
+        assert len(masks) == want_n, (b, len(masks), want_n)
+        for c in (0.4, 0.9):
+            p = 1.0 - math.acos(c) / math.pi
+            p1 = sum(
+                p ** (b - bin(m).count("1")) * (1 - p) ** bin(m).count("1")
+                for m in masks
+            )
+            want = 1.0 - (1.0 - p1) ** len(_EMB_RECALL_OFFSETS)
+            nm, got = tier[(b, c)]
+            assert nm == len(masks)
+            assert abs(got - want) < 1e-6, (b, c, got, want)
+            assert got >= model[(b, c)][1] - 1e-12, (b, c)
+    # the tier's headline numbers (registered docstrings carry these)
+    assert tier[(11, 0.4)][1] > 0.7
+    assert tier[(14, 0.4)][1] > 0.4
 
 
 def test_recall_audit_rows_and_verdict(spark):

@@ -603,6 +603,7 @@ def test_embedding_lsh_family_compiles_codegen(spark):
         reg = load_all()
         for name in (
             "dedup_embedding_cosine_lsh",
+            "dedup_embedding_cosine_lsh_recall",
             "dedup_embedding_cosine_lsh_fixed",
             "dedup_embedding_incremental",
             "dedup_embedding_bucket_audit",
@@ -630,6 +631,9 @@ _BNLJ_WHITELIST = {
     # the pre-checkpoint twin via _PLAN_AUDIT_OVERRIDES below (r6 ADVICE:
     # whitelisted explicitly, never passed by invisibility)
     "dedup_embedding_cosine_lsh",
+    # recall tier: same 1-row bits crossJoin, same checkpoint hiding —
+    # swept via its own pre-checkpoint twin (r9)
+    "dedup_embedding_cosine_lsh_recall",
     # same 1-row bits crossJoin as the pair build, but the audit never
     # checkpoints, so its BNLJ is VISIBLE in the registered plan — honest
     # crossJoin, whitelisted (the dedup_minhash_bucket_audit precedent)
@@ -666,10 +670,12 @@ def _plan_audit_overrides():
     from pg2parquet_spark.operators.dedup import (
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
+        recall_lsh_plan_audit,
     )
 
     return {
         "dedup_embedding_cosine_lsh": adaptive_lsh_plan_audit,
+        "dedup_embedding_cosine_lsh_recall": recall_lsh_plan_audit,
         "dedup_embedding_incremental": incremental_lsh_plan_audit,
     }
 

@@ -58,10 +58,12 @@ def extra_plans() -> dict:
     from pg2parquet_spark.operators.dedup import (
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
+        recall_lsh_plan_audit,
     )
 
     return {
         "dedup_embedding_cosine_lsh#pre_checkpoint": adaptive_lsh_plan_audit,
+        "dedup_embedding_cosine_lsh_recall#pre_checkpoint": recall_lsh_plan_audit,
         "dedup_embedding_incremental#pre_checkpoint": incremental_lsh_plan_audit,
     }
 

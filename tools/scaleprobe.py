@@ -483,6 +483,87 @@ def embrecall(out_path: str) -> int:
     return 0 if ok else 1
 
 
+def embrecall2(out_path: str) -> int:
+    """Recall-tier vs primary (r9): planted-pair recall AND steady-state
+    cost for dedup_embedding_cosine_lsh_recall next to the primary at sf0.1
+    and the 60k-vector synth point. Same ground-truth construction as
+    embrecall (factor x the 920 exact sf0.1 pairs). The 600k point is
+    deliberately NOT probed for the tier: at 14 bits the full H<=2 ball is
+    106 masks x 8 tables — several times the primary's candidate work by
+    design. The tier's contract is 'recall for bounded super-linear cost',
+    and the 60k point plus the closed-form ceiling
+    (dedup_embedding_recall_tier_audit) price it."""
+    import time as _t
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.registry import load_all
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    spark = get_spark(app_name="embrecall2", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    arms = {
+        "primary": reg["dedup_embedding_cosine_lsh"].fn,
+        "recall_tier": reg["dedup_embedding_cosine_lsh_recall"].fn,
+    }
+
+    p0 = {(r.a_id, r.b_id) for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    shift = 10_000
+    points = [("sf0.1 (2k vecs, 6-bit keys)", SF_BIG, 1)]
+    d60 = synth_dir(spark, factor=30, tables=("embeddings",))
+    points.append(("30x (60k vecs, 11-bit keys)", d60, 30))
+
+    rows = []
+    for plabel, d, factor in points:
+        for arm, fn in arms.items():
+            t0 = _t.time()
+            got = [(r.a_id, r.b_id) for r in fn(spark, d).collect()]
+            warm_s = _t.time() - t0
+            t0 = _t.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            steady_s = _t.time() - t0
+            hits = cross = 0
+            for a, b in got:
+                if a // shift == b // shift:
+                    if (a % shift, b % shift) in p0:
+                        hits += 1
+                else:
+                    cross += 1
+            truth = factor * len(p0)
+            rec = hits / truth
+            rows.append((plabel, arm, truth, hits, cross, rec, min(warm_s, steady_s)))
+            print(f"{plabel:30s} {arm:12s} truth={truth:6d} hits={hits:6d} "
+                  f"cross={cross:5d} recall={rec:.4f} t={min(warm_s, steady_s):.1f}s",
+                  flush=True)
+
+    # the structural guarantee, enforced on the measurement itself: at every
+    # point the tier's recall must be >= the primary's
+    by_point: dict = {}
+    for plabel, arm, truth, hits, cross, rec, t in rows:
+        by_point.setdefault(plabel, {})[arm] = rec
+    ok = all(v["recall_tier"] >= v["primary"] for v in by_point.values())
+
+    lines = [
+        "# Recall-tier embedding LSH vs primary — planted-pair recall and cost",
+        "",
+        "Ground truth per point = factor x the 920 exact sf0.1 pairs (same",
+        "construction as SCALING_r09_embrecall.md). recall_tier =",
+        "dedup_embedding_cosine_lsh_recall: 8 hash tables, full H<=2 probe",
+        "ball, candidacy cap 256, occupancy gate at the primary's bound,",
+        "pre-score distinct. t = min(collect, noop) steady seconds, one",
+        "local[32] JVM.",
+        "",
+        "| corpus | arm | planted | recovered | cross-copy | recall | t (s) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for plabel, arm, truth, hits, cross, rec, t in rows:
+        lines.append(f"| {plabel} | {arm} | {truth} | {hits} | {cross} | {rec:.4f} | {t:.1f} |")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0 if ok else 1
+
+
 # --------------------------------------------------------------------------
 # Third decade for the NON-embedding dedup families (r9, r8 verdict task
 # #5): minhash, ngram Jaccard, and cluster components were proven to
@@ -554,6 +635,8 @@ if __name__ == "__main__":
         embdial3(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r08_embdial3.md")
     elif len(sys.argv) > 1 and sys.argv[1] == "--embrecall":
         sys.exit(embrecall(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_embrecall.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--embrecall2":
+        sys.exit(embrecall2(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_embrecall2.md"))
     elif len(sys.argv) > 1 and sys.argv[1] == "--docdecade3":
         sys.exit(docdecade3(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_docdecade3.md"))
     else:
