@@ -252,7 +252,17 @@ def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     a = posted.alias("a")
-    b = posted.alias("b")
+    # SHUFFLE_HASH, not sort-merge (r9, measured at the 500k-doc synth
+    # point: 45.6 s -> 38.8 s for the candidate chain, interleaved reps):
+    # SMJ sorts both sides of the self-join on the shingle STRING — the
+    # execution-layer cost the third-decade probe decomposed (e=1.18 with
+    # exactly-linear candidate rows). The hash build side is bounded and
+    # skew-proof by construction: per join key the posting window holds
+    # <= _POSTING_CAP rows, and per partition the build is |index|/P,
+    # which AQE re-sizes with the data. An xxhash64(s) leading key was
+    # also measured (int sort prefix) and helps SMJ less than SHJ helps
+    # (-7.5% vs -15%).
+    b = posted.alias("b").hint("SHUFFLE_HASH")
     return (
         a.join(
             b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
