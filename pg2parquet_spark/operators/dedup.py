@@ -1574,6 +1574,347 @@ def dedup_embedding_recall_tier_audit(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+# --------------------------------------- IVF embedding dedup tier (r9) ----
+# A DATA-ADAPTIVE coarse quantizer next to the sign-LSH family: cells are
+# sampled corpus rows (the classic IVF-flat / k-means-init partition), not
+# data-oblivious random hyperplanes. Why it earns a third name: the planted-
+# recall measurement (SCALING_r09_embrecall.md) showed the LSH exponent
+# caps hyperplane recall at a fixed probe budget (0.07 at 60k vectors for
+# the primary, 0.23 for the 8-table recall tier) — but a NEAR-DUP pair is
+# near-identical as a vector, so its two members have near-identical dot
+# products against EVERY centroid and land in the same nearest-centroid
+# cell with probability approaching 1, independent of corpus size; only
+# pairs straddling a cell boundary are lost, and nprobe=2 multi-assignment
+# (each vector joins its top-2 cells) covers most of those. Centroid count
+# is the same corpus-adaptive dial as the LSH bit width: k doubles with the
+# corpus so per-cell occupancy stays pinned to the (23.4, 46.9] band, and
+# per-vector candidate work (nprobe · occupancy) is ~constant at every
+# scale. Assignment is one corpus scan against a broadcast centroid table
+# (N·k dot products, whole-stage-codegen'd; rows narrowed to
+# (vec_id, cid, dot) BEFORE the top-2 window so WindowGroupLimit's partial
+# mode prunes to 2 rows/vector map-side — the shuffle never sees N·k rows).
+# The same bounded-candidacy-plus-audit contract as the LSH tiers applies:
+# k-means-style cells on clustered corpora have heavy tails too, so a
+# per-cell candidacy cap (_IVF_CELL_CAP, ~2x the balanced band, inert on
+# uniform corpora) bounds the quadratic own-cell pair mass and
+# dedup_embedding_ivf_cell_audit reports exactly what it excluded.
+_IVF_K_BASE = 8
+# n > threshold[i] → k doubles; lockstep with the LSH chain's philosophy
+# but starting at 375 so occupancy lands in the same (23.4, 46.9] band
+# with k a power of two. Capped at 16384 cells (n > 384000).
+_IVF_K_THRESHOLDS = (
+    375, 750, 1500, 3000, 6000, 12000, 24000, 48000, 96000, 192000, 384000,
+)
+_IVF_SEED_MOD = 13  # centroid sample: every 13th vec_id (deterministic)
+_IVF_SEED_REM = 3
+_IVF_NPROBE = 2  # each vector assigned to its top-2 nearest centroids
+_IVF_CELL_CAP = 192  # candidacy cap ≈ 2x the balanced nprobe·occupancy band
+
+
+def _check_ivf_coupling() -> None:
+    """Import-time guards: (1) thresholds double in lockstep so the
+    occupancy band is the same in every dial position; (2) the centroid
+    sample is dense enough that rn <= k always finds k seed rows — at the
+    worst band edge (n just above a threshold) seeds ≈ n/_IVF_SEED_MOD must
+    cover k = 2·(k at the threshold), which the first-threshold inequality
+    pins for the whole lockstep chain. (Sub-375 micro corpora may yield
+    fewer than 8 seeds; the build then just runs with fewer, coarser cells
+    — both engines identically, since cent derives from the same rows.)"""
+    for a, b in zip(_IVF_K_THRESHOLDS, _IVF_K_THRESHOLDS[1:]):
+        if b != 2 * a:
+            raise AssertionError("_IVF_K_THRESHOLDS must double in lockstep")
+    if _IVF_K_THRESHOLDS[0] < 2 * _IVF_SEED_MOD * _IVF_K_BASE:
+        raise AssertionError(
+            "centroid sample too sparse: n/_IVF_SEED_MOD can undershoot the "
+            "k dial at a band edge; densify _IVF_SEED_MOD or raise the "
+            "first threshold"
+        )
+
+
+_check_ivf_coupling()
+
+
+def _ivf_k_case(n_expr: str) -> str:
+    """k = _IVF_K_BASE · 2^(#thresholds exceeded) as a pure integer CASE
+    chain — engine-portable, same construction as _adapt_bits_case."""
+    clauses = " ".join(
+        f"WHEN {n_expr} > {t} THEN {_IVF_K_BASE << (len(_IVF_K_THRESHOLDS) - i)}"
+        for i, t in enumerate(reversed(_IVF_K_THRESHOLDS))
+    )
+    return f"(CASE {clauses} ELSE {_IVF_K_BASE} END)"
+
+
+def _ivf_chain_sql() -> str:
+    """Shared oracle prefix: par (corpus-adaptive k) → sd (deterministic
+    centroid sample, globally numbered) → cent (first k samples) → ad
+    (every vector scored against every centroid, ranked) → asg (top-nprobe
+    cells per vector, MATERIALIZED — consumed by both pair-join sides and
+    by the cell audit). The SQL twin of ``_ivf_assignments``."""
+    d = _dot_sql("e.embedding", "c.cemb", EMB_DIM, False)
+    return f"""par AS (SELECT {_ivf_k_case('COUNT(*)')} AS k FROM embeddings),
+sd AS (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}),
+cent AS (SELECT rn AS cid, embedding AS cemb FROM sd, par WHERE rn <= k),
+ad AS (SELECT e.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {d} DESC, c.cid) AS pr
+       FROM embeddings e CROSS JOIN cent c),
+asg AS MATERIALIZED (SELECT vec_id, cid FROM ad WHERE pr <= {_IVF_NPROBE})"""
+
+
+def _ivf_pairs_oracle_sql() -> str:
+    return f"""
+WITH {_ivf_chain_sql()},
+cpd AS (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rnc
+        FROM asg),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM cpd a JOIN cpd b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE a.rnc <= {_IVF_CELL_CAP} AND b.rnc <= {_IVF_CELL_CAP}),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         {_dot_sql('ea.embedding', 'eb.embedding', EMB_DIM, False)} AS cos_sim
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.a_id
+  JOIN embeddings eb ON eb.vec_id = p.b_id)
+SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRESHOLD}
+"""
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str):
+    """(embeddings, par, asg): asg = one narrow (vec_id, cid) row per
+    (vector, probed cell) — the Spark twin of the ``_ivf_chain_sql`` CTEs.
+    Shared by the pair build and the cell audit so both derive cells from
+    identical expressions."""
+    from pyspark.sql import Window as W
+
+    from pg2parquet_spark.operators.similarity import dot_col
+
+    emb = table(spark, sf_dir, "embeddings")
+    par = emb.agg(F.count("*").alias("n")).select(
+        F.expr(_ivf_k_case("n")).alias("k")
+    )
+    # centroid sample: ~n/13 rows — the global row_number is a one-partition
+    # window over the SAMPLE only (bounded: 16384 needed of ≤ n/13 rows),
+    # never over the corpus
+    sd = (
+        emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
+        .select("vec_id", "embedding")
+        .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
+    )
+    cent = (
+        sd.crossJoin(F.broadcast(par))
+        .filter(F.col("rn") <= F.col("k"))
+        .select(F.col("rn").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    # one corpus scan x broadcast centroids; narrow to (vec_id, cid, dot)
+    # BEFORE the top-2 window so WindowGroupLimit's partial mode keeps
+    # 2 rows/vector map-side and the exchange never carries N·k rows
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", dot_col("embedding", "cemb").alias("cd")
+    )
+    asg = (
+        scored.withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("cd"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("vec_id", "cid")
+    )
+    return emb, par, asg
+
+
+@register(
+    "dedup_embedding_ivf",
+    oracle=_ivf_pairs_oracle_sql(),
+    doc="Embedding near-dup pairs via an IVF-flat coarse quantizer — the "
+    "DATA-ADAPTIVE third tier of the embedding dedup family (primary "
+    "sign-LSH / 8-table recall tier / exact). Centroids are a deterministic "
+    "corpus sample (every 13th vec_id, first k by id) with k corpus-adaptive "
+    "(integer CASE chain, occupancy pinned to the LSH family's (23.4, 46.9] "
+    "band, max 16384 cells); every vector joins its top-2 nearest cells "
+    "(nprobe=2 multi-assignment), candidates = same-cell pairs under a "
+    "per-cell candidacy cap (_IVF_CELL_CAP=192, ~2x the balanced band — "
+    "inert on uniform corpora, heavy tails audited by "
+    "dedup_embedding_ivf_cell_audit), exact Arrow re-score tail shared with "
+    "the LSH tiers (_score_candidate_pairs). Why it exists: hyperplane LSH "
+    "recall at a fixed probe budget decays exponentially with bucket width "
+    "(measured 0.07 at 60k vectors, SCALING_r09_embrecall.md) because the "
+    "partition ignores the data; nearest-centroid cells follow the data, so "
+    "a near-identical pair co-locates with probability ~1 at ANY corpus "
+    "size and only cell-boundary pairs need the second probe. Cost shape: "
+    "assignment is one corpus scan against a broadcast O(k) centroid table "
+    "(N·k codegen'd dots — the classic IVF build cost), pair join is an "
+    "equi-join on cid with bounded occupancy; no corpus self-join, no "
+    "probe-mask explosion.",
+)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb, _, asg = _ivf_assignments(spark, sf_dir)
+    # narrow 2-int rows consumed by both join sides: checkpoint once, same
+    # signature-store rationale as _adaptive_lsh_build
+    asg = asg.localCheckpoint(eager=False)
+    capped = asg.withColumn(
+        "rnc", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
+    ).filter(F.col("rnc") <= _IVF_CELL_CAP)
+    a = capped.select(F.col("vec_id").alias("a_id"), "cid")
+    b = capped.select(F.col("vec_id").alias("b_id"), "cid")
+    cand = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    return _score_candidate_pairs(emb, cand)
+
+
+def ivf_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan twin of dedup_embedding_ivf (same role as
+    adaptive_lsh_plan_audit: the registered form localCheckpoints the
+    narrow assignment rows, truncating the visible plan; plan gates sweep
+    this full-lineage twin)."""
+    from pyspark.sql import Window as W
+
+    emb, _, asg = _ivf_assignments(spark, sf_dir)
+    capped = asg.withColumn(
+        "rnc", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
+    ).filter(F.col("rnc") <= _IVF_CELL_CAP)
+    a = capped.select(F.col("vec_id").alias("a_id"), "cid")
+    b = capped.select(F.col("vec_id").alias("b_id"), "cid")
+    cand = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    return _score_candidate_pairs(emb, cand)
+
+
+@register(
+    "dedup_embedding_ivf_cell_audit",
+    oracle=f"""
+WITH {_ivf_chain_sql()},
+cs AS (SELECT cid, COUNT(*) AS sz FROM asg GROUP BY cid)
+SELECT (SELECT CAST(k AS BIGINT) FROM par) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MAX(sz) AS BIGINT) AS max_cell,
+       CAST(SUM(CASE WHEN sz > {_IVF_CELL_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+       CAST(SUM(CASE WHEN sz > {_IVF_CELL_CAP} THEN sz - {_IVF_CELL_CAP} ELSE 0 END) AS BIGINT) AS n_dropped_members
+FROM cs
+""",
+    doc="Candidacy-cap observability for dedup_embedding_ivf — the "
+    "dedup_embedding_bucket_audit contract for the IVF tier: the dialed "
+    "cell count k, how many cells received members, the largest cell, and "
+    "exactly how many members the _IVF_CELL_CAP candidacy window excluded "
+    "from pair emission (zero on a balanced corpus — the cap is ~2x the "
+    "designed occupancy band, so any nonzero here is the heavy-tail signal "
+    "a scorecard must see before trusting the pair list as complete). "
+    "Plan: the shared assignment build (one corpus scan + broadcast "
+    "centroids + WindowGroupLimit top-2), one cid groupBy, one bounded "
+    "global fold — no pairs, no embeddings shuffle.",
+)
+def dedup_embedding_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, par, asg = _ivf_assignments(spark, sf_dir)
+    cs = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    over = F.col("sz") > _IVF_CELL_CAP
+    return (
+        cs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.max("sz").cast("bigint").alias("max_cell"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_oversized"),
+            F.sum(F.when(over, F.col("sz") - _IVF_CELL_CAP).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_members"),
+        )
+        .crossJoin(F.broadcast(par))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_cells",
+            "max_cell",
+            "n_oversized",
+            "n_dropped_members",
+        )
+    )
+
+
+@register(
+    "dedup_embedding_ivf_recall_eval",
+    oracle=f"""
+WITH {_ivf_chain_sql()},
+cpd AS (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rnc
+        FROM asg),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM cpd a JOIN cpd b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE a.rnc <= {_IVF_CELL_CAP} AND b.rnc <= {_IVF_CELL_CAP}),
+ivf AS (
+  SELECT DISTINCT p.a_id, p.b_id
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.a_id
+  JOIN embeddings eb ON eb.vec_id = p.b_id
+  WHERE {_dot_sql('ea.embedding', 'eb.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD}),
+ex AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD})
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf) AS n_ivf,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM ex), 0) AS recall
+FROM ivf JOIN ex USING (a_id, b_id)
+""",
+    doc="MEASURED recall of dedup_embedding_ivf against the exact arm, as "
+    "an oracle-gated query: |IVF pairs ∩ exact pairs| / |exact pairs| at "
+    "the contract threshold, one row (n_exact, n_ivf, n_hit, recall). The "
+    "IVF twin of test_embedding_lsh_recall, promoted into the registry so "
+    "the recall claim is hash-verified against DuckDB every window, not "
+    "just asserted in pytest. Contains the exact all-pairs arm, so it is "
+    "quadratic BY CONTRACT like dedup_embedding_cosine_exact — an eval to "
+    "run at fixture/sample scale, not a production operator; at scale the "
+    "empirical evidence lives in the scaleprobe rows (SCALING_r09). n_ivf "
+    "counts the IVF tier's full output; n_hit its overlap with truth (the "
+    "exact re-score makes false positives impossible, so n_hit = n_ivf "
+    "whenever both engines agree — kept as separate columns so a "
+    "divergence would fail the hash loudly). recall is a single DOUBLE "
+    "division of two exact integers (deterministic), NULL-guarded on an "
+    "empty truth set.",
+)
+def dedup_embedding_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2parquet_spark.operators.similarity import dot_col
+
+    iv = dedup_embedding_ivf(spark, sf_dir).select("a_id", "b_id")
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    ex = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(dot_col("a_emb", "b_emb") >= _EMB_COS_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    n_ex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_iv = iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivf"))
+    n_hit = (
+        iv.join(ex, ["a_id", "b_id"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_ex.crossJoin(n_iv)
+        .crossJoin(n_hit)
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.expr("nullif(n_exact, 0)")
+            ).alias("recall"),
+        )
+    )
+
+
 # ------------------------------------------ incremental embedding ingest --
 # The near-dup twin of pipeline_incremental_dedup's exact-hash ingest: a
 # new vector batch checked against the EXISTING corpus index without ever

@@ -340,6 +340,101 @@ def test_adaptive_bits_chain_is_engine_portable(spark):
     assert {r.n: r.b for r in df.collect()} == ref
 
 
+def test_ivf_pairs_are_exact_subset_with_floor(spark, sf_dir):
+    """dedup_embedding_ivf (the data-adaptive third tier): output must be a
+    subset of the exact arm with bit-identical scores (shared Arrow re-score
+    tail → no false positives possible), and fixture recall must hold a
+    floor. The fixture corpus is ISOTROPIC — no cluster structure for the
+    centroids to adapt to — so this floor is the tier's worst case, not its
+    pitch (measured 0.576 at sf0.001, 0.525 at sf0.01; the clustered-corpus
+    story lives in the scaleprobe rows)."""
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_exact(spark, sf_dir).collect()
+    }
+    got = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_ivf(spark, sf_dir).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[p] == got[p] for p in got)
+    recall = len(got) / len(exact)
+    assert recall >= 0.45, f"IVF fixture recall collapsed: {recall:.3f} < 0.45"
+
+
+def test_ivf_assignment_invariants(spark, sf_dir):
+    """Every vector is assigned to exactly nprobe distinct cells (k ≥ nprobe
+    on any fixture-size corpus), and the cell audit's totals are consistent
+    with the raw assignment: sum of cell sizes = nprobe·N, max_cell matches,
+    cap inert on the isotropic fixture (no oversized cells, nothing
+    dropped)."""
+    n = table(spark, sf_dir, "embeddings").count()
+    _, _, asg = dedup._ivf_assignments(spark, sf_dir)
+    per_vec = asg.groupBy("vec_id").count().collect()
+    assert all(r["count"] == dedup._IVF_NPROBE for r in per_vec)
+    assert len(per_vec) == n
+    distinct_cells = asg.select("vec_id", "cid").distinct().count()
+    assert distinct_cells == dedup._IVF_NPROBE * n  # cells per vector distinct
+    audit = dedup.dedup_embedding_ivf_cell_audit(spark, sf_dir).collect()[0]
+    sizes = asg.groupBy("cid").count().collect()
+    assert audit.n_cells == len(sizes)
+    assert audit.max_cell == max(r["count"] for r in sizes)
+    assert audit.n_oversized == 0 and audit.n_dropped_members == 0
+    assert audit.k == 8 * (
+        1 << sum(n > t for t in dedup._IVF_K_THRESHOLDS)
+    )
+
+
+def test_ivf_k_chain_is_engine_portable(spark):
+    """The k CASE chain must evaluate identically in DuckDB and Spark at
+    every threshold boundary — same contract as the LSH bits chain."""
+    import duckdb
+
+    expr = dedup._ivf_k_case("n")
+    probes = sorted(
+        {1, 10**9}
+        | set(dedup._IVF_K_THRESHOLDS)
+        | {t + 1 for t in dedup._IVF_K_THRESHOLDS}
+    )
+    ref = {
+        n: dedup._IVF_K_BASE * (1 << sum(n > t for t in dedup._IVF_K_THRESHOLDS))
+        for n in probes
+    }
+    con = duckdb.connect()
+    for n in probes:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        assert got == ref[n], f"duckdb k({n}) = {got} != {ref[n]}"
+    df = spark.createDataFrame([(n,) for n in probes], "n long").select(
+        "n", F.expr(expr).alias("k")
+    )
+    assert {r.n: r.k for r in df.collect()} == ref
+
+
+def test_ivf_coupling_check_fails_loudly():
+    """Breaking the threshold-doubling lockstep or sparsifying the centroid
+    sample below the k dial must raise at import-time check — a silent
+    undershoot would quietly coarsen cells (fewer than k centroids found)
+    instead of failing."""
+    import pytest
+
+    orig_t = dedup._IVF_K_THRESHOLDS
+    orig_m = dedup._IVF_SEED_MOD
+    try:
+        dedup._IVF_K_THRESHOLDS = orig_t[:-1] + (orig_t[-1] * 3,)
+        with pytest.raises(AssertionError, match="lockstep"):
+            dedup._check_ivf_coupling()
+        dedup._IVF_K_THRESHOLDS = orig_t
+        dedup._IVF_SEED_MOD = orig_t[0]  # absurdly sparse sample
+        with pytest.raises(AssertionError, match="sample too sparse"):
+            dedup._check_ivf_coupling()
+    finally:
+        dedup._IVF_K_THRESHOLDS = orig_t
+        dedup._IVF_SEED_MOD = orig_m
+    dedup._check_ivf_coupling()
+
+
 def test_hll_linear_counting_branch(spark, tmp_path):
     """sketch_hll_corrected must actually TAKE the linear-counting branch on
     a low-cardinality corpus (many empty registers) and land closer to the

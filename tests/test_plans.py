@@ -607,6 +607,8 @@ def test_embedding_lsh_family_compiles_codegen(spark):
             "dedup_embedding_cosine_lsh_fixed",
             "dedup_embedding_incremental",
             "dedup_embedding_bucket_audit",
+            "dedup_embedding_ivf",
+            "dedup_embedding_ivf_cell_audit",
         ):
             assert reg[name].fn(spark, SF).count() >= 0, name
     finally:
@@ -626,6 +628,15 @@ _BNLJ_WHITELIST = {
                                   # arms (bounded query set / k centroids)
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
+    # IVF tier (r9): 1-row k-params crossJoin + bounded k-row centroid
+    # table crossJoin (the ann_ivf_probe precedent) — assignment is one
+    # corpus scan against a broadcast O(k) side, never corpus×corpus.
+    # The pair build is checkpoint-truncated; swept via ivf_plan_audit.
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_cell_audit",
+    # composes the whitelisted exact arm + the IVF build (the
+    # ann_recall_eval precedent: an eval query, quadratic by contract)
+    "dedup_embedding_ivf_recall_eval",
     # 1-row params crossJoin (bits, a global COUNT aggregate) — hidden in
     # the registered plan by localCheckpoint, so the discipline sweep audits
     # the pre-checkpoint twin via _PLAN_AUDIT_OVERRIDES below (r6 ADVICE:
@@ -670,6 +681,7 @@ def _plan_audit_overrides():
     from pg2parquet_spark.operators.dedup import (
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
+        ivf_plan_audit,
         recall_lsh_plan_audit,
     )
 
@@ -677,6 +689,7 @@ def _plan_audit_overrides():
         "dedup_embedding_cosine_lsh": adaptive_lsh_plan_audit,
         "dedup_embedding_cosine_lsh_recall": recall_lsh_plan_audit,
         "dedup_embedding_incremental": incremental_lsh_plan_audit,
+        "dedup_embedding_ivf": ivf_plan_audit,
     }
 
 

@@ -58,6 +58,7 @@ def extra_plans() -> dict:
     from pg2parquet_spark.operators.dedup import (
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
+        ivf_plan_audit,
         recall_lsh_plan_audit,
     )
 
@@ -65,6 +66,7 @@ def extra_plans() -> dict:
         "dedup_embedding_cosine_lsh#pre_checkpoint": adaptive_lsh_plan_audit,
         "dedup_embedding_cosine_lsh_recall#pre_checkpoint": recall_lsh_plan_audit,
         "dedup_embedding_incremental#pre_checkpoint": incremental_lsh_plan_audit,
+        "dedup_embedding_ivf#pre_checkpoint": ivf_plan_audit,
     }
 
 

@@ -564,6 +564,93 @@ def embrecall2(out_path: str) -> int:
     return 0 if ok else 1
 
 
+def ivfrecall(out_path: str, with_600k: bool = False) -> int:
+    """IVF tier vs primary LSH (r9 continuation): planted-pair recall AND
+    steady-state cost for dedup_embedding_ivf next to the primary at sf0.1
+    and the 60k-vector synth point (the recall_tier's committed numbers
+    from SCALING_r09_embrecall2.md complete the three-way comparison
+    without re-paying its 158 s run). Same ground-truth construction as
+    embrecall. The cell audit rides along so each point's k / max_cell /
+    dropped-members triple is recorded next to its recall."""
+    import time as _t
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.registry import load_all
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    spark = get_spark(app_name="ivfrecall", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    arms = {
+        "primary": reg["dedup_embedding_cosine_lsh"].fn,
+        "ivf": reg["dedup_embedding_ivf"].fn,
+    }
+    audit = reg["dedup_embedding_ivf_cell_audit"].fn
+
+    p0 = {(r.a_id, r.b_id) for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    shift = 10_000
+    points = [("sf0.1 (2k vecs)", SF_BIG, 1)]
+    d60 = synth_dir(spark, factor=30, tables=("embeddings",))
+    points.append(("30x (60k vecs)", d60, 30))
+    if with_600k:
+        d600 = synth_dir(spark, factor=300, tables=("embeddings",))
+        points.append(("300x (600k vecs)", d600, 300))
+
+    rows = []
+    audits = []
+    for plabel, d, factor in points:
+        for arm, fn in arms.items():
+            if arm == "primary" and factor == 300:
+                continue  # its 600k row is committed (SCALING_r09_embrecall.md)
+            t0 = _t.time()
+            got = [(r.a_id, r.b_id) for r in fn(spark, d).collect()]
+            warm_s = _t.time() - t0
+            t0 = _t.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            steady_s = _t.time() - t0
+            hits = cross = 0
+            for a, b in got:
+                if a // shift == b // shift:
+                    if (a % shift, b % shift) in p0:
+                        hits += 1
+                else:
+                    cross += 1
+            truth = factor * len(p0)
+            rec = hits / truth
+            rows.append((plabel, arm, truth, hits, cross, rec, min(warm_s, steady_s)))
+            print(f"{plabel:22s} {arm:8s} truth={truth:6d} hits={hits:6d} "
+                  f"cross={cross:6d} recall={rec:.4f} t={min(warm_s, steady_s):.1f}s",
+                  flush=True)
+        ad = audit(spark, d).collect()[0].asDict()
+        audits.append((plabel, ad))
+        print(f"{plabel:22s} audit: {ad}", flush=True)
+
+    lines = [
+        "# IVF embedding dedup tier vs primary LSH — planted-pair recall and cost",
+        "",
+        "Ground truth per point = factor x the 920 exact sf0.1 pairs (same",
+        "construction as SCALING_r09_embrecall.md). ivf =",
+        "dedup_embedding_ivf: sampled-centroid coarse quantizer, corpus-",
+        "adaptive k (occupancy band (23.4, 46.9]), nprobe=2 multi-assignment,",
+        "cell candidacy cap 192, exact Arrow re-score. recall_tier rows for",
+        "the three-way comparison are committed in SCALING_r09_embrecall2.md",
+        "(0.8663 @ 13.3s at sf0.1; 0.2272 @ 158.3s at 60k). t = min(collect,",
+        "noop) steady seconds, one local[32] JVM.",
+        "",
+        "| corpus | arm | planted | recovered | cross-copy | recall | t (s) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for plabel, arm, truth, hits, cross, rec, t in rows:
+        lines.append(f"| {plabel} | {arm} | {truth} | {hits} | {cross} | {rec:.4f} | {t:.1f} |")
+    lines += ["", "## Cell audits (k / occupancy / cap activity per point)", ""]
+    for plabel, ad in audits:
+        lines.append("- " + plabel + ": " + ", ".join(f"{k}={v}" for k, v in ad.items()))
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0
+
+
 # --------------------------------------------------------------------------
 # Third decade for the NON-embedding dedup families (r9, r8 verdict task
 # #5): minhash, ngram Jaccard, and cluster components were proven to
@@ -637,6 +724,9 @@ if __name__ == "__main__":
         sys.exit(embrecall(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_embrecall.md"))
     elif len(sys.argv) > 1 and sys.argv[1] == "--embrecall2":
         sys.exit(embrecall2(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_embrecall2.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfrecall":
+        sys.exit(ivfrecall(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_ivfrecall.md",
+                           with_600k="--with-600k" in sys.argv))
     elif len(sys.argv) > 1 and sys.argv[1] == "--docdecade3":
         sys.exit(docdecade3(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_docdecade3.md"))
     else:
