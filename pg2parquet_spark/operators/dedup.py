@@ -1682,11 +1682,29 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRES
 """
 
 
-def _ivf_assignments(spark: SparkSession, sf_dir: str):
+def _ivf_assignments(spark: SparkSession, sf_dir: str, declarative: bool = False):
     """(embeddings, par, asg): asg = one narrow (vec_id, cid) row per
     (vector, probed cell) — the Spark twin of the ``_ivf_chain_sql`` CTEs.
     Shared by the pair build and the cell audit so both derive cells from
-    identical expressions."""
+    identical expressions.
+
+    Two execution paths with a TESTED row-for-row equality contract
+    (test_ivf_arrow_assignment_matches_declarative):
+
+    - default (Arrow kernel): the N·k assignment dots run in a numpy
+      mapInPandas kernel against a driver-collected centroid matrix
+      (≤ 16384×64 floats = 4 MiB closure). The accumulation is
+      dimension-ordered (acc += A[:,d]·C[:,d] per d), so every dot keeps
+      the oracle's left-assoc IEEE order — same bit-exactness argument as
+      _score_candidate_pairs — and top-nprobe extraction is a stable
+      argsort on (-dot), which breaks exact-dot ties by ascending cid
+      exactly like the window's ORDER BY cd DESC, cid. Measured on the
+      60k-vector synth point the HOF-fold form spent ~2/3 of the query in
+      the 123M interpreted zip_with/aggregate evals; the kernel
+      vectorizes them.
+    - declarative=True: broadcast-crossJoin + WindowGroupLimit top-2,
+      kept as the pure-Catalyst reference the kernel is tested against
+      (and the form a SQL-only deployment would run)."""
     from pyspark.sql import Window as W
 
     from pg2parquet_spark.operators.similarity import dot_col
@@ -1695,35 +1713,105 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str):
     par = emb.agg(F.count("*").alias("n")).select(
         F.expr(_ivf_k_case("n")).alias("k")
     )
-    # centroid sample: ~n/13 rows — the global row_number is a one-partition
-    # window over the SAMPLE only (bounded: 16384 needed of ≤ n/13 rows),
-    # never over the corpus
-    sd = (
-        emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
-        .select("vec_id", "embedding")
-        .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
-    )
-    cent = (
-        sd.crossJoin(F.broadcast(par))
-        .filter(F.col("rn") <= F.col("k"))
-        .select(F.col("rn").alias("cid"), F.col("embedding").alias("cemb"))
-    )
-    # one corpus scan x broadcast centroids; narrow to (vec_id, cid, dot)
-    # BEFORE the top-2 window so WindowGroupLimit's partial mode keeps
-    # 2 rows/vector map-side and the exchange never carries N·k rows
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", dot_col("embedding", "cemb").alias("cd")
-    )
-    asg = (
-        scored.withColumn(
-            "pr",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("cd"), F.asc("cid"))
-            ),
+    if declarative:
+        # centroid sample: ~n/13 rows — the global row_number is a
+        # one-partition window over the SAMPLE only (bounded: ≤16384 needed
+        # of ≤ n/13 rows), never over the corpus
+        sd = (
+            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
+            .select("vec_id", "embedding")
+            .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
         )
-        .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("vec_id", "cid")
+        cent = (
+            sd.crossJoin(F.broadcast(par))
+            .filter(F.col("rn") <= F.col("k"))
+            .select(F.col("rn").alias("cid"), F.col("embedding").alias("cemb"))
+        )
+        # one corpus scan x broadcast centroids; narrow to (vec_id, cid,
+        # dot) BEFORE the top-2 window so WindowGroupLimit's partial mode
+        # keeps 2 rows/vector map-side and the exchange never carries N·k
+        # rows
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", dot_col("embedding", "cemb").alias("cd")
+        )
+        asg = (
+            scored.withColumn(
+                "pr",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.desc("cd"), F.asc("cid"))
+                ),
+            )
+            .filter(F.col("pr") <= _IVF_NPROBE)
+            .select("vec_id", "cid")
+        )
+        return emb, par, asg
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    n = emb.count()
+    k = _IVF_K_BASE * (1 << sum(n > t for t in _IVF_K_THRESHOLDS))
+    cent_rows = (
+        emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
+        .orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
     )
+    # k x dim float64 matrix; row j is cid j+1 (the seed sample's global
+    # vec_id order = the oracle's ROW_NUMBER() OVER (ORDER BY vec_id)).
+    # Shipped as a BROADCAST variable, not a closure capture: a captured
+    # array rides the pickled function into EVERY task (k=16384 is 8 MiB —
+    # 10k tasks on a real cluster would ship ~80 GB from the driver), while
+    # a broadcast lands once per executor.
+    bc = spark.sparkContext.broadcast(
+        np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    )
+    nprobe = _IVF_NPROBE
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cid", IntegerType())]
+    )
+
+    def assign(batches):
+        C = bc.value
+        kk = C.shape[0]
+        # chunk rows so the (rows x k) dot block stays ~64 MiB at any dial
+        chunk = max(1, 8_000_000 // max(kk, 1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_v, out_c = [], []
+            for s in range(0, A.shape[0], chunk):
+                Ae = A[s : s + chunk]
+                acc = np.zeros((Ae.shape[0], kk))
+                # dimension-ordered accumulation: acc[i,j] folds
+                # ((0.0+t1)+t2)+... exactly like the oracle's unrolled sum
+                # and the HOF aggregate — never a BLAS matmul, whose
+                # reduction order is unspecified
+                for d in range(Ae.shape[1]):
+                    acc += Ae[:, d : d + 1] * C[:, d][None, :]
+                # top-nprobe by (dot DESC, cid ASC): argmax returns the
+                # FIRST maximal column (= lowest cid on exact dot ties,
+                # matching the window's tie-break); mask and repeat — two
+                # O(k) passes instead of a full O(k log k) row argsort,
+                # which dominated the kernel at k = 16384
+                rows = np.arange(Ae.shape[0])
+                for _ in range(min(nprobe, kk)):
+                    top = np.argmax(acc, axis=1)
+                    out_v.append(ids[s : s + chunk])
+                    out_c.append((top + 1).astype(np.int32))
+                    acc[rows, top] = -np.inf
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "cid": np.concatenate(out_c),
+                }
+            )
+
+    asg = emb.select("vec_id", "embedding").mapInPandas(assign, schema)
     return emb, par, asg
 
 

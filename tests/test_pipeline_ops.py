@@ -385,6 +385,21 @@ def test_ivf_assignment_invariants(spark, sf_dir):
     )
 
 
+def test_ivf_arrow_assignment_matches_declarative(spark, sf_dir):
+    """The Arrow assignment kernel (dimension-ordered numpy accumulation +
+    stable argsort) must produce EXACTLY the declarative
+    crossJoin+WindowGroupLimit assignment, row for row — same dots (the
+    fold order is preserved, never a BLAS matmul) and same tie-break
+    (stable argsort on -dot keeps ascending cid, like ORDER BY cd DESC,
+    cid). This is the contract that lets the registered query run the
+    kernel while the DuckDB oracle runs the SQL window."""
+    _, _, arrow = dedup._ivf_assignments(spark, sf_dir)
+    _, _, decl = dedup._ivf_assignments(spark, sf_dir, declarative=True)
+    a = {(r.vec_id, r.cid) for r in arrow.collect()}
+    d = {(r.vec_id, r.cid) for r in decl.collect()}
+    assert a == d
+
+
 def test_ivf_k_chain_is_engine_portable(spark):
     """The k CASE chain must evaluate identically in DuckDB and Spark at
     every threshold boundary — same contract as the LSH bits chain."""

@@ -628,11 +628,9 @@ _BNLJ_WHITELIST = {
                                   # arms (bounded query set / k centroids)
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
-    # IVF tier (r9): 1-row k-params crossJoin + bounded k-row centroid
-    # table crossJoin (the ann_ivf_probe precedent) — assignment is one
-    # corpus scan against a broadcast O(k) side, never corpus×corpus.
-    # The pair build is checkpoint-truncated; swept via ivf_plan_audit.
-    "dedup_embedding_ivf",
+    # IVF tier (r9): the pair build's assignment is an Arrow kernel
+    # (MapInPandas — no join at all), so only the audit's 1-row k-params
+    # crossJoin remains a nested loop
     "dedup_embedding_ivf_cell_audit",
     # composes the whitelisted exact arm + the IVF build (the
     # ann_recall_eval precedent: an eval query, quadratic by contract)
