@@ -1609,6 +1609,14 @@ _IVF_SEED_MOD = 13  # centroid sample: every 13th vec_id (deterministic)
 _IVF_SEED_REM = 3
 _IVF_NPROBE = 2  # each vector assigned to its top-2 nearest centroids
 _IVF_CELL_CAP = 192  # candidacy cap ≈ 2x the balanced nprobe·occupancy band
+# RECALL arm dials (dedup_embedding_ivf_probe4): the measured nprobe curve
+# (SCALING_r09_ivfdial.md — recall ~doubles per nprobe doubling: 0.053 /
+# 0.102 / 0.193 at 1/2/4 at the 60k point) makes nprobe the recall dial;
+# at nprobe=4 this arm reached ~85% of the 8-table LSH recall tier's
+# planted recall at ~1/8 its box-normalized cost. Cap scales with the
+# assignment multiplicity: 4·occupancy band tops at 187.6, cap = 2x again.
+_IVF4_NPROBE = 4
+_IVF4_CELL_CAP = 384
 
 
 def _check_ivf_coupling() -> None:
@@ -1644,12 +1652,13 @@ def _ivf_k_case(n_expr: str) -> str:
     return f"(CASE {clauses} ELSE {_IVF_K_BASE} END)"
 
 
-def _ivf_chain_sql() -> str:
+def _ivf_chain_sql(nprobe: int = _IVF_NPROBE) -> str:
     """Shared oracle prefix: par (corpus-adaptive k) → sd (deterministic
     centroid sample, globally numbered) → cent (first k samples) → ad
     (every vector scored against every centroid, ranked) → asg (top-nprobe
     cells per vector, MATERIALIZED — consumed by both pair-join sides and
-    by the cell audit). The SQL twin of ``_ivf_assignments``."""
+    by the cell audit). The SQL twin of ``_ivf_assignments``; ``nprobe``
+    selects the arm (2 = primary tier, 4 = recall arm)."""
     d = _dot_sql("e.embedding", "c.cemb", EMB_DIM, False)
     return f"""par AS (SELECT {_ivf_k_case('COUNT(*)')} AS k FROM embeddings),
 sd AS (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
@@ -1659,19 +1668,21 @@ ad AS (SELECT e.vec_id, c.cid,
               ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                  ORDER BY {d} DESC, c.cid) AS pr
        FROM embeddings e CROSS JOIN cent c),
-asg AS MATERIALIZED (SELECT vec_id, cid FROM ad WHERE pr <= {_IVF_NPROBE})"""
+asg AS MATERIALIZED (SELECT vec_id, cid FROM ad WHERE pr <= {nprobe})"""
 
 
-def _ivf_pairs_oracle_sql() -> str:
+def _ivf_pairs_oracle_sql(
+    nprobe: int = _IVF_NPROBE, cap: int = _IVF_CELL_CAP
+) -> str:
     return f"""
-WITH {_ivf_chain_sql()},
+WITH {_ivf_chain_sql(nprobe)},
 cpd AS (SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rnc
         FROM asg),
 pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM cpd a JOIN cpd b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE a.rnc <= {_IVF_CELL_CAP} AND b.rnc <= {_IVF_CELL_CAP}),
+  WHERE a.rnc <= {cap} AND b.rnc <= {cap}),
 scored AS (
   SELECT p.a_id, p.b_id,
          {_dot_sql('ea.embedding', 'eb.embedding', EMB_DIM, False)} AS cos_sim
@@ -1682,7 +1693,12 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRES
 """
 
 
-def _ivf_assignments(spark: SparkSession, sf_dir: str, declarative: bool = False):
+def _ivf_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    declarative: bool = False,
+    nprobe: int | None = None,
+):
     """(embeddings, par, asg): asg = one narrow (vec_id, cid) row per
     (vector, probed cell) — the Spark twin of the ``_ivf_chain_sql`` CTEs.
     Shared by the pair build and the cell audit so both derive cells from
@@ -1709,6 +1725,10 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str, declarative: bool = False
 
     from pg2parquet_spark.operators.similarity import dot_col
 
+    # resolved at CALL time (not a def-time default) so experiment probes
+    # can still patch the module constant
+    if nprobe is None:
+        nprobe = _IVF_NPROBE
     emb = table(spark, sf_dir, "embeddings")
     par = emb.agg(F.count("*").alias("n")).select(
         F.expr(_ivf_k_case("n")).alias("k")
@@ -1741,7 +1761,7 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str, declarative: bool = False
                     W.partitionBy("vec_id").orderBy(F.desc("cd"), F.asc("cid"))
                 ),
             )
-            .filter(F.col("pr") <= _IVF_NPROBE)
+            .filter(F.col("pr") <= nprobe)
             .select("vec_id", "cid")
         )
         return emb, par, asg
@@ -1768,7 +1788,6 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str, declarative: bool = False
     bc = spark.sparkContext.broadcast(
         np.array([r.embedding for r in cent_rows], dtype=np.float64)
     )
-    nprobe = _IVF_NPROBE
     schema = StructType(
         [StructField("vec_id", LongType()), StructField("cid", IntegerType())]
     )
@@ -1840,15 +1859,29 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str, declarative: bool = False
     "probe-mask explosion.",
 )
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_pair_build(spark, sf_dir, checkpoint=True)
+
+
+def _ivf_pair_build(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool,
+    nprobe: int | None = None,
+    cap: int = _IVF_CELL_CAP,
+) -> DataFrame:
+    """Shared pair build of the IVF arms: assignment (Arrow kernel) →
+    per-cell candidacy window → in-cell i<j equi-join on cid → exact
+    Arrow re-score. checkpoint=False is the plan-audit path only."""
     from pyspark.sql import Window as W
 
-    emb, _, asg = _ivf_assignments(spark, sf_dir)
-    # narrow 2-int rows consumed by both join sides: checkpoint once, same
-    # signature-store rationale as _adaptive_lsh_build
-    asg = asg.localCheckpoint(eager=False)
+    emb, _, asg = _ivf_assignments(spark, sf_dir, nprobe=nprobe)
+    if checkpoint:
+        # narrow 2-int rows consumed by both join sides: checkpoint once,
+        # same signature-store rationale as _adaptive_lsh_build
+        asg = asg.localCheckpoint(eager=False)
     capped = asg.withColumn(
         "rnc", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
-    ).filter(F.col("rnc") <= _IVF_CELL_CAP)
+    ).filter(F.col("rnc") <= cap)
     a = capped.select(F.col("vec_id").alias("a_id"), "cid")
     b = capped.select(F.col("vec_id").alias("b_id"), "cid")
     cand = (
@@ -1864,55 +1897,69 @@ def ivf_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive_lsh_plan_audit: the registered form localCheckpoints the
     narrow assignment rows, truncating the visible plan; plan gates sweep
     this full-lineage twin)."""
-    from pyspark.sql import Window as W
-
-    emb, _, asg = _ivf_assignments(spark, sf_dir)
-    capped = asg.withColumn(
-        "rnc", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
-    ).filter(F.col("rnc") <= _IVF_CELL_CAP)
-    a = capped.select(F.col("vec_id").alias("a_id"), "cid")
-    b = capped.select(F.col("vec_id").alias("b_id"), "cid")
-    cand = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-    )
-    return _score_candidate_pairs(emb, cand)
+    return _ivf_pair_build(spark, sf_dir, checkpoint=False)
 
 
 @register(
-    "dedup_embedding_ivf_cell_audit",
-    oracle=f"""
-WITH {_ivf_chain_sql()},
+    "dedup_embedding_ivf_probe4",
+    oracle=_ivf_pairs_oracle_sql(_IVF4_NPROBE, _IVF4_CELL_CAP),
+    doc="The IVF family's RECALL arm: dedup_embedding_ivf with nprobe=4 "
+    "multi-assignment (cap 384, 2x the widened occupancy band) — "
+    "registered because the measured nprobe dial (SCALING_r09_ivfdial.md: "
+    "recall 0.053/0.102/0.193 at nprobe 1/2/4 at the 60k point) showed "
+    "this arm reaching ~85% of the 8-table LSH recall tier's planted "
+    "recall at ~1/8 its box-normalized cost, and 2.7x the primary LSH's "
+    "recall at ~half its cost. Same build as the primary IVF arm "
+    "(sampled centroids, corpus-adaptive k, Arrow assignment kernel, "
+    "exact re-score); only the assignment multiplicity and candidacy cap "
+    "differ. Cost shape: assignment unchanged (top-4 extraction is two "
+    "more O(k) argmax passes); the in-cell pair mass grows ~nprobe^2 "
+    "through the cid equi-join — the priced recall dial, bounded by the "
+    "cap and observable via dedup_embedding_ivf_probe4_cell_audit.",
+)
+def dedup_embedding_ivf_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_pair_build(
+        spark, sf_dir, checkpoint=True, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP
+    )
+
+
+def ivf_probe4_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan twin of dedup_embedding_ivf_probe4."""
+    return _ivf_pair_build(
+        spark, sf_dir, checkpoint=False, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP
+    )
+
+
+def _ivf_cell_audit_oracle_sql(
+    nprobe: int = _IVF_NPROBE, cap: int = _IVF_CELL_CAP
+) -> str:
+    return f"""
+WITH {_ivf_chain_sql(nprobe)},
 cs AS (SELECT cid, COUNT(*) AS sz FROM asg GROUP BY cid)
 SELECT (SELECT CAST(k AS BIGINT) FROM par) AS k,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(MAX(sz) AS BIGINT) AS max_cell,
-       CAST(SUM(CASE WHEN sz > {_IVF_CELL_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
-       CAST(SUM(CASE WHEN sz > {_IVF_CELL_CAP} THEN sz - {_IVF_CELL_CAP} ELSE 0 END) AS BIGINT) AS n_dropped_members
+       CAST(SUM(CASE WHEN sz > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+       CAST(SUM(CASE WHEN sz > {cap} THEN sz - {cap} ELSE 0 END) AS BIGINT) AS n_dropped_members
 FROM cs
-""",
-    doc="Candidacy-cap observability for dedup_embedding_ivf — the "
-    "dedup_embedding_bucket_audit contract for the IVF tier: the dialed "
-    "cell count k, how many cells received members, the largest cell, and "
-    "exactly how many members the _IVF_CELL_CAP candidacy window excluded "
-    "from pair emission (zero on a balanced corpus — the cap is ~2x the "
-    "designed occupancy band, so any nonzero here is the heavy-tail signal "
-    "a scorecard must see before trusting the pair list as complete). "
-    "Plan: the shared assignment build (one corpus scan + broadcast "
-    "centroids + WindowGroupLimit top-2), one cid groupBy, one bounded "
-    "global fold — no pairs, no embeddings shuffle.",
-)
-def dedup_embedding_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, par, asg = _ivf_assignments(spark, sf_dir)
+"""
+
+
+def _ivf_cell_audit_df(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    cap: int = _IVF_CELL_CAP,
+) -> DataFrame:
+    _, par, asg = _ivf_assignments(spark, sf_dir, nprobe=nprobe)
     cs = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
-    over = F.col("sz") > _IVF_CELL_CAP
+    over = F.col("sz") > cap
     return (
         cs.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_cells"),
             F.max("sz").cast("bigint").alias("max_cell"),
             F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_oversized"),
-            F.sum(F.when(over, F.col("sz") - _IVF_CELL_CAP).otherwise(0))
+            F.sum(F.when(over, F.col("sz") - cap).otherwise(0))
             .cast("bigint")
             .alias("n_dropped_members"),
         )
@@ -1925,6 +1972,41 @@ def dedup_embedding_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFram
             "n_dropped_members",
         )
     )
+
+
+@register(
+    "dedup_embedding_ivf_cell_audit",
+    oracle=_ivf_cell_audit_oracle_sql(),
+    doc="Candidacy-cap observability for dedup_embedding_ivf — the "
+    "dedup_embedding_bucket_audit contract for the IVF tier: the dialed "
+    "cell count k, how many cells received members, the largest cell, and "
+    "exactly how many members the _IVF_CELL_CAP candidacy window excluded "
+    "from pair emission (zero on a balanced corpus — the cap is ~2x the "
+    "designed occupancy band, so any nonzero here is the heavy-tail signal "
+    "a scorecard must see before trusting the pair list as complete). "
+    "Plan: the shared assignment build (one corpus scan + broadcast "
+    "centroids + WindowGroupLimit top-2), one cid groupBy, one bounded "
+    "global fold — no pairs, no embeddings shuffle.",
+)
+def dedup_embedding_ivf_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_cell_audit_df(spark, sf_dir)
+
+
+@register(
+    "dedup_embedding_ivf_probe4_cell_audit",
+    oracle=_ivf_cell_audit_oracle_sql(_IVF4_NPROBE, _IVF4_CELL_CAP),
+    doc="Candidacy-cap observability for the nprobe=4 recall arm "
+    "(dedup_embedding_ivf_probe4) — same single-row contract as "
+    "dedup_embedding_ivf_cell_audit against the 4-assignment cells and "
+    "the 384 cap. The cap brushes the widened occupancy band's top "
+    "(4·46.9 = 187.6 balanced, 2x headroom), so nonzero n_dropped_members "
+    "here is the first signal the recall arm is shedding pairs on a "
+    "clustered corpus.",
+)
+def dedup_embedding_ivf_probe4_cell_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _ivf_cell_audit_df(spark, sf_dir, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP)
 
 
 @register(

@@ -385,6 +385,29 @@ def test_ivf_assignment_invariants(spark, sf_dir):
     )
 
 
+def test_ivf_probe4_dominates_primary_arm_and_stays_exact(spark, sf_dir):
+    """The nprobe=4 recall arm must (a) contain the nprobe=2 arm's survivor
+    pairs on the fixture corpus — top-2 cells ⊆ top-4 cells and both caps
+    are inert here (cells ≤ ~90 vs caps 192/384), so candidate containment
+    is structural — and (b) stay inside the exact arm with bit-identical
+    scores (shared re-score tail)."""
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_exact(spark, sf_dir).collect()
+    }
+    p2 = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_embedding_ivf(spark, sf_dir).collect()
+    }
+    p4 = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_ivf_probe4(spark, sf_dir).collect()
+    }
+    assert p2 <= set(p4)
+    assert set(p4) <= set(exact)
+    assert all(exact[p] == p4[p] for p in p4)
+
+
 def test_ivf_arrow_assignment_matches_declarative(spark, sf_dir):
     """The Arrow assignment kernel (dimension-ordered numpy accumulation +
     stable argsort) must produce EXACTLY the declarative

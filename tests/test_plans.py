@@ -609,6 +609,8 @@ def test_embedding_lsh_family_compiles_codegen(spark):
             "dedup_embedding_bucket_audit",
             "dedup_embedding_ivf",
             "dedup_embedding_ivf_cell_audit",
+            "dedup_embedding_ivf_probe4",
+            "dedup_embedding_ivf_probe4_cell_audit",
         ):
             assert reg[name].fn(spark, SF).count() >= 0, name
     finally:
@@ -629,9 +631,10 @@ _BNLJ_WHITELIST = {
     "ann_ivf_probe",              # k-row centroid table crossJoin
     "dedup_embedding_cosine_exact",  # quadratic by documented contract
     # IVF tier (r9): the pair build's assignment is an Arrow kernel
-    # (MapInPandas — no join at all), so only the audit's 1-row k-params
+    # (MapInPandas — no join at all), so only the audits' 1-row k-params
     # crossJoin remains a nested loop
     "dedup_embedding_ivf_cell_audit",
+    "dedup_embedding_ivf_probe4_cell_audit",
     # composes the whitelisted exact arm + the IVF build (the
     # ann_recall_eval precedent: an eval query, quadratic by contract)
     "dedup_embedding_ivf_recall_eval",
@@ -680,6 +683,7 @@ def _plan_audit_overrides():
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
         ivf_plan_audit,
+        ivf_probe4_plan_audit,
         recall_lsh_plan_audit,
     )
 
@@ -688,6 +692,7 @@ def _plan_audit_overrides():
         "dedup_embedding_cosine_lsh_recall": recall_lsh_plan_audit,
         "dedup_embedding_incremental": incremental_lsh_plan_audit,
         "dedup_embedding_ivf": ivf_plan_audit,
+        "dedup_embedding_ivf_probe4": ivf_probe4_plan_audit,
     }
 
 

@@ -59,6 +59,7 @@ def extra_plans() -> dict:
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
         ivf_plan_audit,
+        ivf_probe4_plan_audit,
         recall_lsh_plan_audit,
     )
 
@@ -67,6 +68,7 @@ def extra_plans() -> dict:
         "dedup_embedding_cosine_lsh_recall#pre_checkpoint": recall_lsh_plan_audit,
         "dedup_embedding_incremental#pre_checkpoint": incremental_lsh_plan_audit,
         "dedup_embedding_ivf#pre_checkpoint": ivf_plan_audit,
+        "dedup_embedding_ivf_probe4#pre_checkpoint": ivf_probe4_plan_audit,
     }
 
 
