@@ -1617,6 +1617,10 @@ _IVF_CELL_CAP = 192  # candidacy cap ≈ 2x the balanced nprobe·occupancy band
 # assignment multiplicity: 4·occupancy band tops at 187.6, cap = 2x again.
 _IVF4_NPROBE = 4
 _IVF4_CELL_CAP = 384
+# one centroid broadcast per (applicationId, sf_dir, k): bounded by the
+# handful of distinct corpora a session touches, vs. a fresh 8 MiB leak per
+# _ivf_assignments call (pair build + 2 audits + recall eval = 4+ per query)
+_IVF_BC_CACHE: dict = {}
 
 
 def _check_ivf_coupling() -> None:
@@ -1712,9 +1716,10 @@ def _ivf_assignments(
       (≤ 16384×64 floats = 4 MiB closure). The accumulation is
       dimension-ordered (acc += A[:,d]·C[:,d] per d), so every dot keeps
       the oracle's left-assoc IEEE order — same bit-exactness argument as
-      _score_candidate_pairs — and top-nprobe extraction is a stable
-      argsort on (-dot), which breaks exact-dot ties by ascending cid
-      exactly like the window's ORDER BY cd DESC, cid. Measured on the
+      _score_candidate_pairs — and top-nprobe extraction is nprobe
+      argmax-and-mask passes (argmax returns the FIRST maximal column,
+      i.e. the lowest cid on exact-dot ties), which reproduces the
+      window's ORDER BY cd DESC, cid. Measured on the
       60k-vector synth point the HOF-fold form spent ~2/3 of the query in
       the 123M interpreted zip_with/aggregate evals; the kernel
       vectorizes them.
@@ -1772,22 +1777,30 @@ def _ivf_assignments(
 
     n = emb.count()
     k = _IVF_K_BASE * (1 << sum(n > t for t in _IVF_K_THRESHOLDS))
-    cent_rows = (
-        emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
-        .orderBy("vec_id")
-        .limit(k)
-        .select("embedding")
-        .collect()
-    )
     # k x dim float64 matrix; row j is cid j+1 (the seed sample's global
     # vec_id order = the oracle's ROW_NUMBER() OVER (ORDER BY vec_id)).
     # Shipped as a BROADCAST variable, not a closure capture: a captured
     # array rides the pickled function into EVERY task (k=16384 is 8 MiB —
     # 10k tasks on a real cluster would ship ~80 GB from the driver), while
-    # a broadcast lands once per executor.
-    bc = spark.sparkContext.broadcast(
-        np.array([r.embedding for r in cent_rows], dtype=np.float64)
-    )
+    # a broadcast lands once per executor. Cached per (app, sf_dir, k) so
+    # repeated invocations within a session (pair build + audits + recall
+    # eval all re-derive assignments) reuse ONE broadcast instead of
+    # leaking a fresh 8 MiB copy each call; keying on applicationId keeps
+    # a restarted in-process session from touching a dead context's var.
+    cache_key = (spark.sparkContext.applicationId, sf_dir, k)
+    bc = _IVF_BC_CACHE.get(cache_key)
+    if bc is None:
+        cent_rows = (
+            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
+            .orderBy("vec_id")
+            .limit(k)
+            .select("embedding")
+            .collect()
+        )
+        bc = spark.sparkContext.broadcast(
+            np.array([r.embedding for r in cent_rows], dtype=np.float64)
+        )
+        _IVF_BC_CACHE[cache_key] = bc
     schema = StructType(
         [StructField("vec_id", LongType()), StructField("cid", IntegerType())]
     )
@@ -1823,6 +1836,13 @@ def _ivf_assignments(
                     out_v.append(ids[s : s + chunk])
                     out_c.append((top + 1).astype(np.int32))
                     acc[rows, top] = -np.inf
+            if not out_v:
+                # kk=0 (empty centroid sample over a non-empty batch —
+                # e.g. a micro corpus with no vec_id ≡ SEED_REM mod
+                # SEED_MOD): degrade to an empty assignment exactly like
+                # the declarative path and the oracle, instead of letting
+                # np.concatenate([]) raise
+                continue
             yield pd.DataFrame(
                 {
                     "vec_id": np.concatenate(out_v),

@@ -691,17 +691,23 @@ def ivfdial(out_path: str) -> int:
         return hits, cross, min(warm, steady)
 
     rows = []
-    orig = dedup._IVF_NPROBE
-    try:
-        for np_ in (1, 2, 4):
-            dedup._IVF_NPROBE = np_
-            hits, cross, t = measure(dedup.dedup_embedding_ivf)
-            rows.append((f"nprobe={np_}" + (" (registered)" if np_ == orig else ""),
-                         hits, cross, hits / truth, t))
-            print(f"nprobe={np_} hits={hits} cross={cross} "
-                  f"recall={hits / truth:.4f} t={t:.1f}s", flush=True)
-    finally:
-        dedup._IVF_NPROBE = orig
+    # nprobe AND cap passed explicitly, matching what a registration at
+    # that nprobe would use (cap = 2x the nprobe-widened occupancy band,
+    # i.e. 96*nprobe — 192 at the registered primary, 384 at the probe4
+    # arm), so the dial characterizes the arm as it would be registered
+    # rather than a tighter-capped hybrid (r9 ADVICE).
+    for np_ in (1, 2, 4):
+        cap_ = 96 * np_
+        hits, cross, t = measure(
+            lambda s, d: dedup._ivf_pair_build(
+                s, d, checkpoint=True, nprobe=np_, cap=cap_
+            )
+        )
+        tag = " (registered)" if np_ == dedup._IVF_NPROBE else ""
+        rows.append((f"nprobe={np_} cap={cap_}{tag}",
+                     hits, cross, hits / truth, t))
+        print(f"nprobe={np_} cap={cap_} hits={hits} cross={cross} "
+              f"recall={hits / truth:.4f} t={t:.1f}s", flush=True)
 
     # ---- Lloyd-refinement arm: numpy replica on the driver --------------
     emb_rows = spark.read.parquet(f"{d60}/embeddings.parquet").select(
@@ -739,7 +745,7 @@ def ivfdial(out_path: str) -> int:
                 continue
             m = np.array(members)
             S = X[m] @ X[m].T
-            ii, jj = np.nonzero(S >= 0.4)
+            ii, jj = np.nonzero(S >= dedup._EMB_COS_THRESHOLD)
             for a, b in zip(ii, jj):
                 if a >= b:
                     continue
