@@ -998,17 +998,27 @@ SELECT c_nationkey,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
 FROM customer, pos
 WHERE CAST(c_acctbal AS DECIMAL(12,2)) * pos.cnt > pos.total
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1998-01-01')
 GROUP BY c_nationkey
 """,
-    doc="TPC-H Q22 analog: customers with above-average balance and no orders. The "
-    "above-average test is `bal * count > sum` — pure decimal integer arithmetic, "
-    "no division, so the threshold is bit-exact in both engines. NOT EXISTS → "
-    "left-anti join; the scalar aggregate broadcasts.",
+    doc="TPC-H Q22 analog: customers with above-average balance and no RECENT "
+    "orders (none on/after 1998-01-01). The above-average test is `bal * count "
+    "> sum` — pure decimal integer arithmetic, no division, so the threshold "
+    "is bit-exact in both engines. NOT EXISTS → left-anti join on the "
+    "date-filtered orders; the scalar aggregate broadcasts. Dormancy is "
+    "date-bounded rather than canonical Q22's no-orders-ever because the "
+    "sf0.01 gate corpus has ZERO order-less customers — the original "
+    "predicate was structurally empty at the driver's gate SF (r9 VERDICT); "
+    "the cutoff moves 3 customers at sf0.01 / 30 at sf0.1 while keeping the "
+    "anti-join + broadcast-scalar shape.",
 )
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    )
     pos = (
         cust.filter(F.col("c_acctbal") > 0)
         .agg(
@@ -1541,19 +1551,25 @@ JOIN part     ON p_partkey = offers.pk
 JOIN supplier ON s_suppkey = offers.sk
 JOIN nation   ON n_nationkey = s_nationkey
 JOIN region   ON r_regionkey = n_regionkey
-WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'SMALL' AND r_name = 'EUROPE'
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """,
     doc="TPC-H Q2 analog (no partsupp: the offer catalog is derived as the "
     "min extended price each supplier ever charged for a part). Correlated-min "
     "pattern: per-part minimum joined back by exact DECIMAL equality; "
-    "region/nation broadcast; top-100 via TakeOrderedAndProject.",
+    "region/nation broadcast; top-100 via TakeOrderedAndProject. The size "
+    "predicate is a band (10..20), not canonical Q2's single size: at the "
+    "driver's sf0.01 gate the single-size + EUROPE conjunction selected a "
+    "set whose global-min suppliers never landed in EUROPE (0 rows — every "
+    "green only proved both engines agree on emptiness, r9 VERDICT). The "
+    "band keeps the correlated-min shape and moves 14 rows at sf0.01 / "
+    "154 at sf0.1.",
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "SMALL")
     )
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")

@@ -16,7 +16,17 @@ An ALLOWLIST exists for queries whose emptiness IS the asserted behavior
 (none today — emptiness-asserting checks are expressed as count columns, not
 empty result sets, exactly so this tripwire can stay unconditional).
 
-Usage: python tools/vacuity.py [SELFCHECK_ROWS_sf0.01.json SELFCHECK_ROWS_sf0.1.json]
+r9 addition — GATE-SF warning tier: the driver's oracle gates at sf0.01, so
+a query that is 0 rows there but nonzero at sf0.1 earns driver greens that
+only ever compare empty frames (q02_min_cost_supplier /
+q22_dormant_customers sat in exactly this blind spot for 8 rounds — r9
+VERDICT "What's wrong" #1).  The FIRST sidecar argument is treated as the
+gate SF; any query empty there (but not empty everywhere, which is the hard
+failure above) prints a ``GATE-VACUOUS`` warning.  Warnings exit 1 too
+unless ``--warn-ok`` is passed: an empty-at-gate query is a finding to fix
+or allowlist, not a note to scroll past.
+
+Usage: python tools/vacuity.py [--warn-ok] [SELFCHECK_ROWS_sf0.01.json SELFCHECK_ROWS_sf0.1.json]
 """
 
 from __future__ import annotations
@@ -31,7 +41,10 @@ ALLOWLIST: frozenset[str] = frozenset()
 
 
 def main() -> int:
-    paths = sys.argv[1:] or [os.path.join(ROOT, p) for p in DEFAULT]
+    argv = sys.argv[1:]
+    warn_ok = "--warn-ok" in argv
+    argv = [a for a in argv if a != "--warn-ok"]
+    paths = argv or [os.path.join(ROOT, p) for p in DEFAULT]
     sidecars = []
     for p in paths:
         if not os.path.exists(p):
@@ -50,8 +63,24 @@ def main() -> int:
     )
     for n in vacuous:
         print(f"VACUOUS {n}: 0 rows in all of {[os.path.basename(p) for p in paths]}")
-    print(f"{len(common)} queries compared; {len(vacuous)} vacuous")
-    return 1 if vacuous else 0
+    # gate-SF tier: empty at the FIRST sidecar (the driver's gate scale)
+    # but nonzero somewhere else — every driver green such a query earns
+    # compares empty frames only
+    gate_name = os.path.basename(paths[0])
+    gate_vacuous = sorted(
+        n for n in common
+        if n not in ALLOWLIST and sidecars[0][n] == 0 and n not in vacuous
+    )
+    for n in gate_vacuous:
+        print(f"GATE-VACUOUS {n}: 0 rows at the gate SF ({gate_name}) — "
+              "driver greens compare empty frames")
+    print(f"{len(common)} queries compared; {len(vacuous)} vacuous; "
+          f"{len(gate_vacuous)} gate-vacuous")
+    if vacuous:
+        return 1
+    if gate_vacuous and not warn_ok:
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
