@@ -52,6 +52,10 @@ from pyspark.sql import types as T
 from pg2parquet_spark.sources.jdbc import PostgresConnection, quote_ident
 
 NULL_MARKER = "__PG_NULL__"
+# rows per pandas chunk on the streaming partition pipe: 50k rows of a
+# ~40-col text frame is a few tens of MiB — the executor-memory bound the
+# streaming read guarantees regardless of how hot a range turns out to be
+_COPY_CHUNK_ROWS = 50_000
 
 
 @dataclass(frozen=True)
@@ -274,6 +278,8 @@ def read(
     target_env_pw = target.password
 
     def _fetch(batches):
+        import tempfile
+
         import pandas as pd  # executor-side
 
         for pdf in batches:
@@ -285,26 +291,45 @@ def read(
                     f"COPY ({sql}) TO STDOUT (FORMAT csv, HEADER false, "
                     f"NULL '{null_marker}')"
                 )
-                proc = subprocess.run(
-                    target_argv + ["-c", copy],
-                    capture_output=True, text=True, env=env,
-                )
-                if proc.returncode != 0:
-                    raise RuntimeError(
-                        f"psql COPY failed: {proc.stderr.strip()[:500]}"
+                # STREAMING pipe, not capture_output (r9 VERDICT nit): the
+                # partition's CSV text never materializes as one Python
+                # string — pandas consumes the pipe in bounded chunks, so
+                # executor memory is O(chunk) even when range sizing
+                # misjudges a hot partition. stderr spools to a temp file
+                # (a PIPE could deadlock if psql filled it while we drain
+                # stdout); psql only writes it on failure, so it stays
+                # tiny.
+                with tempfile.TemporaryFile(mode="w+") as errf:
+                    proc = subprocess.Popen(
+                        target_argv + ["-c", copy],
+                        stdout=subprocess.PIPE, stderr=errf,
+                        text=True, env=env,
                     )
-                if not proc.stdout:
-                    continue  # empty range: read_csv would raise EmptyDataError
-                out = pd.read_csv(
-                    io.StringIO(proc.stdout),
-                    header=None,
-                    names=colnames,
-                    dtype=str,
-                    keep_default_na=False,
-                    na_values=[null_marker],
-                    skip_blank_lines=True,
-                )
-                yield out
+                    try:
+                        try:
+                            for chunk in pd.read_csv(
+                                proc.stdout,
+                                header=None,
+                                names=colnames,
+                                dtype=str,
+                                keep_default_na=False,
+                                na_values=[null_marker],
+                                skip_blank_lines=True,
+                                chunksize=_COPY_CHUNK_ROWS,
+                            ):
+                                yield chunk
+                        except pd.errors.EmptyDataError:
+                            pass  # empty range
+                        rc = proc.wait()
+                        if rc != 0:
+                            errf.seek(0)
+                            raise RuntimeError(
+                                f"psql COPY failed: {errf.read().strip()[:500]}"
+                            )
+                    finally:
+                        if proc.poll() is None:
+                            proc.kill()
+                            proc.wait()
 
     plan = spark.createDataFrame(
         [(q,) for q in part_queries], "part_sql string"
