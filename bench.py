@@ -52,6 +52,12 @@ def main() -> None:
             "sink_roundtrip",
             "q_events_funnel",
             "pipeline_end_to_end",
+            # r10 (r9 VERDICT #6): the IVF arm is the embedding-dedup
+            # family's scale story — tracked so a regression in the Arrow
+            # assignment kernel or the cell join surfaces as a number.
+            # NOTE: headline totals r01–r09 predate this entry (the same
+            # comparability break as the streaming split).
+            "dedup_embedding_ivf",
         )
         if n in registry
     ]
@@ -137,7 +143,8 @@ def main() -> None:
         "streaming tracked separately from the headline total for "
         "cross-round comparability; query_spread = [min,max] of the 3 "
         "passes and env.loadavg separate machine noise from code "
-        "regressions",
+        "regressions; dedup_embedding_ivf joined the headline set in r10 "
+        "(totals before BENCH_r10 exclude it)",
     }
     print(json.dumps(out))
 
