@@ -1702,11 +1702,16 @@ def _ivf_assignments(
     sf_dir: str,
     declarative: bool = False,
     nprobe: int | None = None,
+    with_rank: bool = False,
+    seed_rem: int = _IVF_SEED_REM,
 ):
     """(embeddings, par, asg): asg = one narrow (vec_id, cid) row per
     (vector, probed cell) — the Spark twin of the ``_ivf_chain_sql`` CTEs.
     Shared by the pair build and the cell audit so both derive cells from
-    identical expressions.
+    identical expressions. with_rank=True adds the probe rank column
+    ``pr`` (1 = nearest cell) — consumed by the asymmetric home/probe arm,
+    whose home side is exactly pr=1; rank emission costs nothing (the
+    kernel's argmax passes ARE the ranks, the window already computes pr).
 
     Two execution paths with a TESTED row-for-row equality contract
     (test_ivf_arrow_assignment_matches_declarative):
@@ -1743,7 +1748,7 @@ def _ivf_assignments(
         # one-partition window over the SAMPLE only (bounded: ≤16384 needed
         # of ≤ n/13 rows), never over the corpus
         sd = (
-            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
+            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {seed_rem}"))
             .select("vec_id", "embedding")
             .withColumn("rn", F.row_number().over(W.orderBy("vec_id")))
         )
@@ -1767,7 +1772,7 @@ def _ivf_assignments(
                 ),
             )
             .filter(F.col("pr") <= nprobe)
-            .select("vec_id", "cid")
+            .select("vec_id", "cid", *(["pr"] if with_rank else []))
         )
         return emb, par, asg
 
@@ -1787,11 +1792,11 @@ def _ivf_assignments(
     # eval all re-derive assignments) reuse ONE broadcast instead of
     # leaking a fresh 8 MiB copy each call; keying on applicationId keeps
     # a restarted in-process session from touching a dead context's var.
-    cache_key = (spark.sparkContext.applicationId, sf_dir, k)
+    cache_key = (spark.sparkContext.applicationId, sf_dir, k, seed_rem)
     bc = _IVF_BC_CACHE.get(cache_key)
     if bc is None:
         cent_rows = (
-            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {_IVF_SEED_REM}"))
+            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {seed_rem}"))
             .orderBy("vec_id")
             .limit(k)
             .select("embedding")
@@ -1801,9 +1806,10 @@ def _ivf_assignments(
             np.array([r.embedding for r in cent_rows], dtype=np.float64)
         )
         _IVF_BC_CACHE[cache_key] = bc
-    schema = StructType(
-        [StructField("vec_id", LongType()), StructField("cid", IntegerType())]
-    )
+    fields = [StructField("vec_id", LongType()), StructField("cid", IntegerType())]
+    if with_rank:
+        fields.append(StructField("pr", IntegerType()))
+    schema = StructType(fields)
 
     def assign(batches):
         C = bc.value
@@ -1815,7 +1821,7 @@ def _ivf_assignments(
                 continue
             A = np.array(list(pdf["embedding"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            out_v, out_c = [], []
+            out_v, out_c, out_p = [], [], []
             for s in range(0, A.shape[0], chunk):
                 Ae = A[s : s + chunk]
                 acc = np.zeros((Ae.shape[0], kk))
@@ -1831,10 +1837,14 @@ def _ivf_assignments(
                 # O(k) passes instead of a full O(k log k) row argsort,
                 # which dominated the kernel at k = 16384
                 rows = np.arange(Ae.shape[0])
-                for _ in range(min(nprobe, kk)):
+                for p in range(min(nprobe, kk)):
                     top = np.argmax(acc, axis=1)
                     out_v.append(ids[s : s + chunk])
                     out_c.append((top + 1).astype(np.int32))
+                    if with_rank:
+                        out_p.append(
+                            np.full(Ae.shape[0], p + 1, dtype=np.int32)
+                        )
                     acc[rows, top] = -np.inf
             if not out_v:
                 # kk=0 (empty centroid sample over a non-empty batch —
@@ -1843,12 +1853,13 @@ def _ivf_assignments(
                 # the declarative path and the oracle, instead of letting
                 # np.concatenate([]) raise
                 continue
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_v),
-                    "cid": np.concatenate(out_c),
-                }
-            )
+            cols = {
+                "vec_id": np.concatenate(out_v),
+                "cid": np.concatenate(out_c),
+            }
+            if with_rank:
+                cols["pr"] = np.concatenate(out_p)
+            yield pd.DataFrame(cols)
 
     asg = emb.select("vec_id", "embedding").mapInPandas(assign, schema)
     return emb, par, asg
@@ -1948,6 +1959,322 @@ def ivf_probe4_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_pair_build(
         spark, sf_dir, checkpoint=False, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP
     )
+
+
+# --------------------------------------------------------------------------
+# ASYMMETRIC home/probe IVF — the recall-frontier arm (r10).
+#
+# The symmetric arms above catch a pair iff the two top-nprobe cell SETS
+# intersect, and their candidate mass grows ~nprobe² (every vector sits in
+# nprobe cells, pairs form within each cell). The standard IVF *search*
+# formulation (pgvector's ivfflat lists/probes, Jégou et al.'s IVFADC) is
+# asymmetric: a database vector lives in exactly ONE cell (its nearest —
+# the "home" cell), and a query probes its top-P cells. Re-read as a
+# self-join, a pair (a,b) is a candidate iff home(b) ∈ probe_P(a) or
+# home(a) ∈ probe_P(b). Candidate mass is N·P·(N/k) — LINEAR in P — vs the
+# symmetric arm's N·nprobe²·(N/k)/2, because only the probe side fans out;
+# the home side stays single-assignment. Since home(b) is also b's top-1
+# probe, the asym-P catch set is contained in the symmetric-nprobe=P catch
+# set, but costs ~P·2/P² = 2/P of it: at P=16 the asym arm prices like
+# symmetric nprobe≈5.7 while probing 16 cells deep. That bought-recall gap
+# is what lets this arm chase the ≥0.5 planted-recall floor the r9 VERDICT
+# set, at a candidate mass the 60k/600k points can actually pay.
+_IVFA_HOME_CAP = 96  # 2x the single-assignment occupancy band top (46.9)
+
+
+def _ivf_asym_chain_sql(
+    nprobe: int, seed_rem: int = _IVF_SEED_REM, sfx: str = ""
+) -> str:
+    """Oracle prefix for the asymmetric arm: the shared par→sd→cent→ad
+    chain, but the materialized assignment keeps the probe rank ``pr`` so
+    the home side (pr=1) and the probe side (pr<=nprobe) derive from ONE
+    scored ranking — the SQL twin of _ivf_assignments(with_rank=True).
+    ``seed_rem`` selects the centroid sample (one independent "table" per
+    remainder class mod _IVF_SEED_MOD); ``sfx`` suffixes the CTE names so
+    the multi-table arm can splice several chains into one WITH."""
+    d = _dot_sql("e.embedding", "c.cemb", EMB_DIM, False)
+    return f"""par{sfx} AS (SELECT {_ivf_k_case('COUNT(*)')} AS k FROM embeddings),
+sd{sfx} AS (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+       FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {seed_rem}),
+cent{sfx} AS (SELECT rn AS cid, embedding AS cemb FROM sd{sfx}, par{sfx} WHERE rn <= k),
+ad{sfx} AS (SELECT e.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {d} DESC, c.cid) AS pr
+       FROM embeddings e CROSS JOIN cent{sfx} c),
+asgr{sfx} AS MATERIALIZED (SELECT vec_id, cid, pr FROM ad{sfx} WHERE pr <= {nprobe})"""
+
+
+def _ivf_asym_tables_sql(
+    nprobe: int,
+    home_cap: int,
+    probe_cap: int,
+    seed_rems: tuple[int, ...],
+) -> tuple[str, str]:
+    """(cte_block, pairs_union): per-table chain + capped home/probe
+    windows, and the UNION ALL of the per-table candidate selects — the
+    shared skeleton of the pair oracle and the recall-eval oracle."""
+    chains, selects = [], []
+    for i, rem in enumerate(seed_rems):
+        s = f"_t{i}"
+        chains.append(_ivf_asym_chain_sql(nprobe, rem, s))
+        chains.append(
+            f"""hc{s} AS (SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rnh
+       FROM asgr{s} WHERE pr = 1),
+pc{s} AS (SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rnp
+       FROM asgr{s})"""
+        )
+        selects.append(
+            f"""SELECT LEAST(p.vec_id, h.vec_id) AS a_id,
+         GREATEST(p.vec_id, h.vec_id) AS b_id
+  FROM pc{s} p JOIN hc{s} h ON p.cid = h.cid AND p.vec_id <> h.vec_id
+  WHERE p.rnp <= {probe_cap} AND h.rnh <= {home_cap}"""
+        )
+    return ",\n".join(chains), "\n  UNION ALL\n".join(selects)
+
+
+def _ivf_asym_pairs_oracle_sql(
+    nprobe: int,
+    home_cap: int,
+    probe_cap: int,
+    seed_rems: tuple[int, ...] = (_IVF_SEED_REM,),
+) -> str:
+    ctes, union = _ivf_asym_tables_sql(nprobe, home_cap, probe_cap, seed_rems)
+    return f"""
+WITH {ctes},
+pairs AS (SELECT DISTINCT a_id, b_id FROM ({union})),
+scored AS (
+  SELECT p.a_id, p.b_id,
+         {_dot_sql('ea.embedding', 'eb.embedding', EMB_DIM, False)} AS cos_sim
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.a_id
+  JOIN embeddings eb ON eb.vec_id = p.b_id)
+SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRESHOLD}
+"""
+
+
+def _ivf_asym_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool,
+    nprobe: int,
+    home_cap: int,
+    probe_cap: int,
+    seed_rem: int = _IVF_SEED_REM,
+) -> DataFrame:
+    """One table's asymmetric candidate set, as NARROW normalized
+    (a_id, b_id) rows: ONE ranked assignment (Arrow kernel, with_rank)
+    feeds both sides — home = pr=1 under a per-cell membership cap, probe
+    = pr<=nprobe under a per-cell probe-list cap (both caps are 2x their
+    balanced occupancy bands, windows ordered by vec_id exactly like the
+    symmetric arms' candidacy windows). Candidates = probe ⋈ home on cid,
+    self-pairs dropped, orientation normalized LEAST/GREATEST."""
+    from pyspark.sql import Window as W
+
+    _, _, asg = _ivf_assignments(
+        spark, sf_dir, nprobe=nprobe, with_rank=True, seed_rem=seed_rem
+    )
+    if checkpoint:
+        # the ranked assignment feeds BOTH join sides and two windows:
+        # checkpoint the narrow 3-int rows once, same rationale as the
+        # symmetric arms
+        asg = asg.localCheckpoint(eager=False)
+    home = (
+        asg.filter(F.col("pr") == 1)
+        .withColumn(
+            "rnh", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
+        )
+        .filter(F.col("rnh") <= home_cap)
+        .select(F.col("vec_id").alias("h_vid"), "cid")
+    )
+    probe = (
+        asg.withColumn(
+            "rnp", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
+        )
+        .filter(F.col("rnp") <= probe_cap)
+        .select(F.col("vec_id").alias("p_vid"), "cid")
+    )
+    return (
+        probe.join(home, "cid")
+        .filter(F.col("p_vid") != F.col("h_vid"))
+        .select(
+            F.least("p_vid", "h_vid").alias("a_id"),
+            F.greatest("p_vid", "h_vid").alias("b_id"),
+        )
+    )
+
+
+def _ivf_asym_pair_build(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint: bool,
+    nprobe: int,
+    home_cap: int = _IVFA_HOME_CAP,
+    probe_cap: int | None = None,
+    seed_rems: tuple[int, ...] = (_IVF_SEED_REM,),
+) -> DataFrame:
+    """Asymmetric pair build, optionally multi-table: the union of the
+    per-seed-remainder candidate sets (each an independent centroid sample
+    → an independent data-adaptive partition of the corpus), then ONE
+    pre-distinct on the narrow 2-int rows (a pair can arrive from both
+    directions, from every shared cell, and from every table) before the
+    ~512 B/row embedding attach — the same measured placement argument as
+    the recall-tier LSH (_score_candidate_pairs docstring). Recall
+    composes across tables like the multi-table LSH's 1-(1-r)^T (tables
+    are quasi-independent because their centroid POOLS are disjoint id
+    classes mod _IVF_SEED_MOD); the measured 60k grid
+    (SCALING_r10_ivfasym.md) shows the multi-table direction dominating
+    both deeper probing and coarser cells at equal candidate mass."""
+    if probe_cap is None:
+        probe_cap = _IVFA_HOME_CAP * nprobe
+    emb = table(spark, sf_dir, "embeddings")
+    cand = None
+    for rem in seed_rems:
+        c = _ivf_asym_candidates(
+            spark, sf_dir, checkpoint, nprobe, home_cap, probe_cap, seed_rem=rem
+        )
+        cand = c if cand is None else cand.unionAll(c)
+    return _score_candidate_pairs(emb, cand, pre_distinct=True)
+
+
+# Registered multi-table dials: the measured 60k design grid
+# (SCALING_r10_ivfasym.md) compared three ways to spend candidate mass —
+# deeper single-table probing (P=32: recall 0.386 at 56M ordered rows),
+# coarser cells (k/4, P=16: 0.421 at 113M), and multiple independent
+# centroid tables — and the tables won at every equal-mass point:
+# T=4 × P=8 = 0.565 recall at 57M, T=4 × P=16 = 0.715 at 113M. Registered
+# arm: T=4, P=8 — the first embedding-dedup arm to clear the r9 VERDICT's
+# >= 0.5 planted-recall floor at the 60k point, at roughly the candidate
+# mass the single-table P=32 dial spent to reach 0.386.
+_IVFMT_NPROBE = 8
+_IVFMT_REMS = (3, 1, 5, 7)  # disjoint centroid pools: id classes mod 13
+_IVFMT_PROBE_CAP = _IVFA_HOME_CAP * _IVFMT_NPROBE  # 768 = 2x the P·occ band
+
+
+@register(
+    "dedup_embedding_ivf_mt4",
+    oracle=_ivf_asym_pairs_oracle_sql(
+        _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP, _IVFMT_REMS
+    ),
+    doc="The embedding-dedup family's RECALL-FLOOR arm (r10): multi-table "
+    "ASYMMETRIC home/probe IVF — 4 independent coarse quantizers (disjoint "
+    "deterministic centroid pools, vec_id ≡ 3/1/5/7 mod 13), each searched "
+    "the way pgvector's ivfflat and Jégou et al.'s IVFADC search: every "
+    "vector LIVES in exactly one home cell (its nearest centroid, capped "
+    "at 96/cell) and PROBES its top-8 cells (capped 768/cell); a pair is a "
+    "candidate iff either member's home cell is in the other's probe list, "
+    "in any table. Candidate mass is N·P·occupancy per table — LINEAR in "
+    "probe depth, vs the symmetric arms' quadratic nprobe² — and recall "
+    "composes across tables ~1-(1-r)^T. Measured at the 60k planted point "
+    "(SCALING_r10_ivfasym.md): recall 0.565 vs the symmetric probe4 arm's "
+    "0.193 and the 8-table LSH recall tier's 0.227, in-budget. Exact "
+    "Arrow re-score tail shared with every other tier (no false positives "
+    "possible); one narrow pre-distinct before the embedding attach "
+    "collapses the cross-table/cross-direction duplicate mass.",
+)
+def dedup_embedding_ivf_mt4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_asym_pair_build(
+        spark, sf_dir, checkpoint=True,
+        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT_REMS,
+    )
+
+
+def ivf_mt4_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan twin of dedup_embedding_ivf_mt4."""
+    return _ivf_asym_pair_build(
+        spark, sf_dir, checkpoint=False,
+        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT_REMS,
+    )
+
+
+def _ivf_mt_cell_audit_oracle_sql(
+    nprobe: int, home_cap: int, probe_cap: int, seed_rems: tuple[int, ...]
+) -> str:
+    chains, auds = [], []
+    for i, rem in enumerate(seed_rems):
+        s = f"_t{i}"
+        chains.append(_ivf_asym_chain_sql(nprobe, rem, s))
+        chains.append(
+            f"""hs{s} AS (SELECT cid, COUNT(*) AS sz FROM asgr{s} WHERE pr = 1 GROUP BY cid),
+ps{s} AS (SELECT cid, COUNT(*) AS sz FROM asgr{s} GROUP BY cid)"""
+        )
+        auds.append(
+            f"""SELECT CAST({rem} AS BIGINT) AS seed_rem,
+       (SELECT CAST(k AS BIGINT) FROM par{s}) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hs{s}) AS n_home_cells,
+       (SELECT CAST(MAX(sz) AS BIGINT) FROM hs{s}) AS max_home_cell,
+       (SELECT CAST(SUM(CASE WHEN sz > {home_cap} THEN sz - {home_cap} ELSE 0 END) AS BIGINT) FROM hs{s}) AS home_dropped,
+       (SELECT CAST(MAX(sz) AS BIGINT) FROM ps{s}) AS max_probe_cell,
+       (SELECT CAST(SUM(CASE WHEN sz > {probe_cap} THEN sz - {probe_cap} ELSE 0 END) AS BIGINT) FROM ps{s}) AS probe_dropped"""
+        )
+    return "WITH " + ",\n".join(chains) + "\n" + "\nUNION ALL\n".join(auds)
+
+
+@register(
+    "dedup_embedding_ivf_mt4_cell_audit",
+    oracle=_ivf_mt_cell_audit_oracle_sql(
+        _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP, _IVFMT_REMS
+    ),
+    doc="Candidacy-cap observability for dedup_embedding_ivf_mt4 — one row "
+    "per centroid table (seed_rem): the dialed k, how many cells hold home "
+    "members, the largest home cell and probe list, and exactly how many "
+    "members each cap excluded from pair emission. Nonzero home_dropped "
+    "means database vectors silently left the index for that cell (the "
+    "heavy-tail signal a scorecard must see); nonzero probe_dropped only "
+    "narrows probe depth on the hot cell. Plan: the shared ranked "
+    "assignment per table, two cid groupBys, bounded global folds — no "
+    "pairs, no embeddings shuffle.",
+)
+def dedup_embedding_ivf_mt4_cell_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    outs = []
+    for rem in _IVFMT_REMS:
+        _, par, asg = _ivf_assignments(
+            spark, sf_dir, nprobe=_IVFMT_NPROBE, with_rank=True, seed_rem=rem
+        )
+        # the narrow ranked rows feed two groupBys: checkpoint once so the
+        # N·k kernel runs once per table, not once per aggregate branch
+        asg = asg.localCheckpoint(eager=False)
+        hs = (
+            asg.filter(F.col("pr") == 1)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        ps = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+        over_h = F.col("sz") > _IVFA_HOME_CAP
+        over_p = F.col("sz") > _IVFMT_PROBE_CAP
+        h = hs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_home_cells"),
+            F.max("sz").cast("bigint").alias("max_home_cell"),
+            F.sum(F.when(over_h, F.col("sz") - _IVFA_HOME_CAP).otherwise(0))
+            .cast("bigint")
+            .alias("home_dropped"),
+        )
+        p = ps.agg(
+            F.max("sz").cast("bigint").alias("max_probe_cell"),
+            F.sum(F.when(over_p, F.col("sz") - _IVFMT_PROBE_CAP).otherwise(0))
+            .cast("bigint")
+            .alias("probe_dropped"),
+        )
+        outs.append(
+            h.crossJoin(p)
+            .crossJoin(F.broadcast(par))
+            .select(
+                F.lit(rem).cast("bigint").alias("seed_rem"),
+                F.col("k").cast("bigint").alias("k"),
+                "n_home_cells",
+                "max_home_cell",
+                "home_dropped",
+                "max_probe_cell",
+                "probe_dropped",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
 
 
 def _ivf_cell_audit_oracle_sql(
@@ -2076,6 +2403,78 @@ def dedup_embedding_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFra
     from pg2parquet_spark.operators.similarity import dot_col
 
     iv = dedup_embedding_ivf(spark, sf_dir).select("a_id", "b_id")
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    ex = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(dot_col("a_emb", "b_emb") >= _EMB_COS_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    n_ex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_iv = iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivf"))
+    n_hit = (
+        iv.join(ex, ["a_id", "b_id"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        n_ex.crossJoin(n_iv)
+        .crossJoin(n_hit)
+        .select(
+            "n_exact",
+            "n_ivf",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.expr("nullif(n_exact, 0)")
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_mt4_recall_oracle_sql() -> str:
+    ctes, union = _ivf_asym_tables_sql(
+        _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP, _IVFMT_REMS
+    )
+    return f"""
+WITH {ctes},
+pairs AS (SELECT DISTINCT a_id, b_id FROM ({union})),
+ivf AS (
+  SELECT DISTINCT p.a_id, p.b_id
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.a_id
+  JOIN embeddings eb ON eb.vec_id = p.b_id
+  WHERE {_dot_sql('ea.embedding', 'eb.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD}),
+ex AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD})
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf) AS n_ivf,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM ex), 0) AS recall
+FROM ivf JOIN ex USING (a_id, b_id)
+"""
+
+
+@register(
+    "dedup_embedding_ivf_mt4_recall_eval",
+    oracle=_ivf_mt4_recall_oracle_sql(),
+    doc="MEASURED recall of dedup_embedding_ivf_mt4 against the exact arm "
+    "— the mt4 twin of dedup_embedding_ivf_recall_eval, registered so the "
+    "recall-floor arm's recall claim is hash-verified against DuckDB every "
+    "window, not just asserted in pytest and the scaleprobe tables. "
+    "Contains the exact all-pairs arm, so quadratic BY CONTRACT — an eval "
+    "for fixture/sample scale; the 60k/600k evidence lives in "
+    "SCALING_r10_ivfasym.md. Same single-row (n_exact, n_ivf, n_hit, "
+    "recall) contract and NULL-guarded division as the primary eval.",
+)
+def dedup_embedding_ivf_mt4_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pg2parquet_spark.operators.similarity import dot_col
+
+    iv = dedup_embedding_ivf_mt4(spark, sf_dir).select("a_id", "b_id")
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))

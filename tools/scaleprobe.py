@@ -808,6 +808,93 @@ def ivfdial(out_path: str) -> int:
 # point. Same synth construction: disjoint re-tokened copies preserve
 # within-copy shingle structure, the c{k} prefix scrambles cross-copy
 # collisions, so candidate-pair density per document is scale-invariant.
+def ivfasym(out_path: str, big_probe: int = 0) -> int:
+    """Asymmetric home/probe IVF dial at the 60k-vector point (r10): the
+    probe-depth curve P ∈ {4, 8, 16, 32} through the REAL registered
+    machinery (dedup._ivf_asym_pair_build — Arrow kernel with_rank, capped
+    home/probe windows, pre-distinct, exact re-score), recall against the
+    same planted truth as every embedding recall probe (30 copies of the
+    sf0.1 exact pair set, id-shifted) and best-of-2 steady cost. The r9
+    VERDICT set the floor this dial exists to clear: planted recall >= 0.5
+    at the 60k point at <= the recall-tier LSH's measured 158 s. Candidate
+    mass is LINEAR in P (N·P·occ ordered rows: 7M/14M/28M/56M at the four
+    dials), vs the symmetric arm's quadratic nprobe² — the design headroom
+    the asymmetric formulation buys. big_probe > 0 additionally prices that
+    P at the 600k point (factor 300), the scale at which the symmetric
+    arms' recall collapsed (primary 0.0054, nprobe2 IVF 0.026)."""
+    import time as _t
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.operators import dedup
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    spark = get_spark(app_name="ivfasym", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    p0 = {(r.a_id, r.b_id) for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    shift = 10_000
+
+    def measure(fn, d, truth):
+        t0 = _t.time()
+        got = [(r.a_id, r.b_id) for r in fn(spark, d).collect()]
+        warm = _t.time() - t0
+        t0 = _t.time()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        steady = _t.time() - t0
+        hits = sum(
+            1 for a, b in got
+            if a // shift == b // shift and (a % shift, b % shift) in p0
+        )
+        cross = sum(1 for a, b in got if a // shift != b // shift)
+        return hits, cross, len(got), min(warm, steady)
+
+    d60 = synth_dir(spark, factor=30, tables=("embeddings",))
+    truth60 = 30 * len(p0)
+    rows = []
+    for P in (4, 8, 16, 32):
+        hits, cross, n, t = measure(
+            lambda s, d: dedup._ivf_asym_pair_build(s, d, checkpoint=True, nprobe=P),
+            d60, truth60,
+        )
+        rows.append((f"60k P={P}", hits, cross, n, hits / truth60, t))
+        print(f"60k P={P} hits={hits} cross={cross} pairs={n} "
+              f"recall={hits / truth60:.4f} t={t:.1f}s", flush=True)
+
+    big_rows = []
+    if big_probe:
+        d600 = synth_dir(spark, factor=300, tables=("embeddings",))
+        truth600 = 300 * len(p0)
+        hits, cross, n, t = measure(
+            lambda s, d: dedup._ivf_asym_pair_build(
+                s, d, checkpoint=True, nprobe=big_probe),
+            d600, truth600,
+        )
+        big_rows.append((f"600k P={big_probe}", hits, cross, n,
+                         hits / truth600, t))
+        print(f"600k P={big_probe} hits={hits} cross={cross} pairs={n} "
+              f"recall={hits / truth600:.4f} t={t:.1f}s", flush=True)
+
+    lines = [
+        "# Asymmetric home/probe IVF — probe-depth dial at the 60k point (r10)",
+        "",
+        "Planted truth: 30 (resp. 300) id-shifted copies of the sf0.1 exact",
+        "pair set (920 pairs at the contract threshold); recall = within-copy",
+        "planted pairs recovered / truth. Cost = best of (first collect,",
+        "steady noop write), single local[32] JVM. Arm = the registered",
+        "_ivf_asym_pair_build machinery (home cap 96, probe cap 96·P).",
+        "Floor being chased (r9 VERDICT): recall >= 0.5 at 60k at <= 158 s.",
+        "",
+        "| point | planted hits | cross-copy | pairs out | recall | cost (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label, hits, cross, n, rec, t in rows + big_rows:
+        lines.append(f"| {label} | {hits} | {cross} | {n} | {rec:.4f} | {t:.1f} |")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0
+
+
 def docdecade3(out_path: str) -> int:
     import math
 
@@ -878,6 +965,15 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfrecall":
         sys.exit(ivfrecall(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_ivfrecall.md",
                            with_600k="--with-600k" in sys.argv))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfasym":
+        bp = 0
+        for a in sys.argv[2:]:
+            if a.startswith("--big-probe="):
+                bp = int(a.split("=", 1)[1])
+        sys.exit(ivfasym(
+            next((a for a in sys.argv[2:] if not a.startswith("--")),
+                 "SCALING_r10_ivfasym.md"),
+            big_probe=bp))
     elif len(sys.argv) > 1 and sys.argv[1] == "--docdecade3":
         sys.exit(docdecade3(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_docdecade3.md"))
     else:
