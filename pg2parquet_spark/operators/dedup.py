@@ -1814,6 +1814,13 @@ def _ivf_assignments(
     def assign(batches):
         C = bc.value
         kk = C.shape[0]
+        if kk == 0:
+            # empty centroid sample (e.g. a micro corpus with no vec_id ≡
+            # seed_rem mod SEED_MOD): degrade to an empty assignment
+            # exactly like the declarative path and the oracle — C is a
+            # 1-D empty array here, so none of the 2-D kernel indexing
+            # below is legal (r9 ADVICE)
+            return
         # chunk rows so the (rows x k) dot block stays ~64 MiB at any dial
         chunk = max(1, 8_000_000 // max(kk, 1))
         for pdf in batches:
@@ -1846,13 +1853,6 @@ def _ivf_assignments(
                             np.full(Ae.shape[0], p + 1, dtype=np.int32)
                         )
                     acc[rows, top] = -np.inf
-            if not out_v:
-                # kk=0 (empty centroid sample over a non-empty batch —
-                # e.g. a micro corpus with no vec_id ≡ SEED_REM mod
-                # SEED_MOD): degrade to an empty assignment exactly like
-                # the declarative path and the oracle, instead of letting
-                # np.concatenate([]) raise
-                continue
             cols = {
                 "vec_id": np.concatenate(out_v),
                 "cid": np.concatenate(out_c),

@@ -423,6 +423,75 @@ def test_ivf_arrow_assignment_matches_declarative(spark, sf_dir):
     assert a == d
 
 
+def test_ivf_mt4_pairs_exact_subset_and_dominates_probe4(spark, sf_dir):
+    """The multi-table asymmetric arm (r10 recall-floor arm): (a) subset of
+    the exact arm with bit-identical scores (shared Arrow re-score tail —
+    no false positives possible); (b) its fixture recall must dominate the
+    symmetric probe4 arm it was built to supersede (asym catch and
+    symmetric catch are different set properties, so this is an empirical
+    canary, not a structural containment), and hold an absolute floor on
+    the isotropic fixture — the arm's worst case, like the other tiers'
+    floors."""
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_cosine_exact(spark, sf_dir).collect()
+    }
+    mt4 = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.dedup_embedding_ivf_mt4(spark, sf_dir).collect()
+    }
+    assert set(mt4) <= set(exact)
+    assert all(exact[p] == mt4[p] for p in mt4)
+    p4 = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_embedding_ivf_probe4(spark, sf_dir).collect()
+    }
+    recall = len(mt4) / len(exact)
+    recall_p4 = len(p4) / len(exact)
+    assert recall >= recall_p4, (
+        f"mt4 fixture recall {recall:.3f} below symmetric probe4 "
+        f"{recall_p4:.3f} — the recall-floor arm regressed below the arm "
+        "it was built to supersede"
+    )
+    assert recall >= 0.5, f"mt4 fixture recall collapsed: {recall:.3f}"
+
+
+def test_ivf_ranked_assignment_matches_declarative(spark, sf_dir):
+    """with_rank=True twin of test_ivf_arrow_assignment_matches_declarative
+    at the mt4 arm's dials (nprobe=8, a non-default centroid pool): the
+    kernel's argmax-pass index must equal the window's ROW_NUMBER rank,
+    row for row — the contract that lets the registered mt4 query run the
+    kernel while the DuckDB oracle ranks with the SQL window."""
+    _, _, arrow = dedup._ivf_assignments(
+        spark, sf_dir, nprobe=8, with_rank=True, seed_rem=1
+    )
+    _, _, decl = dedup._ivf_assignments(
+        spark, sf_dir, declarative=True, nprobe=8, with_rank=True, seed_rem=1
+    )
+    a = {(r.vec_id, r.cid, r.pr) for r in arrow.collect()}
+    d = {(r.vec_id, r.cid, r.pr) for r in decl.collect()}
+    assert a == d
+
+
+def test_ivf_kernel_empty_centroid_sample_degrades_empty(spark, tmp_path):
+    """r9 ADVICE: a corpus with NO vec_id ≡ SEED_REM (mod SEED_MOD) yields
+    an empty centroid sample (kk=0); the Arrow kernel must degrade to an
+    empty assignment exactly like the declarative path and the SQL oracle
+    — not crash in np.concatenate on an empty list."""
+    d = str(tmp_path / "noseed")
+    os.makedirs(d)
+    mod, rem = dedup._IVF_SEED_MOD, dedup._IVF_SEED_REM
+    ids = [i for i in range(1, 200) if i % mod != rem][:40]
+    rows = [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(64)]) for i in ids]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    _, _, kernel = dedup._ivf_assignments(spark, d)
+    _, _, decl = dedup._ivf_assignments(spark, d, declarative=True)
+    assert kernel.count() == 0
+    assert decl.count() == 0
+
+
 def test_ivf_k_chain_is_engine_portable(spark):
     """The k CASE chain must evaluate identically in DuckDB and Spark at
     every threshold boundary — same contract as the LSH bits chain."""

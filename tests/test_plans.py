@@ -611,6 +611,8 @@ def test_embedding_lsh_family_compiles_codegen(spark):
             "dedup_embedding_ivf_cell_audit",
             "dedup_embedding_ivf_probe4",
             "dedup_embedding_ivf_probe4_cell_audit",
+            "dedup_embedding_ivf_mt4",
+            "dedup_embedding_ivf_mt4_cell_audit",
         ):
             assert reg[name].fn(spark, SF).count() >= 0, name
     finally:
@@ -635,9 +637,13 @@ _BNLJ_WHITELIST = {
     # crossJoin remains a nested loop
     "dedup_embedding_ivf_cell_audit",
     "dedup_embedding_ivf_probe4_cell_audit",
+    # mt4 (r10): per-table 1-row k-params crossJoins in the audit; the pair
+    # build itself is kernel assignment + cid equi-joins (no BNLJ)
+    "dedup_embedding_ivf_mt4_cell_audit",
     # composes the whitelisted exact arm + the IVF build (the
     # ann_recall_eval precedent: an eval query, quadratic by contract)
     "dedup_embedding_ivf_recall_eval",
+    "dedup_embedding_ivf_mt4_recall_eval",
     # 1-row params crossJoin (bits, a global COUNT aggregate) — hidden in
     # the registered plan by localCheckpoint, so the discipline sweep audits
     # the pre-checkpoint twin via _PLAN_AUDIT_OVERRIDES below (r6 ADVICE:
@@ -682,6 +688,7 @@ def _plan_audit_overrides():
     from pg2parquet_spark.operators.dedup import (
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
+        ivf_mt4_plan_audit,
         ivf_plan_audit,
         ivf_probe4_plan_audit,
         recall_lsh_plan_audit,
@@ -693,6 +700,7 @@ def _plan_audit_overrides():
         "dedup_embedding_incremental": incremental_lsh_plan_audit,
         "dedup_embedding_ivf": ivf_plan_audit,
         "dedup_embedding_ivf_probe4": ivf_probe4_plan_audit,
+        "dedup_embedding_ivf_mt4": ivf_mt4_plan_audit,
     }
 
 

@@ -895,6 +895,175 @@ def ivfasym(out_path: str, big_probe: int = 0) -> int:
     return 0
 
 
+def ivfgrid(out_path: str) -> int:
+    """Driver-side numpy design grid for the asymmetric IVF recall
+    frontier at the 60k point (the ivfdial Lloyd-replica discipline: the
+    60k corpus is 30 MiB, so the DESIGN sweep runs as driver numpy and
+    only the winning arm pays a full through-the-machinery measurement).
+    VALIDATED: the replica reproduces the Spark-measured single-table
+    points exactly (k=2048 P=16 → 0.2699, P=32 → 0.3858 — same numbers
+    ivfasym measured through the registered machinery), because candidate
+    CATCH (home(b) ∈ topP(a) ∨ home(a) ∈ topP(b)) is a set property of the
+    rankings, which BLAS-vs-fold float differences do not move at this
+    corpus (no exact dot ties off the diagonal). Sweeps: probe depth P,
+    cell-granularity shift (k, k/2, k/4), and multi-table unions over
+    disjoint seed-remainder centroid pools; reports planted recall and
+    ordered candidate mass (the cost proxy: sum over cells of
+    home_count·probe_count)."""
+    import time as _t
+
+    import numpy as np
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.operators import dedup
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    spark = get_spark(app_name="ivfgrid", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    p0 = {(r.a_id, r.b_id) for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    d60 = synth_dir(spark, factor=30, tables=("embeddings",))
+    rows = spark.read.parquet(f"{d60}/embeddings.parquet").select(
+        "vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    spark.stop()
+    N = len(ids)
+    shift = 10_000
+    id2ix = {int(v): i for i, v in enumerate(ids)}
+    tp = [
+        (id2ix[c * shift + a], id2ix[c * shift + b])
+        for c in range(30) for a, b in p0
+        if c * shift + a in id2ix and c * shift + b in id2ix
+    ]
+    truth_pairs = np.array(tp)
+    T = len(truth_pairs)
+    base_k = dedup._IVF_K_BASE * (
+        1 << sum(N > t for t in dedup._IVF_K_THRESHOLDS))
+
+    def probe_ranks(C, P):
+        topP = np.empty((N, P), dtype=np.int32)
+        chunk = 4096
+        for s in range(0, N, chunk):
+            acc = X[s:s + chunk] @ C.T
+            part = np.argpartition(-acc, min(P, C.shape[0] - 1), axis=1)[:, :P]
+            sc = np.take_along_axis(acc, part, axis=1)
+            o = np.argsort(-sc, axis=1)
+            topP[s:s + chunk] = np.take_along_axis(part, o, axis=1)
+        return topP[:, 0].copy(), topP
+
+    def eval_asym(centroid_sets, P):
+        caught = np.zeros(T, dtype=bool)
+        mass = 0
+        for C in centroid_sets:
+            home, topP = probe_ranks(C, P)
+            k = C.shape[0]
+            hc = np.bincount(home, minlength=k)
+            pc = np.bincount(topP.ravel(), minlength=k)
+            mass += int((hc * pc).sum())
+            a, b = truth_pairs[:, 0], truth_pairs[:, 1]
+            ha, hb = home[a], home[b]
+            caught |= (topP[a] == hb[:, None]).any(axis=1)
+            caught |= (topP[b] == ha[:, None]).any(axis=1)
+        return caught.mean(), mass
+
+    def cents(rem, k):
+        m = ids % dedup._IVF_SEED_MOD == rem
+        return X[m][:k].copy()
+
+    t0 = _t.time()
+    lines = [
+        "# Asymmetric IVF design grid at the 60k point (driver numpy replica)",
+        "",
+        f"N={N}, planted truth={T} pairs; base corpus-adaptive k={base_k}.",
+        "mass = ordered candidate rows (sum over cells of home·probe counts).",
+        "Replica validated against the Spark-measured single-table points",
+        "(k=2048 P=16/32 reproduce ivfasym's 0.2699/0.3858 exactly).",
+        "",
+        "| arm | recall | mass |",
+        "|---|---|---|",
+    ]
+    for kshift in (0, 1, 2):
+        k = max(base_k >> kshift, 8)
+        C = cents(dedup._IVF_SEED_REM, k)
+        for P in (16, 32, 64, 128):
+            r, m = eval_asym([C], min(P, k))
+            lines.append(f"| single k={k} P={P} | {r:.4f} | {m/1e6:.0f}M |")
+            print(f"k={k} P={P}: recall={r:.4f} mass={m/1e6:.0f}M", flush=True)
+    for Ptab, rems in ((8, (3, 1)), (8, (3, 1, 5, 7)),
+                       (16, (3, 1)), (16, (3, 1, 5, 7)), (32, (3, 1))):
+        sets = [cents(r_, base_k) for r_ in rems]
+        r, m = eval_asym(sets, Ptab)
+        lines.append(f"| multi T={len(rems)} P={Ptab} | {r:.4f} | {m/1e6:.0f}M |")
+        print(f"T={len(rems)} P={Ptab}: recall={r:.4f} mass={m/1e6:.0f}M",
+              flush=True)
+    lines.append("")
+    lines.append(f"grid wall: {_t.time()-t0:.0f}s")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0
+
+
+def ivfmt(out_path: str, with_600k: bool = False) -> int:
+    """Measure the REGISTERED multi-table arm (dedup_embedding_ivf_mt4)
+    through the full machinery at the 60k planted point — the number the
+    r9 VERDICT floor (recall >= 0.5 at <= 158 s) is judged on — and, with
+    --with-600k, at the 600k point where the symmetric arms collapsed."""
+    import time as _t
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.operators import dedup
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    spark = get_spark(app_name="ivfmt", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    p0 = {(r.a_id, r.b_id) for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    shift = 10_000
+
+    def measure(d, factor):
+        truth = factor * len(p0)
+        t0 = _t.time()
+        got = [(r.a_id, r.b_id)
+               for r in dedup.dedup_embedding_ivf_mt4(spark, d).collect()]
+        warm = _t.time() - t0
+        t0 = _t.time()
+        dedup.dedup_embedding_ivf_mt4(spark, d).write.format("noop").mode(
+            "overwrite").save()
+        steady = _t.time() - t0
+        hits = sum(1 for a, b in got
+                   if a // shift == b // shift and (a % shift, b % shift) in p0)
+        cross = sum(1 for a, b in got if a // shift != b // shift)
+        return hits, cross, len(got), hits / truth, min(warm, steady)
+
+    rows = []
+    d60 = synth_dir(spark, factor=30, tables=("embeddings",))
+    rows.append(("60k", *measure(d60, 30)))
+    print(f"60k mt4: {rows[-1]}", flush=True)
+    if with_600k:
+        d600 = synth_dir(spark, factor=300, tables=("embeddings",))
+        rows.append(("600k", *measure(d600, 300)))
+        print(f"600k mt4: {rows[-1]}", flush=True)
+
+    lines = [
+        "# Registered multi-table IVF arm (dedup_embedding_ivf_mt4) — planted recall",
+        "",
+        "Same planted truth and method as SCALING_r10_ivfasym.md; arm = the",
+        "REGISTERED query (T=4 disjoint centroid pools, P=8, caps 96/768).",
+        "r9 VERDICT floor: recall >= 0.5 at the 60k point at <= 158 s.",
+        "",
+        "| point | planted hits | cross-copy | pairs out | recall | cost (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label, hits, cross, n, rec, t in rows:
+        lines.append(f"| {label} | {hits} | {cross} | {n} | {rec:.4f} | {t:.1f} |")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0
+
+
 def docdecade3(out_path: str) -> int:
     import math
 
@@ -965,6 +1134,13 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfrecall":
         sys.exit(ivfrecall(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r09_ivfrecall.md",
                            with_600k="--with-600k" in sys.argv))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfgrid":
+        sys.exit(ivfgrid(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r10_ivfgrid.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfmt":
+        sys.exit(ivfmt(
+            next((a for a in sys.argv[2:] if not a.startswith("--")),
+                 "SCALING_r10_ivfmt.md"),
+            with_600k="--with-600k" in sys.argv))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfasym":
         bp = 0
         for a in sys.argv[2:]:
