@@ -224,6 +224,7 @@ def read(
     upper_bound: int | None = None,
     num_partitions: int | None = None,
     null_marker: str = NULL_MARKER,
+    sentinel_check_rows: int = 10_000,
 ) -> DataFrame:
     """COPY-transport scan with the jdbc.read surface (A1/A2 + splitter).
 
@@ -231,12 +232,33 @@ def read(
     prepared probe) names each output column's PG type; plain scalars cast
     JVM-side from the transported text, everything exotic stays text for
     the typemap parsers.
+
+    ``sentinel_check_rows``: the NULL-marker collision limit (module
+    docstring) gets a RUNTIME tripwire — one bounded server-side probe
+    renders the first N rows as text and counts occurrences of the
+    sentinel; any hit raises instead of silently mis-reading that value as
+    NULL. A sample, not a proof (rows beyond N are unchecked) — set 0 to
+    skip, or pick a collision-free ``null_marker=``.
     """
     if (query is None) == (table is None):
         raise ValueError("exactly one of query= or table= must be given")
     if shutil.which("psql") is None:
         raise RuntimeError("psql not on PATH — the COPY transport needs the PG client")
     target = resolve_target(conn)
+    if sentinel_check_rows:
+        probe_src = query if query is not None else f"SELECT * FROM {quote_ident(table)}"
+        esc = null_marker.replace("'", "''")
+        n_bad = int(run_sql(conn, (
+            f"SELECT COUNT(*) FROM (SELECT s::text AS rowtxt FROM "
+            f"(SELECT * FROM ({probe_src}) q LIMIT {int(sentinel_check_rows)}) s) t "
+            f"WHERE strpos(t.rowtxt, '{esc}') > 0"
+        ))[0][0])
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} of the first {sentinel_check_rows} rows contain the "
+                f"NULL sentinel {null_marker!r} in their data — those values "
+                "would transport as NULL; pass a collision-free null_marker="
+            )
     if table is not None:
         cols = probe_schema(conn, table)
         query = f"SELECT * FROM {quote_ident(table)}"

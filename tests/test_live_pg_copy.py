@@ -195,6 +195,22 @@ def test_copy_null_vs_empty_string_fidelity(spark, live_pg):
     assert row.empty_s == "" and row.null_s is None
 
 
+def test_copy_sentinel_collision_guard_trips(spark, live_pg):
+    """r9 VERDICT nit: data containing the literal NULL sentinel would
+    silently transport as NULL (pandas can't see PG's CSV quoting). The
+    sampled runtime guard must RAISE on such data instead, and a
+    collision-free null_marker= must read the same value through clean."""
+    from pg2parquet_spark.sources import pgcopy
+
+    poisoned = f"SELECT 1 AS i, '{pgcopy.NULL_MARKER}'::text AS s"
+    with pytest.raises(ValueError, match="NULL sentinel"):
+        pgcopy.read(spark, live_pg, query=poisoned)
+    row = pgcopy.read(
+        spark, live_pg, query=poisoned, null_marker="__ALT_NULL__"
+    ).collect()[0]
+    assert row.s == pgcopy.NULL_MARKER
+
+
 def test_copy_empty_partition_ranges_yield_no_rows(spark, live_pg):
     """Ranges past the data (and a fully-empty result) must produce empty
     partitions, not a pandas EmptyDataError."""
