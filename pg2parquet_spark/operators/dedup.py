@@ -2054,7 +2054,7 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRES
 """
 
 
-def _ivf_asym_candidates(
+def _ivf_asym_sides(
     spark: SparkSession,
     sf_dir: str,
     checkpoint: bool,
@@ -2062,14 +2062,13 @@ def _ivf_asym_candidates(
     home_cap: int,
     probe_cap: int,
     seed_rem: int = _IVF_SEED_REM,
-) -> DataFrame:
-    """One table's asymmetric candidate set, as NARROW normalized
-    (a_id, b_id) rows: ONE ranked assignment (Arrow kernel, with_rank)
-    feeds both sides — home = pr=1 under a per-cell membership cap, probe
-    = pr<=nprobe under a per-cell probe-list cap (both caps are 2x their
-    balanced occupancy bands, windows ordered by vec_id exactly like the
-    symmetric arms' candidacy windows). Candidates = probe ⋈ home on cid,
-    self-pairs dropped, orientation normalized LEAST/GREATEST."""
+) -> tuple[DataFrame, DataFrame]:
+    """One table's capped (home, probe) sides as NARROW (vec_id, cid)
+    rows: ONE ranked assignment (Arrow kernel, with_rank) feeds both —
+    home = pr=1 under a per-cell membership cap, probe = pr<=nprobe under
+    a per-cell probe-list cap (both caps are 2x their balanced occupancy
+    bands, windows ordered by vec_id exactly like the symmetric arms'
+    candidacy windows)."""
     from pyspark.sql import Window as W
 
     _, _, asg = _ivf_assignments(
@@ -2095,14 +2094,50 @@ def _ivf_asym_candidates(
         .filter(F.col("rnp") <= probe_cap)
         .select(F.col("vec_id").alias("p_vid"), "cid")
     )
-    return (
-        probe.join(home, "cid")
-        .filter(F.col("p_vid") != F.col("h_vid"))
-        .select(
-            F.least("p_vid", "h_vid").alias("a_id"),
-            F.greatest("p_vid", "h_vid").alias("b_id"),
-        )
+    return home, probe
+
+
+def _score_in_cell(joined: DataFrame) -> DataFrame:
+    """Exact re-score of an in-cell join stream (p_vid, h_vid, p_emb,
+    h_emb) → thresholded, orientation-normalized (a_id, b_id, cos_sim).
+    Same dimension-fold Arrow kernel as _score_candidate_pairs (the dot is
+    symmetric under orientation, so normalizing ids before or after
+    scoring is value-identical); runs IN-STAGE on the join output, so the
+    candidate-mass rows are streamed, never shuffled."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
+    threshold = _EMB_COS_THRESHOLD
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["p_emb"]), dtype=np.float64)
+            B = np.array(list(pdf["h_emb"]), dtype=np.float64)
+            acc = np.zeros(A.shape[0])
+            for d in range(A.shape[1]):
+                acc = acc + A[:, d] * B[:, d]
+            p = pdf["p_vid"].to_numpy(dtype=np.int64)
+            h = pdf["h_vid"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "a_id": np.minimum(p, h),
+                    "b_id": np.maximum(p, h),
+                    "cos_sim": acc,
+                }
+            )
+            yield out[out.cos_sim >= threshold]
+
+    return joined.mapInPandas(score, schema)
 
 
 def _ivf_asym_pair_build(
@@ -2114,13 +2149,20 @@ def _ivf_asym_pair_build(
     probe_cap: int | None = None,
     seed_rems: tuple[int, ...] = (_IVF_SEED_REM,),
 ) -> DataFrame:
-    """Asymmetric pair build, optionally multi-table: the union of the
-    per-seed-remainder candidate sets (each an independent centroid sample
-    → an independent data-adaptive partition of the corpus), then ONE
-    pre-distinct on the narrow 2-int rows (a pair can arrive from both
-    directions, from every shared cell, and from every table) before the
-    ~512 B/row embedding attach — the same measured placement argument as
-    the recall-tier LSH (_score_candidate_pairs docstring). Recall
+    """Asymmetric pair build, optionally multi-table, scored IN CELL
+    SPACE: embeddings attach to the capped home/probe rows (O(N·(1+P))
+    wide rows per table), the in-cell equi-join on cid streams every
+    candidate straight through the exact Arrow kernel in the same stage,
+    and only the thresholded SURVIVORS (~0.2% yield) reach the final
+    union + distinct. This inverts the other tiers' candidate-first
+    placement (_score_candidate_pairs) because the asym arm's candidate
+    mass is its recall dial: at the 600k point the candidate-first form
+    shuffles ~700M wide rows for the second embedding attach (~100+ GB —
+    it exceeded the local disk budget outright), while in-cell scoring
+    shuffles only the N·(1+P) side rows (~12 GB at 600k) regardless of
+    how deep the probes go. Value-identical: scoring a duplicate candidate
+    is exact-idempotent, the dot fold is orientation-symmetric, and the
+    oracle applies the same SELECT DISTINCT after its threshold. Recall
     composes across tables like the multi-table LSH's 1-(1-r)^T (tables
     are quasi-independent because their centroid POOLS are disjoint id
     classes mod _IVF_SEED_MOD); the measured 60k grid
@@ -2128,14 +2170,36 @@ def _ivf_asym_pair_build(
     both deeper probing and coarser cells at equal candidate mass."""
     if probe_cap is None:
         probe_cap = _IVFA_HOME_CAP * nprobe
-    emb = table(spark, sf_dir, "embeddings")
-    cand = None
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    survivors = None
     for rem in seed_rems:
-        c = _ivf_asym_candidates(
+        home, probe = _ivf_asym_sides(
             spark, sf_dir, checkpoint, nprobe, home_cap, probe_cap, seed_rem=rem
         )
-        cand = c if cand is None else cand.unionAll(c)
-    return _score_candidate_pairs(emb, cand, pre_distinct=True)
+        # attach embeddings to the SIDES (not the candidates): shuffle-hash
+        # on the bounded embedding build side, same asymmetry argument as
+        # _score_candidate_pairs
+        hp = home.join(
+            emb.hint("shuffle_hash").withColumnRenamed("vec_id", "h_vid")
+            .withColumnRenamed("embedding", "h_emb"),
+            "h_vid",
+        )
+        pp = probe.join(
+            emb.hint("shuffle_hash").withColumnRenamed("vec_id", "p_vid")
+            .withColumnRenamed("embedding", "p_emb"),
+            "p_vid",
+        )
+        joined = (
+            pp.join(hp.hint("shuffle_hash"), "cid")
+            .filter(F.col("p_vid") != F.col("h_vid"))
+            .select("p_vid", "h_vid", "p_emb", "h_emb")
+        )
+        s = _score_in_cell(joined)
+        survivors = s if survivors is None else survivors.unionAll(s)
+    # collapse cross-direction / cross-cell / cross-table duplicates on the
+    # thresholded survivor set (cos_sim deterministic per pair → 3-column
+    # distinct == (a_id, b_id) distinct)
+    return survivors.distinct()
 
 
 # Registered multi-table dials: the measured 60k design grid
