@@ -67,6 +67,10 @@ def test_vacuity_tool_flags_zero_at_both(tmp_path):
     assert r.returncode == 1
     assert "dead" in r.stdout and "good" not in r.stdout.replace("good: ", "")
 
+    # r10 gate-SF tier: "dead" now moves rows at the SECOND sidecar but is
+    # still 0 at the FIRST (the gate SF the driver's oracle compares at) —
+    # that's a GATE-VACUOUS finding, failing by default and downgradable to
+    # a warning only with an explicit --warn-ok
     b.write_text(json.dumps({"good": 0, "dead": 3}))
     r2 = subprocess.run(
         [sys.executable, "tools/vacuity.py", str(a), str(b)],
@@ -74,4 +78,25 @@ def test_vacuity_tool_flags_zero_at_both(tmp_path):
         text=True,
         cwd="/root/repo",
     )
-    assert r2.returncode == 0
+    assert r2.returncode == 1
+    assert "GATE-VACUOUS dead" in r2.stdout
+    r3 = subprocess.run(
+        [sys.executable, "tools/vacuity.py", "--warn-ok", str(a), str(b)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r3.returncode == 0
+    assert "GATE-VACUOUS dead" in r3.stdout
+
+    # all rows moving at the gate SF: clean exit, no findings
+    a.write_text(json.dumps({"good": 5, "dead": 2}))
+    b.write_text(json.dumps({"good": 1, "dead": 3}))
+    r4 = subprocess.run(
+        [sys.executable, "tools/vacuity.py", str(a), str(b)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r4.returncode == 0
+    assert "VACUOUS" not in r4.stdout
