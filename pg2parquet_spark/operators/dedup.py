@@ -1792,20 +1792,7 @@ def _ivf_assignments(
     # eval all re-derive assignments) reuse ONE broadcast instead of
     # leaking a fresh 8 MiB copy each call; keying on applicationId keeps
     # a restarted in-process session from touching a dead context's var.
-    cache_key = (spark.sparkContext.applicationId, sf_dir, k, seed_rem)
-    bc = _IVF_BC_CACHE.get(cache_key)
-    if bc is None:
-        cent_rows = (
-            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {seed_rem}"))
-            .orderBy("vec_id")
-            .limit(k)
-            .select("embedding")
-            .collect()
-        )
-        bc = spark.sparkContext.broadcast(
-            np.array([r.embedding for r in cent_rows], dtype=np.float64)
-        )
-        _IVF_BC_CACHE[cache_key] = bc
+    bc = _ivf_centroid_bc(spark, sf_dir, emb, k, seed_rem)
     fields = [StructField("vec_id", LongType()), StructField("cid", IntegerType())]
     if with_rank:
         fields.append(StructField("pr", IntegerType()))
@@ -1860,6 +1847,110 @@ def _ivf_assignments(
             if with_rank:
                 cols["pr"] = np.concatenate(out_p)
             yield pd.DataFrame(cols)
+
+    asg = emb.select("vec_id", "embedding").mapInPandas(assign, schema)
+    return emb, par, asg
+
+
+def _ivf_centroid_bc(spark, sf_dir, emb, k: int, seed_rem: int):
+    """The per-(app, sf_dir, k, rem) centroid broadcast — one collect and
+    one broadcast per distinct key per session (shared by the single-table
+    kernel, the fused multi-table kernel, and every audit)."""
+    import numpy as np
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir, k, seed_rem)
+    bc = _IVF_BC_CACHE.get(cache_key)
+    if bc is None:
+        cent_rows = (
+            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {seed_rem}"))
+            .orderBy("vec_id")
+            .limit(k)
+            .select("embedding")
+            .collect()
+        )
+        bc = spark.sparkContext.broadcast(
+            np.array([r.embedding for r in cent_rows], dtype=np.float64)
+        )
+        _IVF_BC_CACHE[cache_key] = bc
+    return bc
+
+
+def _ivf_assignments_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    seed_rems: tuple[int, ...],
+):
+    """(emb, par, asg_all): ranked assignments for EVERY centroid table in
+    ONE corpus scan — asg_all = (tbl, vec_id, cid, pr) where tbl is the
+    seed remainder. The multi-table arm's tables differ only in their
+    broadcast centroid matrix, so running T separate kernels costs T
+    corpus scans for no reason; at 100 TB the scan dominates, so the fused
+    kernel loops the tables per Arrow batch instead (identical total
+    flops, 1/T the input IO). Per-table math is byte-for-byte the
+    single-table kernel's (dimension-ordered accumulation, argmax-and-mask
+    top-nprobe) — pinned by test_ivf_multi_assignment_matches_singles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    emb = table(spark, sf_dir, "embeddings")
+    par = emb.agg(F.count("*").alias("n")).select(
+        F.expr(_ivf_k_case("n")).alias("k")
+    )
+    n = emb.count()
+    k = _IVF_K_BASE * (1 << sum(n > t for t in _IVF_K_THRESHOLDS))
+    bcs = [(rem, _ivf_centroid_bc(spark, sf_dir, emb, k, rem))
+           for rem in seed_rems]
+    schema = StructType(
+        [
+            StructField("tbl", IntegerType()),
+            StructField("vec_id", LongType()),
+            StructField("cid", IntegerType()),
+            StructField("pr", IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        tables = [(rem, b.value) for rem, b in bcs]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_t, out_v, out_c, out_p = [], [], [], []
+            for rem, C in tables:
+                kk = C.shape[0]
+                if kk == 0:
+                    continue  # empty pool degrades per-table, like single
+                chunk = max(1, 8_000_000 // kk)
+                for s in range(0, A.shape[0], chunk):
+                    Ae = A[s : s + chunk]
+                    acc = np.zeros((Ae.shape[0], kk))
+                    for d in range(Ae.shape[1]):
+                        acc += Ae[:, d : d + 1] * C[:, d][None, :]
+                    rows = np.arange(Ae.shape[0])
+                    for p in range(min(nprobe, kk)):
+                        top = np.argmax(acc, axis=1)
+                        out_t.append(
+                            np.full(Ae.shape[0], rem, dtype=np.int32)
+                        )
+                        out_v.append(ids[s : s + chunk])
+                        out_c.append((top + 1).astype(np.int32))
+                        out_p.append(
+                            np.full(Ae.shape[0], p + 1, dtype=np.int32)
+                        )
+                        acc[rows, top] = -np.inf
+            if not out_v:
+                continue
+            yield pd.DataFrame(
+                {
+                    "tbl": np.concatenate(out_t),
+                    "vec_id": np.concatenate(out_v),
+                    "cid": np.concatenate(out_c),
+                    "pr": np.concatenate(out_p),
+                }
+            )
 
     asg = emb.select("vec_id", "embedding").mapInPandas(assign, schema)
     return emb, par, asg
@@ -2054,49 +2145,6 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRES
 """
 
 
-def _ivf_asym_sides(
-    spark: SparkSession,
-    sf_dir: str,
-    checkpoint: bool,
-    nprobe: int,
-    home_cap: int,
-    probe_cap: int,
-    seed_rem: int = _IVF_SEED_REM,
-) -> tuple[DataFrame, DataFrame]:
-    """One table's capped (home, probe) sides as NARROW (vec_id, cid)
-    rows: ONE ranked assignment (Arrow kernel, with_rank) feeds both —
-    home = pr=1 under a per-cell membership cap, probe = pr<=nprobe under
-    a per-cell probe-list cap (both caps are 2x their balanced occupancy
-    bands, windows ordered by vec_id exactly like the symmetric arms'
-    candidacy windows)."""
-    from pyspark.sql import Window as W
-
-    _, _, asg = _ivf_assignments(
-        spark, sf_dir, nprobe=nprobe, with_rank=True, seed_rem=seed_rem
-    )
-    if checkpoint:
-        # the ranked assignment feeds BOTH join sides and two windows:
-        # checkpoint the narrow 3-int rows once, same rationale as the
-        # symmetric arms
-        asg = asg.localCheckpoint(eager=False)
-    home = (
-        asg.filter(F.col("pr") == 1)
-        .withColumn(
-            "rnh", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
-        )
-        .filter(F.col("rnh") <= home_cap)
-        .select(F.col("vec_id").alias("h_vid"), "cid")
-    )
-    probe = (
-        asg.withColumn(
-            "rnp", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
-        )
-        .filter(F.col("rnp") <= probe_cap)
-        .select(F.col("vec_id").alias("p_vid"), "cid")
-    )
-    return home, probe
-
-
 def _score_in_cell(joined: DataFrame) -> DataFrame:
     """Exact re-score of an in-cell join stream (p_vid, h_vid, p_emb,
     h_emb) → thresholded, orientation-normalized (a_id, b_id, cos_sim).
@@ -2168,38 +2216,60 @@ def _ivf_asym_pair_build(
     classes mod _IVF_SEED_MOD); the measured 60k grid
     (SCALING_r10_ivfasym.md) shows the multi-table direction dominating
     both deeper probing and coarser cells at equal candidate mass."""
+    from pyspark.sql import Window as W
+
     if probe_cap is None:
         probe_cap = _IVFA_HOME_CAP * nprobe
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    survivors = None
-    for rem in seed_rems:
-        home, probe = _ivf_asym_sides(
-            spark, sf_dir, checkpoint, nprobe, home_cap, probe_cap, seed_rem=rem
+    # ONE fused corpus scan ranks every table's assignments (tbl = seed
+    # remainder); the narrow 4-int rows feed both sides and two windows —
+    # checkpoint once, same signature-store rationale as the other arms
+    _, _, asg = _ivf_assignments_multi(spark, sf_dir, nprobe, seed_rems)
+    if checkpoint:
+        asg = asg.localCheckpoint(eager=False)
+    # per-(table, cell) capped windows — partitioning by the composite key
+    # runs all tables' windows in one pass
+    home = (
+        asg.filter(F.col("pr") == 1)
+        .withColumn(
+            "rnh",
+            F.row_number().over(W.partitionBy("tbl", "cid").orderBy("vec_id")),
         )
-        # attach embeddings to the SIDES (not the candidates): shuffle-hash
-        # on the bounded embedding build side, same asymmetry argument as
-        # _score_candidate_pairs
-        hp = home.join(
-            emb.hint("shuffle_hash").withColumnRenamed("vec_id", "h_vid")
-            .withColumnRenamed("embedding", "h_emb"),
-            "h_vid",
+        .filter(F.col("rnh") <= home_cap)
+        .select("tbl", F.col("vec_id").alias("h_vid"), "cid")
+    )
+    probe = (
+        asg.withColumn(
+            "rnp",
+            F.row_number().over(W.partitionBy("tbl", "cid").orderBy("vec_id")),
         )
-        pp = probe.join(
-            emb.hint("shuffle_hash").withColumnRenamed("vec_id", "p_vid")
-            .withColumnRenamed("embedding", "p_emb"),
-            "p_vid",
-        )
-        joined = (
-            pp.join(hp.hint("shuffle_hash"), "cid")
-            .filter(F.col("p_vid") != F.col("h_vid"))
-            .select("p_vid", "h_vid", "p_emb", "h_emb")
-        )
-        s = _score_in_cell(joined)
-        survivors = s if survivors is None else survivors.unionAll(s)
+        .filter(F.col("rnp") <= probe_cap)
+        .select("tbl", F.col("vec_id").alias("p_vid"), "cid")
+    )
+    # attach embeddings to the SIDES (not the candidates): shuffle-hash on
+    # the bounded embedding build side, same asymmetry argument as
+    # _score_candidate_pairs
+    hp = home.join(
+        emb.hint("shuffle_hash").withColumnRenamed("vec_id", "h_vid")
+        .withColumnRenamed("embedding", "h_emb"),
+        "h_vid",
+    )
+    pp = probe.join(
+        emb.hint("shuffle_hash").withColumnRenamed("vec_id", "p_vid")
+        .withColumnRenamed("embedding", "p_emb"),
+        "p_vid",
+    )
+    # ONE in-cell equi-join on the composite (tbl, cid) key covers every
+    # table; candidates stream through the kernel in-stage
+    joined = (
+        pp.join(hp.hint("shuffle_hash"), ["tbl", "cid"])
+        .filter(F.col("p_vid") != F.col("h_vid"))
+        .select("p_vid", "h_vid", "p_emb", "h_emb")
+    )
     # collapse cross-direction / cross-cell / cross-table duplicates on the
     # thresholded survivor set (cos_sim deterministic per pair → 3-column
     # distinct == (a_id, b_id) distinct)
-    return survivors.distinct()
+    return _score_in_cell(joined).distinct()
 
 
 # Registered multi-table dials: the measured 60k design grid
@@ -2293,52 +2363,60 @@ ps{s} AS (SELECT cid, COUNT(*) AS sz FROM asgr{s} GROUP BY cid)"""
 def dedup_embedding_ivf_mt4_cell_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    outs = []
-    for rem in _IVFMT_REMS:
-        _, par, asg = _ivf_assignments(
-            spark, sf_dir, nprobe=_IVFMT_NPROBE, with_rank=True, seed_rem=rem
-        )
-        # the narrow ranked rows feed two groupBys: checkpoint once so the
-        # N·k kernel runs once per table, not once per aggregate branch
-        asg = asg.localCheckpoint(eager=False)
-        hs = (
-            asg.filter(F.col("pr") == 1)
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("sz"))
-        )
-        ps = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
-        over_h = F.col("sz") > _IVFA_HOME_CAP
-        over_p = F.col("sz") > _IVFMT_PROBE_CAP
-        h = hs.agg(
+    _, par, asg = _ivf_assignments_multi(
+        spark, sf_dir, _IVFMT_NPROBE, _IVFMT_REMS
+    )
+    # the fused ranked rows feed two aggregate branches: checkpoint once so
+    # the ONE-corpus-scan kernel runs once, not per branch
+    asg = asg.localCheckpoint(eager=False)
+    over_h = F.col("sz") > _IVFA_HOME_CAP
+    over_p = F.col("sz") > _IVFMT_PROBE_CAP
+    stats_h = (
+        asg.filter(F.col("pr") == 1)
+        .groupBy("tbl", "cid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("tbl")
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_home_cells"),
             F.max("sz").cast("bigint").alias("max_home_cell"),
             F.sum(F.when(over_h, F.col("sz") - _IVFA_HOME_CAP).otherwise(0))
             .cast("bigint")
             .alias("home_dropped"),
         )
-        p = ps.agg(
+    )
+    stats_p = (
+        asg.groupBy("tbl", "cid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("tbl")
+        .agg(
             F.max("sz").cast("bigint").alias("max_probe_cell"),
             F.sum(F.when(over_p, F.col("sz") - _IVFMT_PROBE_CAP).otherwise(0))
             .cast("bigint")
             .alias("probe_dropped"),
         )
-        outs.append(
-            h.crossJoin(p)
-            .crossJoin(F.broadcast(par))
-            .select(
-                F.lit(rem).cast("bigint").alias("seed_rem"),
-                F.col("k").cast("bigint").alias("k"),
-                "n_home_cells",
-                "max_home_cell",
-                "home_dropped",
-                "max_probe_cell",
-                "probe_dropped",
-            )
+    )
+    # left-join from the rem list so an empty centroid pool still yields
+    # its audit row (COUNT 0 / NULL maxes — exactly the oracle's scalar
+    # subqueries over an empty asgr)
+    rems_df = spark.createDataFrame(
+        [(int(r),) for r in _IVFMT_REMS], "tbl int"
+    )
+    return (
+        rems_df.join(stats_h, "tbl", "left")
+        .join(stats_p, "tbl", "left")
+        .crossJoin(F.broadcast(par))
+        .select(
+            F.col("tbl").cast("bigint").alias("seed_rem"),
+            F.col("k").cast("bigint").alias("k"),
+            F.coalesce("n_home_cells", F.lit(0))
+            .cast("bigint")
+            .alias("n_home_cells"),
+            "max_home_cell",
+            "home_dropped",
+            "max_probe_cell",
+            "probe_dropped",
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+    )
 
 
 def _ivf_cell_audit_oracle_sql(

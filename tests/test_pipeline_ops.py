@@ -473,6 +473,25 @@ def test_ivf_ranked_assignment_matches_declarative(spark, sf_dir):
     assert a == d
 
 
+def test_ivf_multi_assignment_matches_singles(spark, sf_dir):
+    """The fused one-corpus-scan multi-table kernel must produce, for each
+    table, EXACTLY the single-table kernel's ranked assignment (which is
+    itself pinned to the declarative window and the SQL oracle) — the
+    contract that lets mt4 scan the corpus once for all 4 tables."""
+    _, _, multi = dedup._ivf_assignments_multi(
+        spark, sf_dir, dedup._IVFMT_NPROBE, dedup._IVFMT_REMS
+    )
+    got = {(r.tbl, r.vec_id, r.cid, r.pr) for r in multi.collect()}
+    want = set()
+    for rem in dedup._IVFMT_REMS:
+        _, _, single = dedup._ivf_assignments(
+            spark, sf_dir, nprobe=dedup._IVFMT_NPROBE,
+            with_rank=True, seed_rem=rem,
+        )
+        want |= {(rem, r.vec_id, r.cid, r.pr) for r in single.collect()}
+    assert got == want
+
+
 def test_ivf_kernel_empty_centroid_sample_degrades_empty(spark, tmp_path):
     """r9 ADVICE: a corpus with NO vec_id ≡ SEED_REM (mod SEED_MOD) yields
     an empty centroid sample (kk=0); the Arrow kernel must degrade to an
