@@ -144,7 +144,11 @@ def main() -> None:
         "cross-round comparability; query_spread = [min,max] of the 3 "
         "passes and env.loadavg separate machine noise from code "
         "regressions; dedup_embedding_ivf joined the headline set in r10 "
-        "(totals before BENCH_r10 exclude it)",
+        "(totals before BENCH_r10 exclude it); BENCH_r10's uniform ~2x vs "
+        "r9 was attributed to environment by the r11 interleaved A/B vs "
+        "28097bf (BENCH_AB_r11.md: HEAD faster than r9 code side-by-side, "
+        "A/B 0.86-0.93) — read cross-round absolute totals with up to ~2x "
+        "machine-window variance",
     }
     print(json.dumps(out))
 

@@ -1601,9 +1601,15 @@ def dedup_embedding_recall_tier_audit(spark: SparkSession, sf_dir: str) -> DataF
 _IVF_K_BASE = 8
 # n > threshold[i] → k doubles; lockstep with the LSH chain's philosophy
 # but starting at 375 so occupancy lands in the same (23.4, 46.9] band
-# with k a power of two. Capped at 16384 cells (n > 384000).
+# with k a power of two. Capped at 131072 cells (n > 3072000) — the r10
+# ceiling of 16384 (n > 384000) let corpora past ~768k vectors leave the
+# occupancy band entirely, going quadratic on in-cell pair mass (r10
+# VERDICT #3); three more decades keep the band through multi-million-row
+# corpora at a centroid-broadcast cost that stays executor-trivial
+# (131072 x 64 float64 = 67 MiB, shipped once per executor).
 _IVF_K_THRESHOLDS = (
     375, 750, 1500, 3000, 6000, 12000, 24000, 48000, 96000, 192000, 384000,
+    768000, 1536000, 3072000,
 )
 _IVF_SEED_MOD = 13  # centroid sample: every 13th vec_id (deterministic)
 _IVF_SEED_REM = 3
@@ -1619,8 +1625,47 @@ _IVF4_NPROBE = 4
 _IVF4_CELL_CAP = 384
 # one centroid broadcast per (applicationId, sf_dir, k): bounded by the
 # handful of distinct corpora a session touches, vs. a fresh 8 MiB leak per
-# _ivf_assignments call (pair build + 2 audits + recall eval = 4+ per query)
+# _ivf_assignments call (pair build + 2 audits + recall eval = 4+ per query).
+# Entries carry a content fingerprint of the parquet inputs (paths + size +
+# mtime): a rewrite of the same path within one app invalidates the entry
+# and unpersists the stale broadcast instead of silently serving dead
+# centroids (r10 ADVICE).
 _IVF_BC_CACHE: dict = {}
+# corpus row count per (applicationId, sf_dir): the assignment kernels need
+# n driver-side to size k, and one query invokes the assignment build
+# several times (pair build + cell audit + recall eval) — cache the count
+# under the same fingerprint discipline so each corpus pays ONE count scan
+# per session, not one per call (r10 VERDICT nit).
+_IVF_N_CACHE: dict = {}
+
+
+def _emb_fingerprint(emb: DataFrame) -> tuple:
+    """Content fingerprint of a DataFrame's parquet inputs: sorted
+    (path, size, mtime) triples — driver-side file metadata only, no job.
+    Non-local inputs degrade to path-only (still catches re-pointing)."""
+    import os as _os
+
+    out = []
+    for uri in emb.inputFiles():
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            st = _os.stat(path)
+            out.append((path, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((path, -1, -1))
+    return tuple(sorted(out))
+
+
+def _ivf_corpus_n(spark: SparkSession, sf_dir: str, emb: DataFrame) -> int:
+    """The cached corpus count (see _IVF_N_CACHE)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _emb_fingerprint(emb)
+    hit = _IVF_N_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    n = emb.count()
+    _IVF_N_CACHE[key] = (fp, n)
+    return n
 
 
 def _check_ivf_coupling() -> None:
@@ -1776,11 +1821,10 @@ def _ivf_assignments(
         )
         return emb, par, asg
 
-    import numpy as np
     import pandas as pd
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    n = emb.count()
+    n = _ivf_corpus_n(spark, sf_dir, emb)
     k = _IVF_K_BASE * (1 << sum(n > t for t in _IVF_K_THRESHOLDS))
     # k x dim float64 matrix; row j is cid j+1 (the seed sample's global
     # vec_id order = the oracle's ROW_NUMBER() OVER (ORDER BY vec_id)).
@@ -1799,6 +1843,8 @@ def _ivf_assignments(
     schema = StructType(fields)
 
     def assign(batches):
+        import numpy as np
+
         C = bc.value
         kk = C.shape[0]
         if kk == 0:
@@ -1808,7 +1854,7 @@ def _ivf_assignments(
             # 1-D empty array here, so none of the 2-D kernel indexing
             # below is legal (r9 ADVICE)
             return
-        # chunk rows so the (rows x k) dot block stays ~64 MiB at any dial
+        # chunk rows so the (rows x k) score block stays ~64 MiB at any dial
         chunk = max(1, 8_000_000 // max(kk, 1))
         for pdf in batches:
             if len(pdf) == 0:
@@ -1818,28 +1864,14 @@ def _ivf_assignments(
             out_v, out_c, out_p = [], [], []
             for s in range(0, A.shape[0], chunk):
                 Ae = A[s : s + chunk]
-                acc = np.zeros((Ae.shape[0], kk))
-                # dimension-ordered accumulation: acc[i,j] folds
-                # ((0.0+t1)+t2)+... exactly like the oracle's unrolled sum
-                # and the HOF aggregate — never a BLAS matmul, whose
-                # reduction order is unspecified
-                for d in range(Ae.shape[1]):
-                    acc += Ae[:, d : d + 1] * C[:, d][None, :]
-                # top-nprobe by (dot DESC, cid ASC): argmax returns the
-                # FIRST maximal column (= lowest cid on exact dot ties,
-                # matching the window's tie-break); mask and repeat — two
-                # O(k) passes instead of a full O(k log k) row argsort,
-                # which dominated the kernel at k = 16384
-                rows = np.arange(Ae.shape[0])
-                for p in range(min(nprobe, kk)):
-                    top = np.argmax(acc, axis=1)
+                ranked = _ivf_rank_cells(Ae, C, nprobe)
+                for p in range(ranked.shape[1]):
                     out_v.append(ids[s : s + chunk])
-                    out_c.append((top + 1).astype(np.int32))
+                    out_c.append(ranked[:, p])
                     if with_rank:
                         out_p.append(
                             np.full(Ae.shape[0], p + 1, dtype=np.int32)
                         )
-                    acc[rows, top] = -np.inf
             cols = {
                 "vec_id": np.concatenate(out_v),
                 "cid": np.concatenate(out_c),
@@ -1852,26 +1884,79 @@ def _ivf_assignments(
     return emb, par, asg
 
 
+def _ivf_rank_cells(Ae, C, nprobe: int):
+    """Top-nprobe centroid ranking for one row chunk: (rows ×
+    min(nprobe, k)) int32 matrix of 1-based cids ordered by (dot DESC,
+    cid ASC) — the shared score core of the single-table and fused
+    multi-table assignment kernels.
+
+    Exactness: every dot folds dimensions IN ORDER (acc[i,j] accumulates
+    ((0.0+t1)+t2)+... exactly like the oracle's unrolled sum and the HOF
+    aggregate — never a BLAS matmul, whose reduction order is
+    unspecified), and top-nprobe extraction is nprobe argmax-and-mask
+    passes (argmax returns the FIRST maximal column = lowest cid on exact
+    dot ties, matching the window's ORDER BY dot DESC, cid).
+
+    Performance: the k axis is TILED so the accumulator tile stays
+    cache-resident across the 64 dimension passes (r11). The untiled form
+    streamed the full rows×k block through DRAM once per dimension —
+    ~k·D·8·2 bytes of traffic per row (≈25 MB/row at k=16384), which made
+    the 600k-corpus assignment memory-bound at ~1600 s; per-element
+    accumulation order is unchanged by tiling over k (each acc[i,j] still
+    folds d=0..D-1 in sequence), so the output is bit-identical — pinned
+    by test_ivf_arrow_assignment_matches_declarative. Traffic drops to
+    ~one write of the score block plus D cache-resident tile passes."""
+    import numpy as np
+
+    kk = C.shape[0]
+    rows_n = Ae.shape[0]
+    acc = np.empty((rows_n, kk))
+    # tile width: rows×tile×8 ≈ 1 MiB keeps the working tile in L2
+    tile = max(8, min(kk, (1 << 17) // max(rows_n, 1)))
+    for a in range(0, kk, tile):
+        b = min(a + tile, kk)
+        Ct = C[a:b]
+        at = np.zeros((rows_n, b - a))
+        for d in range(Ae.shape[1]):
+            at += Ae[:, d : d + 1] * Ct[:, d][None, :]
+        acc[:, a:b] = at
+    rows = np.arange(rows_n)
+    width = min(nprobe, kk)
+    ranked = np.empty((rows_n, width), dtype=np.int32)
+    for p in range(width):
+        top = np.argmax(acc, axis=1)
+        ranked[:, p] = top + 1
+        acc[rows, top] = -np.inf
+    return ranked
+
+
 def _ivf_centroid_bc(spark, sf_dir, emb, k: int, seed_rem: int):
     """The per-(app, sf_dir, k, rem) centroid broadcast — one collect and
     one broadcast per distinct key per session (shared by the single-table
-    kernel, the fused multi-table kernel, and every audit)."""
+    kernel, the fused multi-table kernel, and every audit). A hit is served
+    only if the input fingerprint still matches; on mismatch the stale
+    broadcast is unpersisted and rebuilt (r10 ADVICE — a rewritten corpus
+    at the same path must not be scored against dead centroids)."""
     import numpy as np
 
     cache_key = (spark.sparkContext.applicationId, sf_dir, k, seed_rem)
-    bc = _IVF_BC_CACHE.get(cache_key)
-    if bc is None:
-        cent_rows = (
-            emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {seed_rem}"))
-            .orderBy("vec_id")
-            .limit(k)
-            .select("embedding")
-            .collect()
-        )
-        bc = spark.sparkContext.broadcast(
-            np.array([r.embedding for r in cent_rows], dtype=np.float64)
-        )
-        _IVF_BC_CACHE[cache_key] = bc
+    fp = _emb_fingerprint(emb)
+    hit = _IVF_BC_CACHE.get(cache_key)
+    if hit is not None:
+        if hit[0] == fp:
+            return hit[1]
+        hit[1].unpersist()
+    cent_rows = (
+        emb.filter(F.expr(f"vec_id % {_IVF_SEED_MOD} = {seed_rem}"))
+        .orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast(
+        np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    )
+    _IVF_BC_CACHE[cache_key] = (fp, bc)
     return bc
 
 
@@ -1898,7 +1983,7 @@ def _ivf_assignments_multi(
     par = emb.agg(F.count("*").alias("n")).select(
         F.expr(_ivf_k_case("n")).alias("k")
     )
-    n = emb.count()
+    n = _ivf_corpus_n(spark, sf_dir, emb)
     k = _IVF_K_BASE * (1 << sum(n > t for t in _IVF_K_THRESHOLDS))
     bcs = [(rem, _ivf_centroid_bc(spark, sf_dir, emb, k, rem))
            for rem in seed_rems]
@@ -1912,6 +1997,8 @@ def _ivf_assignments_multi(
     )
 
     def assign(batches):
+        import numpy as np
+
         tables = [(rem, b.value) for rem, b in bcs]
         for pdf in batches:
             if len(pdf) == 0:
@@ -1926,21 +2013,17 @@ def _ivf_assignments_multi(
                 chunk = max(1, 8_000_000 // kk)
                 for s in range(0, A.shape[0], chunk):
                     Ae = A[s : s + chunk]
-                    acc = np.zeros((Ae.shape[0], kk))
-                    for d in range(Ae.shape[1]):
-                        acc += Ae[:, d : d + 1] * C[:, d][None, :]
-                    rows = np.arange(Ae.shape[0])
-                    for p in range(min(nprobe, kk)):
-                        top = np.argmax(acc, axis=1)
+                    # shared k-tiled exact score core — see _ivf_rank_cells
+                    ranked = _ivf_rank_cells(Ae, C, nprobe)
+                    for p in range(ranked.shape[1]):
                         out_t.append(
                             np.full(Ae.shape[0], rem, dtype=np.int32)
                         )
                         out_v.append(ids[s : s + chunk])
-                        out_c.append((top + 1).astype(np.int32))
+                        out_c.append(ranked[:, p])
                         out_p.append(
                             np.full(Ae.shape[0], p + 1, dtype=np.int32)
                         )
-                        acc[rows, top] = -np.inf
             if not out_v:
                 continue
             yield pd.DataFrame(
@@ -1991,9 +2074,22 @@ def _ivf_pair_build(
     nprobe: int | None = None,
     cap: int = _IVF_CELL_CAP,
 ) -> DataFrame:
-    """Shared pair build of the IVF arms: assignment (Arrow kernel) →
-    per-cell candidacy window → in-cell i<j equi-join on cid → exact
-    Arrow re-score. checkpoint=False is the plan-audit path only."""
+    """Shared pair build of the symmetric IVF arms: assignment (Arrow
+    kernel) → per-cell candidacy window → in-cell i<j equi-join on cid →
+    exact Arrow re-score. checkpoint=False is the plan-audit path only.
+
+    Scored IN CELL SPACE since r11 (r10 VERDICT #5): embeddings attach
+    ONCE to the capped assignment rows (bounded at k·cap rows per side),
+    and the i<j self-join on cid streams candidates straight through the
+    exact dot kernel in-stage — the same inversion the mt4 arm proved
+    value-identical and ~100 GB cheaper at the 600k point, where this
+    arm's old candidate-first form (narrow pair join, then TWO wide
+    embedding attaches over the full candidate mass) exceeded the local
+    disk budget. Shuffle mass is O(N·nprobe·emb), independent of how much
+    candidate mass the cid join produces. Value-identity argument as mt4:
+    the dot fold is orientation-symmetric, duplicate scoring is
+    exact-idempotent, and the post-threshold distinct collapses the same
+    duplicates the oracle's SELECT DISTINCT does."""
     from pyspark.sql import Window as W
 
     emb, _, asg = _ivf_assignments(spark, sf_dir, nprobe=nprobe)
@@ -2001,17 +2097,31 @@ def _ivf_pair_build(
         # narrow 2-int rows consumed by both join sides: checkpoint once,
         # same signature-store rationale as _adaptive_lsh_build
         asg = asg.localCheckpoint(eager=False)
-    capped = asg.withColumn(
-        "rnc", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
-    ).filter(F.col("rnc") <= cap)
-    a = capped.select(F.col("vec_id").alias("a_id"), "cid")
-    b = capped.select(F.col("vec_id").alias("b_id"), "cid")
-    cand = (
-        a.join(b, "cid")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+    capped = (
+        asg.withColumn(
+            "rnc", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
+        )
+        .filter(F.col("rnc") <= cap)
+        .select("vec_id", "cid")
     )
-    return _score_candidate_pairs(emb, cand)
+    # ONE bounded embedding attach (≤ k·cap rows), reused by both join
+    # sides; shuffle-hash on the embedding side, same asymmetry argument
+    # as _score_candidate_pairs
+    wide = capped.join(
+        emb.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id"
+    )
+    a = wide.select(
+        F.col("vec_id").alias("p_vid"), "cid", F.col("embedding").alias("p_emb")
+    )
+    b = wide.select(
+        F.col("vec_id").alias("h_vid"), "cid", F.col("embedding").alias("h_emb")
+    )
+    joined = (
+        a.join(b.hint("shuffle_hash"), "cid")
+        .filter(F.col("p_vid") < F.col("h_vid"))
+        .select("p_vid", "h_vid", "p_emb", "h_emb")
+    )
+    return _score_in_cell(joined).distinct()
 
 
 def ivf_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

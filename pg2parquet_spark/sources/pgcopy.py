@@ -237,8 +237,16 @@ def read(
     docstring) gets a RUNTIME tripwire — one bounded server-side probe
     renders the first N rows as text and counts occurrences of the
     sentinel; any hit raises instead of silently mis-reading that value as
-    NULL. A sample, not a proof (rows beyond N are unchecked) — set 0 to
-    skip, or pick a collision-free ``null_marker=``.
+    NULL. Three documented caveats (r10 ADVICE): (1) a sample, not a
+    proof — rows beyond N are unchecked; (2) CONSERVATIVE — the probe
+    matches the sentinel as a SUBSTRING of the record text, so a value
+    merely containing it raises even though whole-field NULL matching
+    would have transported it fine (prefer a collision-free
+    ``null_marker=`` over weakening the guard); (3) COST — the probe runs
+    the user query server-side under LIMIT N, which does NOT shortcut
+    aggregating/sorting queries, so an expensive ``query=`` read pays
+    roughly twice; set ``sentinel_check_rows=0`` to skip when the data is
+    known clean.
     """
     if (query is None) == (table is None):
         raise ValueError("exactly one of query= or table= must be given")
@@ -248,9 +256,14 @@ def read(
     if sentinel_check_rows:
         probe_src = query if query is not None else f"SELECT * FROM {quote_ident(table)}"
         esc = null_marker.replace("'", "''")
+        # the whole-row render must use an alias no real column plausibly
+        # shadows: with a bare alias like `s`, a user column named s wins
+        # name resolution and the guard silently inspects ONLY that column
+        # (r10 ADVICE — test_copy_sentinel_guard_sees_whole_row)
         n_bad = int(run_sql(conn, (
-            f"SELECT COUNT(*) FROM (SELECT s::text AS rowtxt FROM "
-            f"(SELECT * FROM ({probe_src}) q LIMIT {int(sentinel_check_rows)}) s) t "
+            f"SELECT COUNT(*) FROM (SELECT __pgcopy_probe_row::text AS rowtxt FROM "
+            f"(SELECT * FROM ({probe_src}) q LIMIT {int(sentinel_check_rows)})"
+            f" __pgcopy_probe_row) t "
             f"WHERE strpos(t.rowtxt, '{esc}') > 0"
         ))[0][0])
         if n_bad:

@@ -211,6 +211,21 @@ def test_copy_sentinel_collision_guard_trips(spark, live_pg):
     assert row.s == pgcopy.NULL_MARKER
 
 
+def test_copy_sentinel_guard_sees_whole_row(spark, live_pg):
+    """r10 ADVICE: the collision probe renders the WHOLE row. With the old
+    bare `s` subquery alias, a user column literally named `s` won name
+    resolution and the guard silently inspected only that column — a
+    poisoned value in any OTHER column slipped through. The fixed
+    __pgcopy_probe_row alias must catch it."""
+    from pg2parquet_spark.sources import pgcopy
+
+    poisoned = (
+        f"SELECT 'clean'::text AS s, '{pgcopy.NULL_MARKER}'::text AS other"
+    )
+    with pytest.raises(ValueError, match="NULL sentinel"):
+        pgcopy.read(spark, live_pg, query=poisoned)
+
+
 def test_copy_empty_partition_ranges_yield_no_rows(spark, live_pg):
     """Ranges past the data (and a fully-empty result) must produce empty
     partitions, not a pandas EmptyDataError."""

@@ -511,6 +511,33 @@ def test_ivf_kernel_empty_centroid_sample_degrades_empty(spark, tmp_path):
     assert decl.count() == 0
 
 
+def test_ivf_occupancy_band_holds_at_every_edge():
+    """The corpus-adaptive k dial must keep expected cell occupancy n/k in
+    the designed (23.4, 46.9] band at BOTH sides of every threshold —
+    including the r11 extensions past 384k (768000/1536000/3072000), which
+    exist precisely so multi-hundred-k corpora don't leave the band and go
+    quadratic on in-cell pair mass (r10 VERDICT #3). Above the last
+    threshold the band necessarily opens upward; assert the first exit
+    point is exactly 2x the last threshold (one full doubling of headroom
+    past the largest dialed corpus)."""
+    from pg2parquet_spark.operators import dedup
+
+    def k_of(n):
+        return dedup._IVF_K_BASE * (
+            1 << sum(n > t for t in dedup._IVF_K_THRESHOLDS)
+        )
+
+    for t in dedup._IVF_K_THRESHOLDS:
+        # at the threshold: top of the band (46.875 = 375/8)
+        assert t / k_of(t) <= 375 / 8, (t, k_of(t))
+        # just past it k doubles: bottom of the band
+        assert (t + 1) / k_of(t + 1) > 375 / 16, (t, k_of(t + 1))
+    last = dedup._IVF_K_THRESHOLDS[-1]
+    assert last == 3072000  # r11: three decades past the r10 16384-cell cap
+    # band holds until one doubling past the last threshold
+    assert (2 * last) / k_of(2 * last) <= 375 / 8
+
+
 def test_ivf_k_chain_is_engine_portable(spark):
     """The k CASE chain must evaluate identically in DuckDB and Spark at
     every threshold boundary — same contract as the LSH bits chain."""

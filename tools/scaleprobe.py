@@ -1006,6 +1006,198 @@ def ivfgrid(out_path: str) -> int:
     return 0
 
 
+def ivfgrid600(out_path: str) -> int:
+    """600k-point design grid (r10 VERDICT #2 + #4): the same driver numpy
+    replica discipline as ivfgrid, at the point where the registered mt4
+    arm sits at 0.2976 recall — sweeps the multi-table dial T (disjoint
+    seed-remainder pools mod 13) × probe depth P, and PRICES the two-level
+    coarse quantizer (IMI/residual style, Jégou et al.: assign via k₁
+    coarse cells then k₂ sub-cells, so assignment flops per vector fall
+    from k to k₁ + c₁·k₂) against the flat quantizer at matched (T, P).
+    The replica is validated by reproducing the Spark-measured flat
+    T=4 P=8 600k point (0.2976) before any new numbers are read. Catch
+    criterion (asym home/probe): home(b) ∈ topP(a) ∨ home(a) ∈ topP(b),
+    per table, OR-composed across tables; recall = caught planted pairs /
+    planted truth. BLAS scoring is legal here because catch is a SET
+    property of the rankings — no exact dot ties off-diagonal at this
+    corpus (same argument as ivfgrid, validated r10)."""
+    import time as _t
+
+    import numpy as np
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.operators import dedup
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    spark = get_spark(app_name="ivfgrid600", cpus=16, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    p0 = {(r.a_id, r.b_id)
+          for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    d600 = synth_dir(spark, factor=300, tables=("embeddings",))
+    rows = spark.read.parquet(f"{d600}/embeddings.parquet").select(
+        "vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    del rows
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    spark.stop()
+    N = len(ids)
+    shift = 10_000
+    id2ix = {int(v): i for i, v in enumerate(ids)}
+    tp = [
+        (id2ix[c * shift + a], id2ix[c * shift + b])
+        for c in range(300) for a, b in p0
+        if c * shift + a in id2ix and c * shift + b in id2ix
+    ]
+    truth_pairs = np.array(tp)
+    T = len(truth_pairs)
+    k = dedup._IVF_K_BASE * (
+        1 << sum(N > t for t in dedup._IVF_K_THRESHOLDS))
+    a_ix, b_ix = truth_pairs[:, 0], truth_pairs[:, 1]
+    PMAX = 16
+
+    def flat_ranks(C):
+        """(home, topPMAX) under the flat quantizer — BLAS chunked."""
+        topP = np.empty((N, PMAX), dtype=np.int32)
+        chunk = 4096
+        for s in range(0, N, chunk):
+            acc = X[s:s + chunk] @ C.T
+            part = np.argpartition(
+                -acc, min(PMAX, C.shape[0] - 1), axis=1)[:, :PMAX]
+            sc = np.take_along_axis(acc, part, axis=1)
+            o = np.argsort(-sc, axis=1)
+            topP[s:s + chunk] = np.take_along_axis(part, o, axis=1)
+        return topP
+
+    def catch_and_mass(home, topP, P, kcells):
+        t = topP[:, :P]
+        hc = np.bincount(home, minlength=kcells)
+        pc = np.bincount(t.ravel(), minlength=kcells)
+        mass = int((hc * pc).sum())
+        ha, hb = home[a_ix], home[b_ix]
+        c = (t[a_ix] == hb[:, None]).any(axis=1)
+        c |= (t[b_ix] == ha[:, None]).any(axis=1)
+        return c, mass
+
+    ALL_REMS = (3, 1, 5, 7, 9, 11, 0, 2, 4, 6, 8, 10)  # 12 disjoint pools
+
+    lines = [
+        "# Asymmetric IVF design grid at the 600k point (driver numpy replica)",
+        "",
+        f"N={N}, planted truth={T} pairs; corpus-adaptive k={k} per table.",
+        "mass = ordered candidate rows (sum over cells of home*probe counts),",
+        "summed over tables. flops/vec = assignment dot count per vector per",
+        "table (the quadratic build cost r10 VERDICT #4 names: flat pays k,",
+        "two-level pays k1 + c1*k2).",
+        "",
+        "## Flat quantizer: T x P frontier (incremental tables)",
+        "",
+        "| arm | recall | mass | flops/vec/table |",
+        "|---|---|---|---|",
+    ]
+    t0 = _t.time()
+    caught8 = np.zeros(T, dtype=bool)
+    caught16 = np.zeros(T, dtype=bool)
+    mass8 = mass16 = 0
+    flat_results = {}
+    for i, rem in enumerate(ALL_REMS):
+        m = ids % dedup._IVF_SEED_MOD == rem
+        C = X[m][:k].copy()
+        topP = flat_ranks(C)
+        home = topP[:, 0]
+        c8, m8 = catch_and_mass(home, topP, 8, k)
+        c16, m16 = catch_and_mass(home, topP, 16, k)
+        caught8 |= c8
+        caught16 |= c16
+        mass8 += m8
+        mass16 += m16
+        nt = i + 1
+        flat_results[(nt, 8)] = (caught8.mean(), mass8)
+        flat_results[(nt, 16)] = (caught16.mean(), mass16)
+        print(f"flat T={nt}: P=8 r={caught8.mean():.4f} m={mass8/1e6:.0f}M | "
+              f"P=16 r={caught16.mean():.4f} m={mass16/1e6:.0f}M", flush=True)
+        del topP
+    for nt in (4, 6, 8, 10, 12):
+        for P in (8, 16):
+            r, m = flat_results[(nt, P)]
+            lines.append(f"| flat T={nt} P={P} | {r:.4f} | {m/1e6:.0f}M | {k} |")
+
+    # ---- two-level coarse quantizer (priced at matched T, P) ------------
+    def twolevel_ranks(rem, k1, k2, c1):
+        """(home, topPMAX, n_cells): seeds = the same deterministic pool;
+        coarse = first k1 seeds; sub-centroids = first k2 seeds assigned
+        to each coarse cell (seed order = vec_id order — the oracle's two
+        chained ROW_NUMBERs). Query: rank top-c1 coarse, then top-P among
+        the selected cells' subs. Cell key = coarse*k2 + sub."""
+        S = X[ids % dedup._IVF_SEED_MOD == rem]
+        C1 = S[:k1]
+        # seed budget: same k seeds the flat quantizer uses
+        Sk = S[:k]
+        sa = np.argmax(Sk @ C1.T, axis=1)
+        subC = np.zeros((k1, k2, X.shape[1]))
+        subn = np.zeros(k1, dtype=np.int64)
+        for j in range(len(Sk)):
+            cc = sa[j]
+            if subn[cc] < k2:
+                subC[cc, subn[cc]] = Sk[j]
+                subn[cc] += 1
+        valid = np.arange(k2)[None, :] < subn[:, None]  # k1 x k2
+        topP = np.empty((N, PMAX), dtype=np.int64)
+        chunk = 2048
+        for s in range(0, N, chunk):
+            Q = X[s:s + chunk]
+            cs = Q @ C1.T
+            sel = np.argpartition(-cs, min(c1, k1 - 1), axis=1)[:, :c1]
+            m0 = Q.shape[0]
+            allsc = np.full((m0, c1 * k2), -np.inf)
+            for j in range(c1):
+                Cj = subC[sel[:, j]]            # m0 x k2 x d
+                sc = np.einsum("md,mkd->mk", Q, Cj)
+                sc[~valid[sel[:, j]]] = -np.inf
+                allsc[:, j * k2:(j + 1) * k2] = sc
+            part = np.argpartition(-allsc, PMAX, axis=1)[:, :PMAX]
+            psc = np.take_along_axis(allsc, part, axis=1)
+            o = np.argsort(-psc, axis=1)
+            part = np.take_along_axis(part, o, axis=1)
+            # local (j, sub) -> global cell key coarse*k2 + sub
+            jj, sub = part // k2, part % k2
+            topP[s:s + chunk] = sel[
+                np.arange(m0)[:, None], jj] * k2 + sub
+        return topP[:, 0].copy(), topP, int(subn.sum())
+
+    lines += [
+        "",
+        "## Two-level coarse quantizer at matched (T, P)",
+        "",
+        "| arm | recall | mass | flops/vec/table |",
+        "|---|---|---|---|",
+    ]
+    for k1, k2, c1 in ((128, 128, 8), (128, 128, 16), (64, 256, 8)):
+        caught = np.zeros(T, dtype=bool)
+        mass = 0
+        flops = k1 + c1 * k2
+        for nt, rem in enumerate(ALL_REMS[:8], start=1):
+            home, topP, ncells = twolevel_ranks(rem, k1, k2, c1)
+            c, m = catch_and_mass(home, topP, 8, k1 * k2)
+            caught |= c
+            mass += m
+            if nt in (4, 6, 8):
+                lines.append(
+                    f"| 2lvl k1={k1} k2={k2} c1={c1} T={nt} P=8 "
+                    f"| {caught.mean():.4f} | {mass/1e6:.0f}M | {flops} |")
+                print(f"2lvl {k1}/{k2}/c1={c1} T={nt}: r={caught.mean():.4f} "
+                      f"m={mass/1e6:.0f}M ncells={ncells}", flush=True)
+            del topP
+
+    lines.append("")
+    lines.append(f"grid wall: {_t.time()-t0:.0f}s")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", out_path, flush=True)
+    return 0
+
+
 def ivfmt(out_path: str, with_600k: bool = False) -> int:
     """Measure the REGISTERED multi-table arm (dedup_embedding_ivf_mt4)
     through the full machinery at the 60k planted point — the number the
@@ -1136,6 +1328,9 @@ if __name__ == "__main__":
                            with_600k="--with-600k" in sys.argv))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfgrid":
         sys.exit(ivfgrid(sys.argv[2] if len(sys.argv) > 2 else "SCALING_r10_ivfgrid.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfgrid600":
+        sys.exit(ivfgrid600(
+            sys.argv[2] if len(sys.argv) > 2 else "SCALING_r11_ivfgrid600.md"))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfmt":
         sys.exit(ivfmt(
             next((a for a in sys.argv[2:] if not a.startswith("--")),
