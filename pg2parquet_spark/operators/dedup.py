@@ -1762,17 +1762,14 @@ def _ivf_assignments(
     (test_ivf_arrow_assignment_matches_declarative):
 
     - default (Arrow kernel): the N·k assignment dots run in a numpy
-      mapInPandas kernel against a driver-collected centroid matrix
-      (≤ 16384×64 floats = 4 MiB closure). The accumulation is
-      dimension-ordered (acc += A[:,d]·C[:,d] per d), so every dot keeps
-      the oracle's left-assoc IEEE order — same bit-exactness argument as
-      _score_candidate_pairs — and top-nprobe extraction is nprobe
-      argmax-and-mask passes (argmax returns the FIRST maximal column,
-      i.e. the lowest cid on exact-dot ties), which reproduces the
-      window's ORDER BY cd DESC, cid. Measured on the
-      60k-vector synth point the HOF-fold form spent ~2/3 of the query in
-      the 123M interpreted zip_with/aggregate evals; the kernel
-      vectorizes them.
+      mapInPandas kernel against a broadcast centroid matrix, through the
+      shared k-tiled exact score core (_ivf_rank_cells — dimension-ordered
+      accumulation so every dot keeps the oracle's left-assoc IEEE order,
+      argmax-and-mask top-nprobe reproducing the window's ORDER BY cd
+      DESC, cid; see its docstring for the r11 cache-tiling rationale).
+      Measured on the 60k-vector synth point the HOF-fold form spent ~2/3
+      of the query in the 123M interpreted zip_with/aggregate evals; the
+      kernel vectorizes them.
     - declarative=True: broadcast-crossJoin + WindowGroupLimit top-2,
       kept as the pure-Catalyst reference the kernel is tested against
       (and the form a SQL-only deployment would run)."""
@@ -2047,12 +2044,15 @@ def _ivf_assignments_multi(
     "sign-LSH / 8-table recall tier / exact). Centroids are a deterministic "
     "corpus sample (every 13th vec_id, first k by id) with k corpus-adaptive "
     "(integer CASE chain, occupancy pinned to the LSH family's (23.4, 46.9] "
-    "band, max 16384 cells); every vector joins its top-2 nearest cells "
+    "band, max 131072 cells); every vector joins its top-2 nearest cells "
     "(nprobe=2 multi-assignment), candidates = same-cell pairs under a "
     "per-cell candidacy cap (_IVF_CELL_CAP=192, ~2x the balanced band — "
     "inert on uniform corpora, heavy tails audited by "
-    "dedup_embedding_ivf_cell_audit), exact Arrow re-score tail shared with "
-    "the LSH tiers (_score_candidate_pairs). Why it exists: hyperplane LSH "
+    "dedup_embedding_ivf_cell_audit), scored IN CELL SPACE since r11 "
+    "(embeddings attach once to the capped sides, the cid self-join "
+    "streams candidates through the exact dot kernel in-stage — the mt4 "
+    "shape, value-identical to the candidate-first form the oracle "
+    "expresses). Why it exists: hyperplane LSH "
     "recall at a fixed probe budget decays exponentially with bucket width "
     "(measured 0.07 at 60k vectors, SCALING_r09_embrecall.md) because the "
     "partition ignores the data; nearest-centroid cells follow the data, so "
@@ -2075,27 +2075,28 @@ def _ivf_pair_build(
     cap: int = _IVF_CELL_CAP,
 ) -> DataFrame:
     """Shared pair build of the symmetric IVF arms: assignment (Arrow
-    kernel) → per-cell candidacy window → in-cell i<j equi-join on cid →
-    exact Arrow re-score. checkpoint=False is the plan-audit path only.
+    kernel) → per-cell candidacy window → grouped triangle scorer.
+    checkpoint=False is the plan-audit path only.
 
-    Scored IN CELL SPACE since r11 (r10 VERDICT #5): embeddings attach
-    ONCE to the capped assignment rows (bounded at k·cap rows per side),
-    and the i<j self-join on cid streams candidates straight through the
-    exact dot kernel in-stage — the same inversion the mt4 arm proved
-    value-identical and ~100 GB cheaper at the 600k point, where this
-    arm's old candidate-first form (narrow pair join, then TWO wide
-    embedding attaches over the full candidate mass) exceeded the local
-    disk budget. Shuffle mass is O(N·nprobe·emb), independent of how much
-    candidate mass the cid join produces. Value-identity argument as mt4:
-    the dot fold is orientation-symmetric, duplicate scoring is
-    exact-idempotent, and the post-threshold distinct collapses the same
-    duplicates the oracle's SELECT DISTINCT does."""
+    Scored as CELL BLOCKS since r11 (r10 VERDICT #5, then the cell-block
+    refinement): embeddings attach ONCE to the capped assignment rows
+    (bounded at k·cap rows), and a grouped Arrow kernel scores each
+    cell's i<j upper triangle in numpy (_score_cell_triangles) — the
+    candidate pairs exist only as matrix entries, never as rows, so BOTH
+    shuffle and Arrow mass are O(N·nprobe·emb) regardless of how much
+    pair mass the cells hold. The r10 candidate-first form (narrow pair
+    join, then TWO wide embedding attaches over the full candidate mass)
+    exceeded the local disk budget at 600k. Value-identity argument as
+    mt4: the per-pair dot folds dimensions in the oracle's exact order,
+    duplicate scoring is exact-idempotent, and the post-threshold
+    distinct collapses the same duplicates the oracle's SELECT DISTINCT
+    does."""
     from pyspark.sql import Window as W
 
     emb, _, asg = _ivf_assignments(spark, sf_dir, nprobe=nprobe)
     if checkpoint:
-        # narrow 2-int rows consumed by both join sides: checkpoint once,
-        # same signature-store rationale as _adaptive_lsh_build
+        # narrow 2-int rows: checkpoint once, same signature-store
+        # rationale as _adaptive_lsh_build
         asg = asg.localCheckpoint(eager=False)
     capped = (
         asg.withColumn(
@@ -2104,24 +2105,54 @@ def _ivf_pair_build(
         .filter(F.col("rnc") <= cap)
         .select("vec_id", "cid")
     )
-    # ONE bounded embedding attach (≤ k·cap rows), reused by both join
-    # sides; shuffle-hash on the embedding side, same asymmetry argument
-    # as _score_candidate_pairs
+    # ONE bounded embedding attach (≤ k·cap rows); shuffle-hash on the
+    # embedding side, same asymmetry argument as _score_candidate_pairs
     wide = capped.join(
         emb.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id"
     )
-    a = wide.select(
-        F.col("vec_id").alias("p_vid"), "cid", F.col("embedding").alias("p_emb")
+    return _score_cell_triangles(wide).distinct()
+
+
+def _score_cell_triangles(wide: DataFrame) -> DataFrame:
+    """Grouped exact scorer for the SYMMETRIC arms: wide = (vec_id, cid,
+    embedding) capped rows; one group per cid scores the cell's i<j upper
+    triangle (the oracle's a.vec_id < b.vec_id) in numpy and emits only
+    thresholded survivors. Same dimension-ordered dot fold as
+    _score_cell_blocks."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
-    b = wide.select(
-        F.col("vec_id").alias("h_vid"), "cid", F.col("embedding").alias("h_emb")
-    )
-    joined = (
-        a.join(b.hint("shuffle_hash"), "cid")
-        .filter(F.col("p_vid") < F.col("h_vid"))
-        .select("p_vid", "h_vid", "p_emb", "h_emb")
-    )
-    return _score_in_cell(joined).distinct()
+    threshold = _EMB_COS_THRESHOLD
+
+    def score(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "a_id": np.array([], dtype=np.int64),
+                    "b_id": np.array([], dtype=np.int64),
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        X = np.array(list(pdf["embedding"]), dtype=np.float64)
+        v = pdf["vec_id"].to_numpy(dtype=np.int64)
+        acc = np.zeros((X.shape[0], X.shape[0]))
+        for d in range(X.shape[1]):
+            acc += X[:, d : d + 1] * X[:, d][None, :]
+        mask = (acc >= threshold) & (v[:, None] < v[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"a_id": v[ai], "b_id": v[bi], "cos_sim": acc[ai, bi]}
+        )
+
+    return wide.groupBy("cid").applyInPandas(score, schema)
 
 
 def ivf_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2255,49 +2286,6 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRES
 """
 
 
-def _score_in_cell(joined: DataFrame) -> DataFrame:
-    """Exact re-score of an in-cell join stream (p_vid, h_vid, p_emb,
-    h_emb) → thresholded, orientation-normalized (a_id, b_id, cos_sim).
-    Same dimension-fold Arrow kernel as _score_candidate_pairs (the dot is
-    symmetric under orientation, so normalizing ids before or after
-    scoring is value-identical); runs IN-STAGE on the join output, so the
-    candidate-mass rows are streamed, never shuffled."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("a_id", LongType()),
-            StructField("b_id", LongType()),
-            StructField("cos_sim", DoubleType()),
-        ]
-    )
-    threshold = _EMB_COS_THRESHOLD
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(list(pdf["p_emb"]), dtype=np.float64)
-            B = np.array(list(pdf["h_emb"]), dtype=np.float64)
-            acc = np.zeros(A.shape[0])
-            for d in range(A.shape[1]):
-                acc = acc + A[:, d] * B[:, d]
-            p = pdf["p_vid"].to_numpy(dtype=np.int64)
-            h = pdf["h_vid"].to_numpy(dtype=np.int64)
-            out = pd.DataFrame(
-                {
-                    "a_id": np.minimum(p, h),
-                    "b_id": np.maximum(p, h),
-                    "cos_sim": acc,
-                }
-            )
-            yield out[out.cos_sim >= threshold]
-
-    return joined.mapInPandas(score, schema)
-
-
 def _ivf_asym_pair_build(
     spark: SparkSession,
     sf_dir: str,
@@ -2307,26 +2295,31 @@ def _ivf_asym_pair_build(
     probe_cap: int | None = None,
     seed_rems: tuple[int, ...] = (_IVF_SEED_REM,),
 ) -> DataFrame:
-    """Asymmetric pair build, optionally multi-table, scored IN CELL
-    SPACE: ONE fused corpus scan ranks every table's assignments
+    """Asymmetric pair build, optionally multi-table, scored as CELL
+    BLOCKS: ONE fused corpus scan ranks every table's assignments
     (_ivf_assignments_multi — the tables differ only in their broadcast
     centroid matrix, so separate kernels would pay T corpus scans for
-    nothing), embeddings attach to the capped home/probe rows (O(N·(1+P))
-    wide rows per table), ONE composite-key (tbl, cid) equi-join streams
-    every table's candidates straight through the exact Arrow kernel in
-    the same stage, and only the thresholded SURVIVORS (~0.2% yield)
-    reach the final distinct. This inverts the other tiers' candidate-first
-    placement (_score_candidate_pairs) because the asym arm's candidate
-    mass is its recall dial: at the 600k point the candidate-first form
-    shuffles ~700M wide rows for the second embedding attach (~100+ GB —
-    it exceeded the local disk budget outright), while in-cell scoring
-    shuffles only the N·(1+P) side rows (~12 GB at 600k) regardless of
-    how deep the probes go. Value-identical: scoring a duplicate candidate
-    is exact-idempotent, the dot fold is orientation-symmetric, and the
-    oracle applies the same SELECT DISTINCT after its threshold. Recall
-    composes across tables like the multi-table LSH's 1-(1-r)^T (tables
-    are quasi-independent because their centroid POOLS are disjoint id
-    classes mod _IVF_SEED_MOD); the measured 60k grid
+    nothing), the capped home/probe rows are ROLE-TAGGED and unioned, ONE
+    embedding attach rides the vec_id join, and a grouped Arrow kernel
+    (_score_cell_blocks) scores each (tbl, cid) cell's probe×home block
+    IN KERNEL — candidate pairs exist only as numpy matrix entries, never
+    as rows. Only the thresholded SURVIVORS (~0.2% yield) reach the final
+    distinct. Two generations of shape fixes, both measured at 600k:
+    the candidate-first form (r10) shuffled ~700M wide rows for the
+    second embedding attach (~100+ GB — exceeded the local disk budget
+    outright); the in-cell JOIN form that replaced it shuffled only the
+    side rows but still MATERIALIZED every candidate as a ~1.1 KB
+    two-embedding Arrow row into Python (~700 GB of Arrow traffic at the
+    r10 dials, growing with probe depth). The cell-block form caps BOTH
+    shuffle and Arrow mass at O(N·(1+P)·emb) per table — independent of
+    candidate mass, which is exactly the quantity the recall dial grows.
+    Value-identical: the per-pair dot folds dimensions in the same exact
+    order (acc[i,j] accumulates d=0..63 in sequence), duplicate scoring
+    is exact-idempotent, orientation is normalized after scoring (dot is
+    symmetric), and the oracle applies the same SELECT DISTINCT after its
+    threshold. Recall composes across tables like the multi-table LSH's
+    1-(1-r)^T (tables are quasi-independent because their centroid POOLS
+    are disjoint id classes mod _IVF_SEED_MOD); the measured 60k grid
     (SCALING_r10_ivfasym.md) shows the multi-table direction dominating
     both deeper probing and coarser cells at equal candidate mass."""
     from pyspark.sql import Window as W
@@ -2341,7 +2334,8 @@ def _ivf_asym_pair_build(
     if checkpoint:
         asg = asg.localCheckpoint(eager=False)
     # per-(table, cell) capped windows — partitioning by the composite key
-    # runs all tables' windows in one pass
+    # runs all tables' windows in one pass; role 0 = home (pr=1, cap 96),
+    # role 1 = probe (pr<=P, cap 768)
     home = (
         asg.filter(F.col("pr") == 1)
         .withColumn(
@@ -2349,7 +2343,7 @@ def _ivf_asym_pair_build(
             F.row_number().over(W.partitionBy("tbl", "cid").orderBy("vec_id")),
         )
         .filter(F.col("rnh") <= home_cap)
-        .select("tbl", F.col("vec_id").alias("h_vid"), "cid")
+        .select("tbl", "cid", F.col("vec_id").alias("vid"), F.lit(0).alias("role"))
     )
     probe = (
         asg.withColumn(
@@ -2357,32 +2351,72 @@ def _ivf_asym_pair_build(
             F.row_number().over(W.partitionBy("tbl", "cid").orderBy("vec_id")),
         )
         .filter(F.col("rnp") <= probe_cap)
-        .select("tbl", F.col("vec_id").alias("p_vid"), "cid")
+        .select("tbl", "cid", F.col("vec_id").alias("vid"), F.lit(1).alias("role"))
     )
-    # attach embeddings to the SIDES (not the candidates): shuffle-hash on
-    # the bounded embedding build side, same asymmetry argument as
+    # ONE embedding attach over the unioned tagged sides: shuffle-hash on
+    # the embedding build side, same asymmetry argument as
     # _score_candidate_pairs
-    hp = home.join(
-        emb.hint("shuffle_hash").withColumnRenamed("vec_id", "h_vid")
-        .withColumnRenamed("embedding", "h_emb"),
-        "h_vid",
-    )
-    pp = probe.join(
-        emb.hint("shuffle_hash").withColumnRenamed("vec_id", "p_vid")
-        .withColumnRenamed("embedding", "p_emb"),
-        "p_vid",
-    )
-    # ONE in-cell equi-join on the composite (tbl, cid) key covers every
-    # table; candidates stream through the kernel in-stage
-    joined = (
-        pp.join(hp.hint("shuffle_hash"), ["tbl", "cid"])
-        .filter(F.col("p_vid") != F.col("h_vid"))
-        .select("p_vid", "h_vid", "p_emb", "h_emb")
+    tagged = home.unionAll(probe).join(
+        emb.withColumnRenamed("vec_id", "vid").hint("shuffle_hash"), "vid"
     )
     # collapse cross-direction / cross-cell / cross-table duplicates on the
     # thresholded survivor set (cos_sim deterministic per pair → 3-column
     # distinct == (a_id, b_id) distinct)
-    return _score_in_cell(joined).distinct()
+    return _score_cell_blocks(tagged).distinct()
+
+
+def _score_cell_blocks(tagged: DataFrame) -> DataFrame:
+    """Grouped exact scorer: tagged = (vid, tbl, cid, role, embedding)
+    rows, role 0 = home / 1 = probe; one group per (tbl, cid) cell scores
+    its probe×home dot block in numpy and emits only the thresholded,
+    orientation-normalized survivors. The per-pair dot keeps the oracle's
+    dimension order (acc[i,j] folds ((0.0+t1)+t2)+… — same bit-exactness
+    argument as _score_candidate_pairs); self-pairs are
+    masked in kernel (the oracle's p.vec_id <> h.vec_id). Arrow traffic is
+    the group rows themselves — bounded by the candidacy caps — never the
+    pair mass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    threshold = _EMB_COS_THRESHOLD
+
+    def score(pdf):
+        hm = pdf[pdf["role"] == 0]
+        pm = pdf[pdf["role"] == 1]
+        if len(hm) == 0 or len(pm) == 0:
+            return pd.DataFrame(
+                {
+                    "a_id": np.array([], dtype=np.int64),
+                    "b_id": np.array([], dtype=np.int64),
+                    "cos_sim": np.array([], dtype=np.float64),
+                }
+            )
+        P = np.array(list(pm["embedding"]), dtype=np.float64)
+        H = np.array(list(hm["embedding"]), dtype=np.float64)
+        acc = np.zeros((P.shape[0], H.shape[0]))
+        for d in range(P.shape[1]):
+            acc += P[:, d : d + 1] * H[:, d][None, :]
+        pv = pm["vid"].to_numpy(dtype=np.int64)
+        hv = hm["vid"].to_numpy(dtype=np.int64)
+        mask = (acc >= threshold) & (pv[:, None] != hv[None, :])
+        pi, hi = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(pv[pi], hv[hi]),
+                "b_id": np.maximum(pv[pi], hv[hi]),
+                "cos_sim": acc[pi, hi],
+            }
+        )
+
+    return tagged.groupBy("tbl", "cid").applyInPandas(score, schema)
 
 
 # Registered multi-table dials: the measured 60k design grid
@@ -2662,9 +2696,18 @@ FROM ivf JOIN ex USING (a_id, b_id)
     "empty truth set.",
 )
 def dedup_embedding_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_eval_df(
+        spark, sf_dir, dedup_embedding_ivf(spark, sf_dir)
+    )
+
+
+def _recall_eval_df(spark: SparkSession, sf_dir: str, iv: DataFrame) -> DataFrame:
+    """Shared single-row recall contract of the IVF eval queries:
+    (n_exact, n_ivf, n_hit, recall) of an approximate pair set against the
+    exact all-pairs arm — quadratic BY CONTRACT (fixture/sample scale)."""
     from pg2parquet_spark.operators.similarity import dot_col
 
-    iv = dedup_embedding_ivf(spark, sf_dir).select("a_id", "b_id")
+    iv = iv.select("a_id", "b_id")
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
@@ -2694,10 +2737,13 @@ def dedup_embedding_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _ivf_mt4_recall_oracle_sql() -> str:
-    ctes, union = _ivf_asym_tables_sql(
-        _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP, _IVFMT_REMS
-    )
+def _ivf_mt_recall_oracle_sql(
+    nprobe: int = _IVFMT_NPROBE,
+    home_cap: int = _IVFA_HOME_CAP,
+    probe_cap: int = _IVFMT_PROBE_CAP,
+    seed_rems: tuple[int, ...] = _IVFMT_REMS,
+) -> str:
+    ctes, union = _ivf_asym_tables_sql(nprobe, home_cap, probe_cap, seed_rems)
     return f"""
 WITH {ctes},
 pairs AS (SELECT DISTINCT a_id, b_id FROM ({union})),
@@ -2721,7 +2767,7 @@ FROM ivf JOIN ex USING (a_id, b_id)
 
 @register(
     "dedup_embedding_ivf_mt4_recall_eval",
-    oracle=_ivf_mt4_recall_oracle_sql(),
+    oracle=_ivf_mt_recall_oracle_sql(),
     doc="MEASURED recall of dedup_embedding_ivf_mt4 against the exact arm "
     "— the mt4 twin of dedup_embedding_ivf_recall_eval, registered so the "
     "recall-floor arm's recall claim is hash-verified against DuckDB every "
@@ -2734,35 +2780,8 @@ FROM ivf JOIN ex USING (a_id, b_id)
 def dedup_embedding_ivf_mt4_recall_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pg2parquet_spark.operators.similarity import dot_col
-
-    iv = dedup_embedding_ivf_mt4(spark, sf_dir).select("a_id", "b_id")
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    ex = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(dot_col("a_emb", "b_emb") >= _EMB_COS_THRESHOLD)
-        .select("a_id", "b_id")
-    )
-    n_ex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    n_iv = iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivf"))
-    n_hit = (
-        iv.join(ex, ["a_id", "b_id"])
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    )
-    return (
-        n_ex.crossJoin(n_iv)
-        .crossJoin(n_hit)
-        .select(
-            "n_exact",
-            "n_ivf",
-            "n_hit",
-            (
-                F.col("n_hit").cast("double")
-                / F.expr("nullif(n_exact, 0)")
-            ).alias("recall"),
-        )
+    return _recall_eval_df(
+        spark, sf_dir, dedup_embedding_ivf_mt4(spark, sf_dir)
     )
 
 

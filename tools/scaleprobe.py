@@ -1006,6 +1006,109 @@ def ivfgrid(out_path: str) -> int:
     return 0
 
 
+# shared state for the ivfgrid600 fork-pool workers: set by ivfgrid600
+# before the pool forks (fork children inherit it copy-on-write — the
+# 600k x 64 float64 corpus is ~300 MiB, shipped zero times); module-level
+# so the worker functions pickle by reference.
+_G600: dict = {}
+
+
+def _g600_flat_ranks(C):
+    """(topPMAX) under the flat quantizer — BLAS chunked."""
+    import numpy as np
+
+    X = _G600["X"]
+    N = X.shape[0]
+    PMAX = _G600["PMAX"]
+    topP = np.empty((N, PMAX), dtype=np.int32)
+    chunk = 4096
+    for s in range(0, N, chunk):
+        acc = X[s:s + chunk] @ C.T
+        part = np.argpartition(
+            -acc, min(PMAX, C.shape[0] - 1), axis=1)[:, :PMAX]
+        sc = np.take_along_axis(acc, part, axis=1)
+        o = np.argsort(-sc, axis=1)
+        topP[s:s + chunk] = np.take_along_axis(part, o, axis=1)
+    return topP
+
+
+def _g600_catch_and_mass(home, topP, P, kcells):
+    import numpy as np
+
+    a_ix, b_ix = _G600["a_ix"], _G600["b_ix"]
+    t = topP[:, :P]
+    hc = np.bincount(home, minlength=kcells)
+    pc = np.bincount(t.ravel(), minlength=kcells)
+    mass = int((hc * pc).sum())
+    ha, hb = home[a_ix], home[b_ix]
+    c = (t[a_ix] == hb[:, None]).any(axis=1)
+    c |= (t[b_ix] == ha[:, None]).any(axis=1)
+    return c, mass
+
+
+def _g600_flat_one(rem):
+    from pg2parquet_spark.operators import dedup
+
+    ids, X, k = _G600["ids"], _G600["X"], _G600["k"]
+    m = ids % dedup._IVF_SEED_MOD == rem
+    C = X[m][:k].copy()
+    topP = _g600_flat_ranks(C)
+    home = topP[:, 0].copy()
+    c8, m8 = _g600_catch_and_mass(home, topP, 8, k)
+    c16, m16 = _g600_catch_and_mass(home, topP, 16, k)
+    return c8, m8, c16, m16
+
+
+def _g600_twolevel_one(args):
+    """(rem, k1, k2, c1) -> (catch8, mass8): seeds = the same deterministic
+    pool; coarse = first k1 seeds; sub-centroids = first k2 seeds assigned
+    to each coarse cell (seed order = vec_id order — the oracle\'s two
+    chained ROW_NUMBERs). Query: rank top-c1 coarse, then top-P among the
+    selected cells\' subs. Cell key = coarse*k2 + sub."""
+    import numpy as np
+
+    from pg2parquet_spark.operators import dedup
+
+    rem, k1, k2, c1 = args
+    ids, X, k = _G600["ids"], _G600["X"], _G600["k"]
+    PMAX = _G600["PMAX"]
+    N = X.shape[0]
+    S = X[ids % dedup._IVF_SEED_MOD == rem]
+    C1 = S[:k1]
+    Sk = S[:k]  # same k-seed budget as the flat quantizer
+    sa = np.argmax(Sk @ C1.T, axis=1)
+    subC = np.zeros((k1, k2, X.shape[1]))
+    subn = np.zeros(k1, dtype=np.int64)
+    for j in range(len(Sk)):
+        cc = sa[j]
+        if subn[cc] < k2:
+            subC[cc, subn[cc]] = Sk[j]
+            subn[cc] += 1
+    valid = np.arange(k2)[None, :] < subn[:, None]  # k1 x k2
+    topP = np.empty((N, PMAX), dtype=np.int64)
+    chunk = 2048
+    for s in range(0, N, chunk):
+        Q = X[s:s + chunk]
+        cs = Q @ C1.T
+        sel = np.argpartition(-cs, min(c1, k1 - 1), axis=1)[:, :c1]
+        m0 = Q.shape[0]
+        allsc = np.full((m0, c1 * k2), -np.inf)
+        for j in range(c1):
+            Cj = subC[sel[:, j]]            # m0 x k2 x d
+            sc = np.einsum("md,mkd->mk", Q, Cj)
+            sc[~valid[sel[:, j]]] = -np.inf
+            allsc[:, j * k2:(j + 1) * k2] = sc
+        part = np.argpartition(-allsc, PMAX, axis=1)[:, :PMAX]
+        psc = np.take_along_axis(allsc, part, axis=1)
+        o = np.argsort(-psc, axis=1)
+        part = np.take_along_axis(part, o, axis=1)
+        # local (j, sub) -> global cell key coarse*k2 + sub
+        jj, sub = part // k2, part % k2
+        topP[s:s + chunk] = sel[np.arange(m0)[:, None], jj] * k2 + sub
+    home = topP[:, 0].copy()
+    return _g600_catch_and_mass(home, topP, 8, k1 * k2)
+
+
 def ivfgrid600(out_path: str) -> int:
     """600k-point design grid (r10 VERDICT #2 + #4): the same driver numpy
     replica discipline as ivfgrid, at the point where the registered mt4
@@ -1020,7 +1123,10 @@ def ivfgrid600(out_path: str) -> int:
     per table, OR-composed across tables; recall = caught planted pairs /
     planted truth. BLAS scoring is legal here because catch is a SET
     property of the rankings — no exact dot ties off-diagonal at this
-    corpus (same argument as ivfgrid, validated r10)."""
+    corpus (same argument as ivfgrid, validated r10). Table work fans out
+    over a fork pool (the single-process form measured ~20 min/table —
+    numpy BLAS holds ~2 threads here, so table-parallelism is the lever)."""
+    import multiprocessing as _mp
     import time as _t
 
     import numpy as np
@@ -1054,31 +1160,10 @@ def ivfgrid600(out_path: str) -> int:
     T = len(truth_pairs)
     k = dedup._IVF_K_BASE * (
         1 << sum(N > t for t in dedup._IVF_K_THRESHOLDS))
-    a_ix, b_ix = truth_pairs[:, 0], truth_pairs[:, 1]
-    PMAX = 16
-
-    def flat_ranks(C):
-        """(home, topPMAX) under the flat quantizer — BLAS chunked."""
-        topP = np.empty((N, PMAX), dtype=np.int32)
-        chunk = 4096
-        for s in range(0, N, chunk):
-            acc = X[s:s + chunk] @ C.T
-            part = np.argpartition(
-                -acc, min(PMAX, C.shape[0] - 1), axis=1)[:, :PMAX]
-            sc = np.take_along_axis(acc, part, axis=1)
-            o = np.argsort(-sc, axis=1)
-            topP[s:s + chunk] = np.take_along_axis(part, o, axis=1)
-        return topP
-
-    def catch_and_mass(home, topP, P, kcells):
-        t = topP[:, :P]
-        hc = np.bincount(home, minlength=kcells)
-        pc = np.bincount(t.ravel(), minlength=kcells)
-        mass = int((hc * pc).sum())
-        ha, hb = home[a_ix], home[b_ix]
-        c = (t[a_ix] == hb[:, None]).any(axis=1)
-        c |= (t[b_ix] == ha[:, None]).any(axis=1)
-        return c, mass
+    _G600.update(
+        ids=ids, X=X, k=k, PMAX=16,
+        a_ix=truth_pairs[:, 0], b_ix=truth_pairs[:, 1],
+    )
 
     ALL_REMS = (3, 1, 5, 7, 9, 11, 0, 2, 4, 6, 8, 10)  # 12 disjoint pools
 
@@ -1097,17 +1182,14 @@ def ivfgrid600(out_path: str) -> int:
         "|---|---|---|---|",
     ]
     t0 = _t.time()
+    ctx = _mp.get_context("fork")
+    with ctx.Pool(min(12, os.cpu_count() or 1)) as pool:
+        per_table = pool.map(_g600_flat_one, ALL_REMS)
     caught8 = np.zeros(T, dtype=bool)
     caught16 = np.zeros(T, dtype=bool)
     mass8 = mass16 = 0
     flat_results = {}
-    for i, rem in enumerate(ALL_REMS):
-        m = ids % dedup._IVF_SEED_MOD == rem
-        C = X[m][:k].copy()
-        topP = flat_ranks(C)
-        home = topP[:, 0]
-        c8, m8 = catch_and_mass(home, topP, 8, k)
-        c16, m16 = catch_and_mass(home, topP, 16, k)
+    for i, (c8, m8, c16, m16) in enumerate(per_table):
         caught8 |= c8
         caught16 |= c16
         mass8 += m8
@@ -1117,69 +1199,30 @@ def ivfgrid600(out_path: str) -> int:
         flat_results[(nt, 16)] = (caught16.mean(), mass16)
         print(f"flat T={nt}: P=8 r={caught8.mean():.4f} m={mass8/1e6:.0f}M | "
               f"P=16 r={caught16.mean():.4f} m={mass16/1e6:.0f}M", flush=True)
-        del topP
+    del per_table
     for nt in (4, 6, 8, 10, 12):
         for P in (8, 16):
             r, m = flat_results[(nt, P)]
             lines.append(f"| flat T={nt} P={P} | {r:.4f} | {m/1e6:.0f}M | {k} |")
 
     # ---- two-level coarse quantizer (priced at matched T, P) ------------
-    def twolevel_ranks(rem, k1, k2, c1):
-        """(home, topPMAX, n_cells): seeds = the same deterministic pool;
-        coarse = first k1 seeds; sub-centroids = first k2 seeds assigned
-        to each coarse cell (seed order = vec_id order — the oracle's two
-        chained ROW_NUMBERs). Query: rank top-c1 coarse, then top-P among
-        the selected cells' subs. Cell key = coarse*k2 + sub."""
-        S = X[ids % dedup._IVF_SEED_MOD == rem]
-        C1 = S[:k1]
-        # seed budget: same k seeds the flat quantizer uses
-        Sk = S[:k]
-        sa = np.argmax(Sk @ C1.T, axis=1)
-        subC = np.zeros((k1, k2, X.shape[1]))
-        subn = np.zeros(k1, dtype=np.int64)
-        for j in range(len(Sk)):
-            cc = sa[j]
-            if subn[cc] < k2:
-                subC[cc, subn[cc]] = Sk[j]
-                subn[cc] += 1
-        valid = np.arange(k2)[None, :] < subn[:, None]  # k1 x k2
-        topP = np.empty((N, PMAX), dtype=np.int64)
-        chunk = 2048
-        for s in range(0, N, chunk):
-            Q = X[s:s + chunk]
-            cs = Q @ C1.T
-            sel = np.argpartition(-cs, min(c1, k1 - 1), axis=1)[:, :c1]
-            m0 = Q.shape[0]
-            allsc = np.full((m0, c1 * k2), -np.inf)
-            for j in range(c1):
-                Cj = subC[sel[:, j]]            # m0 x k2 x d
-                sc = np.einsum("md,mkd->mk", Q, Cj)
-                sc[~valid[sel[:, j]]] = -np.inf
-                allsc[:, j * k2:(j + 1) * k2] = sc
-            part = np.argpartition(-allsc, PMAX, axis=1)[:, :PMAX]
-            psc = np.take_along_axis(allsc, part, axis=1)
-            o = np.argsort(-psc, axis=1)
-            part = np.take_along_axis(part, o, axis=1)
-            # local (j, sub) -> global cell key coarse*k2 + sub
-            jj, sub = part // k2, part % k2
-            topP[s:s + chunk] = sel[
-                np.arange(m0)[:, None], jj] * k2 + sub
-        return topP[:, 0].copy(), topP, int(subn.sum())
-
     lines += [
         "",
-        "## Two-level coarse quantizer at matched (T, P)",
+        "## Two-level coarse quantizer at matched (T, P=8)",
         "",
         "| arm | recall | mass | flops/vec/table |",
         "|---|---|---|---|",
     ]
     for k1, k2, c1 in ((128, 128, 8), (128, 128, 16), (64, 256, 8)):
+        flops = k1 + c1 * k2
+        with ctx.Pool(min(8, os.cpu_count() or 1)) as pool:
+            per_table = pool.map(
+                _g600_twolevel_one,
+                [(rem, k1, k2, c1) for rem in ALL_REMS[:8]],
+            )
         caught = np.zeros(T, dtype=bool)
         mass = 0
-        flops = k1 + c1 * k2
-        for nt, rem in enumerate(ALL_REMS[:8], start=1):
-            home, topP, ncells = twolevel_ranks(rem, k1, k2, c1)
-            c, m = catch_and_mass(home, topP, 8, k1 * k2)
+        for nt, (c, m) in enumerate(per_table, start=1):
             caught |= c
             mass += m
             if nt in (4, 6, 8):
@@ -1187,8 +1230,8 @@ def ivfgrid600(out_path: str) -> int:
                     f"| 2lvl k1={k1} k2={k2} c1={c1} T={nt} P=8 "
                     f"| {caught.mean():.4f} | {mass/1e6:.0f}M | {flops} |")
                 print(f"2lvl {k1}/{k2}/c1={c1} T={nt}: r={caught.mean():.4f} "
-                      f"m={mass/1e6:.0f}M ncells={ncells}", flush=True)
-            del topP
+                      f"m={mass/1e6:.0f}M", flush=True)
+        del per_table
 
     lines.append("")
     lines.append(f"grid wall: {_t.time()-t0:.0f}s")
@@ -1196,6 +1239,49 @@ def ivfgrid600(out_path: str) -> int:
         f.write("\n".join(lines) + "\n")
     print("wrote", out_path, flush=True)
     return 0
+
+
+def ivfband800(out_path: str) -> int:
+    """r10 VERDICT #3 done-criterion: a through-the-machinery cell audit
+    ABOVE the old 768k band exit, proving the extended _IVF_K_THRESHOLDS
+    keep the (23.4, 46.9] occupancy band. factor=400 → 800k vectors →
+    k=32768 under the r11 chain (the r10 chain would have pinned k=16384
+    and occupancy 48.8, outside the band and growing). Affordable since
+    the r11 k-tiled assignment kernel (the untiled 600k build was
+    memory-bound at ~1600 s; this runs one nprobe=2 single-table build)."""
+    import time as _t
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.operators import dedup
+
+    spark = get_spark(app_name="ivfband800", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    d800 = synth_dir(spark, factor=400, tables=("embeddings",))
+    n = spark.read.parquet(f"{d800}/embeddings.parquet").count()
+    t0 = _t.time()
+    row = dedup.dedup_embedding_ivf_cell_audit(spark, d800).collect()[0]
+    wall = _t.time() - t0
+    d = row.asDict()
+    occ = n / d["k"]
+    band_lo, band_hi = 375 / 16, 375 / 8
+    in_band = band_lo < occ <= band_hi
+    lines = [
+        "# Occupancy band above the old 768k exit (r11 threshold extension)",
+        "",
+        f"Corpus: synth factor=400 = {n} vectors (> 768000, where the r10",
+        "chain capped k at 16384 and left the band). Audit through the",
+        "registered dedup_embedding_ivf_cell_audit machinery (nprobe=2).",
+        "",
+        "| n | k | n/k (expected occupancy) | band (23.4, 46.9] | n_cells | max_cell | dropped | wall (s) |",
+        "|---|---|---|---|---|---|---|---|",
+        f"| {n} | {d['k']} | {occ:.1f} | {'IN' if in_band else 'OUT'} "
+        f"| {d['n_cells']} | {d['max_cell']} | {d['n_dropped_members']} | {wall:.0f} |",
+    ]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[-2:]), flush=True)
+    print("wrote", out_path, flush=True)
+    return 0 if in_band else 1
 
 
 def ivfmt(out_path: str, with_600k: bool = False) -> int:
@@ -1331,6 +1417,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfgrid600":
         sys.exit(ivfgrid600(
             sys.argv[2] if len(sys.argv) > 2 else "SCALING_r11_ivfgrid600.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfband800":
+        sys.exit(ivfband800(
+            sys.argv[2] if len(sys.argv) > 2 else "SCALING_r11_ivfband800.md"))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfmt":
         sys.exit(ivfmt(
             next((a for a in sys.argv[2:] if not a.startswith("--")),
