@@ -2451,15 +2451,15 @@ _IVFMT_PROBE_CAP = _IVFA_HOME_CAP * _IVFMT_NPROBE  # 768 = 2x the P·occ band
     "(SCALING_r10_ivfmt.md): recall 0.5648 at 60k (vs the symmetric probe4 "
     "arm's 0.193 and the 8-table LSH recall tier's 0.227) and 0.2976 at "
     "600k (vs 0.026) — the first registered arm over the r9 VERDICT's 0.5 "
-    "floor. Execution shape: ONE fused corpus scan ranks all 4 tables' "
-    "assignments (the tables differ only in their broadcast centroid "
-    "matrix), per-(tbl,cid) capped windows, embeddings attach to the "
-    "SIDES, one composite-key in-cell equi-join streams every candidate "
-    "through the exact dot kernel in-stage (no false positives possible), "
-    "and only thresholded survivors reach the final distinct — shuffle "
-    "mass is O(N·P·emb), independent of candidate mass (the "
-    "candidate-first form's ~700M-wide-row attach exceeded the local disk "
-    "budget at 600k; this form fits).",
+    "floor. Execution shape (cell blocks since r11): ONE fused corpus "
+    "scan ranks all 4 tables' assignments (the tables differ only in "
+    "their broadcast centroid matrix), per-(tbl,cid) capped windows "
+    "role-tag the home/probe sides, ONE embedding attach, and a grouped "
+    "Arrow kernel scores each cell's probe×home dot block in numpy (no "
+    "false positives possible) — candidate pairs exist only as matrix "
+    "entries, so shuffle AND Arrow mass are O(N·P·emb), independent of "
+    "candidate mass (the candidate-first form's ~700M-wide-row attach "
+    "exceeded the local disk budget at 600k).",
 )
 def dedup_embedding_ivf_mt4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_asym_pair_build(
@@ -2517,14 +2517,28 @@ ps{s} AS (SELECT cid, COUNT(*) AS sz FROM asgr{s} GROUP BY cid)"""
 def dedup_embedding_ivf_mt4_cell_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    _, par, asg = _ivf_assignments_multi(
-        spark, sf_dir, _IVFMT_NPROBE, _IVFMT_REMS
+    return _ivf_mt_cell_audit_df(
+        spark, sf_dir, _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP,
+        _IVFMT_REMS,
     )
+
+
+def _ivf_mt_cell_audit_df(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    home_cap: int,
+    probe_cap: int,
+    seed_rems: tuple[int, ...],
+) -> DataFrame:
+    """Shared multi-table cell-audit body (one row per centroid table) —
+    the Spark twin of _ivf_mt_cell_audit_oracle_sql at any dial."""
+    _, par, asg = _ivf_assignments_multi(spark, sf_dir, nprobe, seed_rems)
     # the fused ranked rows feed two aggregate branches: checkpoint once so
     # the ONE-corpus-scan kernel runs once, not per branch
     asg = asg.localCheckpoint(eager=False)
-    over_h = F.col("sz") > _IVFA_HOME_CAP
-    over_p = F.col("sz") > _IVFMT_PROBE_CAP
+    over_h = F.col("sz") > home_cap
+    over_p = F.col("sz") > probe_cap
     stats_h = (
         asg.filter(F.col("pr") == 1)
         .groupBy("tbl", "cid")
@@ -2533,7 +2547,7 @@ def dedup_embedding_ivf_mt4_cell_audit(
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_home_cells"),
             F.max("sz").cast("bigint").alias("max_home_cell"),
-            F.sum(F.when(over_h, F.col("sz") - _IVFA_HOME_CAP).otherwise(0))
+            F.sum(F.when(over_h, F.col("sz") - home_cap).otherwise(0))
             .cast("bigint")
             .alias("home_dropped"),
         )
@@ -2544,7 +2558,7 @@ def dedup_embedding_ivf_mt4_cell_audit(
         .groupBy("tbl")
         .agg(
             F.max("sz").cast("bigint").alias("max_probe_cell"),
-            F.sum(F.when(over_p, F.col("sz") - _IVFMT_PROBE_CAP).otherwise(0))
+            F.sum(F.when(over_p, F.col("sz") - probe_cap).otherwise(0))
             .cast("bigint")
             .alias("probe_dropped"),
         )
@@ -2553,7 +2567,7 @@ def dedup_embedding_ivf_mt4_cell_audit(
     # its audit row (COUNT 0 / NULL maxes — exactly the oracle's scalar
     # subqueries over an empty asgr)
     rems_df = spark.createDataFrame(
-        [(int(r),) for r in _IVFMT_REMS], "tbl int"
+        [(int(r),) for r in seed_rems], "tbl int"
     )
     return (
         rems_df.join(stats_h, "tbl", "left")
@@ -2782,6 +2796,100 @@ def dedup_embedding_ivf_mt4_recall_eval(
 ) -> DataFrame:
     return _recall_eval_df(
         spark, sf_dir, dedup_embedding_ivf_mt4(spark, sf_dir)
+    )
+
+
+# The 600k-FLOOR arm (r11, r10 VERDICT #2): same asymmetric home/probe
+# build as mt4, twelve disjoint centroid pools instead of four. Dial chosen
+# from the 600k design grid (SCALING_r11_ivfgrid600.md, replica validated
+# by reproducing mt4's Spark-measured 600k point 0.2976 exactly): per-table
+# recall at 600k is 0.0867 at P=8, tables compose ~1-(1-r)^T, and at equal
+# candidate mass MORE TABLES dominate DEEPER PROBES at this point too
+# (T=12·P=8 → 0.6059 at 2117M ordered rows vs T=6·P=16 → 0.5326 at 2113M)
+# — so the floor rung is the T dial, not P. Twelve pools = the 12 rem
+# classes mod 13 beyond coverage of the grid's incremental-union order;
+# the 13th class is left unused (a 13-pool arm would make every corpus
+# vector a seed candidate for some pool).
+_IVFMT12_REMS = (3, 1, 5, 7, 9, 11, 0, 2, 4, 6, 8, 10)
+
+
+@register(
+    "dedup_embedding_ivf_mt12",
+    oracle=_ivf_asym_pairs_oracle_sql(
+        _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP, _IVFMT12_REMS
+    ),
+    doc="The embedding-dedup family's 600k-RECALL-FLOOR arm (r11): "
+    "multi-table asymmetric home/probe IVF with TWELVE independent coarse "
+    "quantizers (disjoint deterministic centroid pools, the 12 vec_id "
+    "classes mod 13 of SCALING_r11_ivfgrid600.md's union order) at the mt4 "
+    "dials (P=8, caps 96/768). Why 12 tables: the r10 VERDICT set a 600k "
+    "floor of planted recall >= 0.5 where mt4 sits at 0.2976; the 600k "
+    "design grid (replica validated by reproducing that exact number) "
+    "shows per-table recall 0.0867 composing ~1-(1-r)^T across disjoint "
+    "pools — T=12 reaches 0.6059, and at equal candidate mass more tables "
+    "dominate deeper probes (T=12 P=8: 0.6059 @ 2117M vs T=6 P=16: 0.5326 "
+    "@ 2113M), so T is the floor dial. Execution shape is mt4's cell-block "
+    "form at 3x the table count: ONE fused corpus scan ranks all 12 "
+    "tables' assignments, per-(tbl,cid) capped windows role-tag the sides, "
+    "ONE embedding attach, grouped Arrow kernel per cell — shuffle and "
+    "Arrow mass O(T·N·P·emb), independent of the tripled candidate mass. "
+    "Measured through this registered query: SCALING_r11_ivfmt12.md.",
+)
+def dedup_embedding_ivf_mt12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_asym_pair_build(
+        spark, sf_dir, checkpoint=True,
+        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT12_REMS,
+    )
+
+
+def ivf_mt12_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan twin of dedup_embedding_ivf_mt12."""
+    return _ivf_asym_pair_build(
+        spark, sf_dir, checkpoint=False,
+        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT12_REMS,
+    )
+
+
+@register(
+    "dedup_embedding_ivf_mt12_cell_audit",
+    oracle=_ivf_mt_cell_audit_oracle_sql(
+        _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP, _IVFMT12_REMS
+    ),
+    doc="Candidacy-cap observability for dedup_embedding_ivf_mt12 — the "
+    "dedup_embedding_ivf_mt4_cell_audit contract over all twelve centroid "
+    "tables: per table the dialed k, home-cell count, largest home cell "
+    "and probe list, and exactly how many members each cap excluded. "
+    "Nonzero home_dropped means database vectors silently left that "
+    "table's index (the heavy-tail scorecard signal). Plan: the shared "
+    "fused ranked assignment, two (tbl,cid) groupBys, bounded folds — no "
+    "pairs, no embeddings shuffle.",
+)
+def dedup_embedding_ivf_mt12_cell_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _ivf_mt_cell_audit_df(
+        spark, sf_dir, _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP,
+        _IVFMT12_REMS,
+    )
+
+
+@register(
+    "dedup_embedding_ivf_mt12_recall_eval",
+    oracle=_ivf_mt_recall_oracle_sql(
+        _IVFMT_NPROBE, _IVFA_HOME_CAP, _IVFMT_PROBE_CAP, _IVFMT12_REMS
+    ),
+    doc="MEASURED recall of dedup_embedding_ivf_mt12 against the exact arm "
+    "— the same hash-verified single-row (n_exact, n_ivf, n_hit, recall) "
+    "contract as the mt4 eval, so the 600k-floor arm's recall claim is "
+    "checked against DuckDB every window. Contains the exact all-pairs "
+    "arm, so quadratic BY CONTRACT (fixture/sample scale); the 60k/600k "
+    "evidence lives in SCALING_r11_ivfmt12.md.",
+)
+def dedup_embedding_ivf_mt12_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_eval_df(
+        spark, sf_dir, dedup_embedding_ivf_mt12(spark, sf_dir)
     )
 
 

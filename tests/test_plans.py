@@ -689,6 +689,7 @@ def _plan_audit_overrides():
         adaptive_lsh_plan_audit,
         incremental_lsh_plan_audit,
         ivf_mt4_plan_audit,
+        ivf_mt12_plan_audit,
         ivf_plan_audit,
         ivf_probe4_plan_audit,
         recall_lsh_plan_audit,
@@ -701,6 +702,7 @@ def _plan_audit_overrides():
         "dedup_embedding_ivf": ivf_plan_audit,
         "dedup_embedding_ivf_probe4": ivf_probe4_plan_audit,
         "dedup_embedding_ivf_mt4": ivf_mt4_plan_audit,
+        "dedup_embedding_ivf_mt12": ivf_mt12_plan_audit,
     }
 
 

@@ -1284,17 +1284,22 @@ def ivfband800(out_path: str) -> int:
     return 0 if in_band else 1
 
 
-def ivfmt(out_path: str, with_600k: bool = False) -> int:
-    """Measure the REGISTERED multi-table arm (dedup_embedding_ivf_mt4)
-    through the full machinery at the 60k planted point — the number the
-    r9 VERDICT floor (recall >= 0.5 at <= 158 s) is judged on — and, with
-    --with-600k, at the 600k point where the symmetric arms collapsed."""
+def ivfmt(
+    out_path: str, with_600k: bool = False,
+    arm: str = "dedup_embedding_ivf_mt4",
+) -> int:
+    """Measure a REGISTERED multi-table arm through the full machinery at
+    the 60k planted point — the number the r9 VERDICT floor (recall >= 0.5
+    at <= 158 s) is judged on — and, with --with-600k, at the 600k point
+    where the symmetric arms collapsed (r10 VERDICT #2 floor: >= 0.5
+    there too). --arm selects the registered query (default mt4)."""
     import time as _t
 
     from pg2parquet_spark.session import get_spark
     from pg2parquet_spark.operators import dedup
     from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
 
+    fn = getattr(dedup, arm)
     spark = get_spark(app_name="ivfmt", cpus=32, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     p0 = {(r.a_id, r.b_id) for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
@@ -1303,12 +1308,10 @@ def ivfmt(out_path: str, with_600k: bool = False) -> int:
     def measure(d, factor):
         truth = factor * len(p0)
         t0 = _t.time()
-        got = [(r.a_id, r.b_id)
-               for r in dedup.dedup_embedding_ivf_mt4(spark, d).collect()]
+        got = [(r.a_id, r.b_id) for r in fn(spark, d).collect()]
         warm = _t.time() - t0
         t0 = _t.time()
-        dedup.dedup_embedding_ivf_mt4(spark, d).write.format("noop").mode(
-            "overwrite").save()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
         steady = _t.time() - t0
         hits = sum(1 for a, b in got
                    if a // shift == b // shift and (a % shift, b % shift) in p0)
@@ -1318,18 +1321,19 @@ def ivfmt(out_path: str, with_600k: bool = False) -> int:
     rows = []
     d60 = synth_dir(spark, factor=30, tables=("embeddings",))
     rows.append(("60k", *measure(d60, 30)))
-    print(f"60k mt4: {rows[-1]}", flush=True)
+    print(f"60k {arm}: {rows[-1]}", flush=True)
     if with_600k:
         d600 = synth_dir(spark, factor=300, tables=("embeddings",))
         rows.append(("600k", *measure(d600, 300)))
-        print(f"600k mt4: {rows[-1]}", flush=True)
+        print(f"600k {arm}: {rows[-1]}", flush=True)
 
     lines = [
-        "# Registered multi-table IVF arm (dedup_embedding_ivf_mt4) — planted recall",
+        f"# Registered multi-table IVF arm ({arm}) — planted recall",
         "",
         "Same planted truth and method as SCALING_r10_ivfasym.md; arm = the",
-        "REGISTERED query (T=4 disjoint centroid pools, P=8, caps 96/768).",
-        "r9 VERDICT floor: recall >= 0.5 at the 60k point at <= 158 s.",
+        f"REGISTERED query {arm}.",
+        "Floors: recall >= 0.5 at 60k (r9 VERDICT, <= 158 s) and >= 0.5 at",
+        "600k (r10 VERDICT #2).",
         "",
         "| point | planted hits | cross-copy | pairs out | recall | cost (s) |",
         "|---|---|---|---|---|---|",
@@ -1421,10 +1425,16 @@ if __name__ == "__main__":
         sys.exit(ivfband800(
             sys.argv[2] if len(sys.argv) > 2 else "SCALING_r11_ivfband800.md"))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfmt":
+        arm_arg = next(
+            (a.split("=", 1)[1] for a in sys.argv[2:]
+             if a.startswith("--arm=")),
+            "dedup_embedding_ivf_mt4",
+        )
         sys.exit(ivfmt(
             next((a for a in sys.argv[2:] if not a.startswith("--")),
                  "SCALING_r10_ivfmt.md"),
-            with_600k="--with-600k" in sys.argv))
+            with_600k="--with-600k" in sys.argv,
+            arm=arm_arg))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfasym":
         bp = 0
         for a in sys.argv[2:]:
