@@ -21,6 +21,11 @@ from pg2parquet_spark.tables import TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # cap worker threads: a many-branch oracle plan (e.g. the 12-chain
+    # multi-table IVF recall eval) reserves per-operator buffers PER
+    # THREAD, and at 32 threads the reservations alone can exhaust the
+    # buffer manager on an otherwise tiny input (observed r11)
+    con.execute("SET threads TO 16")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -84,23 +84,36 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
 
-    con = duckdb.connect()
+    def fresh_con():
+        # ONE DuckDB connection PER QUERY, not per run (r11): the r11
+        # full-registry run showed a heavy oracle (the 12-chain mt12
+        # recall eval) exhausting the shared connection's buffer manager
+        # and POISONING it — every later query errored "bad allocation"
+        # even though each passes alone. Per-query connections mirror
+        # pg2parquet_spark.oracle.run_compare (the driver-style compare)
+        # and make oracle failures independent. Threads are capped so a
+        # many-branch plan's per-operator reservations stay bounded.
+        c = duckdb.connect()
+        c.execute("SET threads TO 16")
+        for t in TABLES:
+            # tolerate partial corpora (the synth scaling dirs carry only
+            # the tables their probe needs); queries over a missing table
+            # fail loudly at execution, which is the right place
+            path = f"{SF_DIR}/{t}.parquet"
+            if not os.path.exists(path):
+                continue
+            # Spark-written corpora (the synth scaling dirs) are parquet
+            # DIRECTORIES of part files; driver testdata are single files
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        return c
+
     for t in TABLES:
-        # tolerate partial corpora (the synth scaling dirs carry only the
-        # tables their probe needs — e.g. embeddings-only at 600k vectors
-        # for the 14-bit adaptive-LSH arm); queries over a missing table
-        # fail loudly at execution, which is the right place
-        path = f"{SF_DIR}/{t}.parquet"
-        if not os.path.exists(path):
+        if not os.path.exists(f"{SF_DIR}/{t}.parquet"):
             print(f"NOTE  {t}.parquet absent in {SF_DIR}; view skipped")
-            continue
-        # Spark-written corpora (the synth scaling dirs) are parquet
-        # DIRECTORIES of part files; the driver's testdata are single files
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-        )
 
     names = [n for n in sorted(qs) if not filters or any(f in n for f in filters)]
     failures = []
@@ -120,9 +133,13 @@ def main() -> int:
             sdf = qs[name](spark, SF_DIR)
             s_rows = [tuple(r) for r in sdf.collect()]
             s_cols = sdf.columns
-            rel = con.execute(oracles[name])
-            d_cols = [d[0] for d in rel.description]
-            d_rows = rel.fetchall()
+            con = fresh_con()
+            try:
+                rel = con.execute(oracles[name])
+                d_cols = [d[0] for d in rel.description]
+                d_rows = rel.fetchall()
+            finally:
+                con.close()
         except Exception as exc:
             failures.append(name)
             print(f"ERROR {name}: {exc}")
