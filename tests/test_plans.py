@@ -640,10 +640,17 @@ _BNLJ_WHITELIST = {
     # mt4 (r10): per-table 1-row k-params crossJoins in the audit; the pair
     # build itself is kernel assignment + cid equi-joins (no BNLJ)
     "dedup_embedding_ivf_mt4_cell_audit",
+    # mt12 (r11): identical audit shape to the mt4 twin — ONE 1-row
+    # k-params crossJoin (BroadcastNestedLoopJoin BuildRight, Cross); the
+    # pair build is kernel assignment + cid equi-joins (no BNLJ)
+    "dedup_embedding_ivf_mt12_cell_audit",
     # composes the whitelisted exact arm + the IVF build (the
     # ann_recall_eval precedent: an eval query, quadratic by contract)
     "dedup_embedding_ivf_recall_eval",
     "dedup_embedding_ivf_mt4_recall_eval",
+    # mt12 (r11): same eval-by-contract class — the exact quadratic arm's
+    # BNLJs, quadratic by documented contract (the mt4 twin's precedent)
+    "dedup_embedding_ivf_mt12_recall_eval",
     # 1-row params crossJoin (bits, a global COUNT aggregate) — hidden in
     # the registered plan by localCheckpoint, so the discipline sweep audits
     # the pre-checkpoint twin via _PLAN_AUDIT_OVERRIDES below (r6 ADVICE:
