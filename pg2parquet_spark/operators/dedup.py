@@ -1953,6 +1953,14 @@ def _ivf_centroid_bc(spark, sf_dir, emb, k: int, seed_rem: int):
     bc = spark.sparkContext.broadcast(
         np.array([r.embedding for r in cent_rows], dtype=np.float64)
     )
+    # entries keyed by a DEAD applicationId can never hit again (the key's
+    # first element is the live app's id) — drop them on insert so
+    # broadcasts from stopped in-process sessions don't accumulate for the
+    # process lifetime (r11 ADVICE). Same sweep for the count cache.
+    app_id = cache_key[0]
+    for cache in (_IVF_BC_CACHE, _IVF_N_CACHE):
+        for k_ in [k_ for k_ in cache if k_[0] != app_id]:
+            del cache[k_]
     _IVF_BC_CACHE[cache_key] = (fp, bc)
     return bc
 
@@ -2048,11 +2056,12 @@ def _ivf_assignments_multi(
     "(nprobe=2 multi-assignment), candidates = same-cell pairs under a "
     "per-cell candidacy cap (_IVF_CELL_CAP=192, ~2x the balanced band — "
     "inert on uniform corpora, heavy tails audited by "
-    "dedup_embedding_ivf_cell_audit), scored IN CELL SPACE since r11 "
-    "(embeddings attach once to the capped sides, the cid self-join "
-    "streams candidates through the exact dot kernel in-stage — the mt4 "
-    "shape, value-identical to the candidate-first form the oracle "
-    "expresses). Why it exists: hyperplane LSH "
+    "dedup_embedding_ivf_cell_audit), scored as CELL BLOCKS since r11 "
+    "(embeddings attach ONCE to the capped assignment rows and a grouped "
+    "Arrow kernel scores each cell's i<j upper triangle in numpy — "
+    "_score_cell_triangles; candidate pairs exist only as matrix entries, "
+    "never as rows, value-identical to the candidate-first form the "
+    "oracle expresses). Why it exists: hyperplane LSH "
     "recall at a fixed probe budget decays exponentially with bucket width "
     "(measured 0.07 at 60k vectors, SCALING_r09_embrecall.md) because the "
     "partition ignores the data; nearest-centroid cells follow the data, so "

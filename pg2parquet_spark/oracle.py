@@ -13,19 +13,26 @@ import decimal
 import math
 from dataclasses import dataclass, field
 
+import os
+
 import duckdb
 import pandas as pd
 
 from pg2parquet_spark.tables import TABLES
 
+# cap DuckDB worker threads: a many-branch oracle plan (e.g. the 12-chain
+# multi-table IVF recall eval) reserves per-operator buffers PER THREAD,
+# and at 32 threads the reservations alone can exhaust the buffer manager
+# on an otherwise tiny input (observed r11). Shared by every oracle
+# connection (here and tools/selfcheck.py) so the cap can't drift; the
+# min() keeps small-core hosts at their natural width instead of
+# oversubscribing them.
+ORACLE_DUCKDB_THREADS = min(os.cpu_count() or 16, 16)
+
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # cap worker threads: a many-branch oracle plan (e.g. the 12-chain
-    # multi-table IVF recall eval) reserves per-operator buffers PER
-    # THREAD, and at 32 threads the reservations alone can exhaust the
-    # buffer manager on an otherwise tiny input (observed r11)
-    con.execute("SET threads TO 16")
+    con.execute(f"SET threads TO {ORACLE_DUCKDB_THREADS}")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

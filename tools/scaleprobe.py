@@ -1019,7 +1019,10 @@ def _g600_flat_ranks(C):
 
     X = _G600["X"]
     N = X.shape[0]
-    PMAX = _G600["PMAX"]
+    # a quantizer with fewer than PMAX centroids can only rank C.shape[0]
+    # cells — size the output to what exists (unreachable at the 600k
+    # dials, but the helper is reusable; r11 ADVICE)
+    PMAX = min(_G600["PMAX"], C.shape[0])
     topP = np.empty((N, PMAX), dtype=np.int32)
     chunk = 4096
     for s in range(0, N, chunk):
@@ -1241,14 +1244,17 @@ def ivfgrid600(out_path: str) -> int:
     return 0
 
 
-def ivfband800(out_path: str) -> int:
+def ivfband800(out_path: str, factor: int = 400) -> int:
     """r10 VERDICT #3 done-criterion: a through-the-machinery cell audit
     ABOVE the old 768k band exit, proving the extended _IVF_K_THRESHOLDS
     keep the (23.4, 46.9] occupancy band. factor=400 → 800k vectors →
     k=32768 under the r11 chain (the r10 chain would have pinned k=16384
     and occupancy 48.8, outside the band and growing). Affordable since
     the r11 k-tiled assignment kernel (the untiled 600k build was
-    memory-bound at ~1600 s; this runs one nprobe=2 single-table build)."""
+    memory-bound at ~1600 s; this runs one nprobe=2 single-table build).
+    ``factor`` picks the band edge under probe: 400 = the 768k edge
+    (r11); 780 = 1.56M vectors, just past the 1,536,000 edge where k
+    doubles to 65536 (r12)."""
     import time as _t
 
     from pg2parquet_spark.session import get_spark
@@ -1256,7 +1262,7 @@ def ivfband800(out_path: str) -> int:
 
     spark = get_spark(app_name="ivfband800", cpus=32, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    d800 = synth_dir(spark, factor=400, tables=("embeddings",))
+    d800 = synth_dir(spark, factor=factor, tables=("embeddings",))
     n = spark.read.parquet(f"{d800}/embeddings.parquet").count()
     t0 = _t.time()
     row = dedup.dedup_embedding_ivf_cell_audit(spark, d800).collect()[0]
@@ -1266,10 +1272,9 @@ def ivfband800(out_path: str) -> int:
     band_lo, band_hi = 375 / 16, 375 / 8
     in_band = band_lo < occ <= band_hi
     lines = [
-        "# Occupancy band above the old 768k exit (r11 threshold extension)",
+        "# Occupancy band at the extended _IVF_K_THRESHOLDS edges",
         "",
-        f"Corpus: synth factor=400 = {n} vectors (> 768000, where the r10",
-        "chain capped k at 16384 and left the band). Audit through the",
+        f"Corpus: synth factor={factor} = {n} vectors. Audit through the",
         "registered dedup_embedding_ivf_cell_audit machinery (nprobe=2).",
         "",
         "| n | k | n/k (expected occupancy) | band (23.4, 46.9] | n_cells | max_cell | dropped | wall (s) |",
@@ -1282,6 +1287,215 @@ def ivfband800(out_path: str) -> int:
     print("\n".join(lines[-2:]), flush=True)
     print("wrote", out_path, flush=True)
     return 0 if in_band else 1
+
+
+def _g600_dup_one(args):
+    """One table of the duplicate-share measurement: (t_index, rem) →
+    (home assignment, SAMPLED scored-instance endpoints, exact instance
+    count, planted-catch mask). Instances are the exact rows the
+    registered cell-block kernel scores for this table (probe×home per
+    cell, p≠h, caps ignored — audited inert at these dials); the sample
+    keeps an instance iff the hash-bucket of its MIN endpoint is 0, so
+    every instance of a given normalized pair is either fully in or fully
+    out of the sample — the property the duplicate-share estimator needs."""
+    import numpy as np
+
+    from pg2parquet_spark.operators import dedup
+
+    t_index, rem = args
+    ids, X, k = _G600["ids"], _G600["X"], _G600["k"]
+    inH = _G600["inH"]
+    N = X.shape[0]
+    m = ids % dedup._IVF_SEED_MOD == rem
+    C = X[m][:k].copy()
+    topP = _g600_flat_ranks(C)  # N x PMAX (=8), 0-based cell ids
+    home = topP[:, 0].copy()
+    P = topP.shape[1]
+
+    hc = np.bincount(home, minlength=k)
+    pc = np.bincount(topP.ravel(), minlength=k)
+    # exact scored-instance count: every (probe, home) entry with p != h.
+    # The only diagonal entries are each vector against itself in its own
+    # home cell (pr=1 guarantees v probes home(v)), exactly N of them.
+    n_inst = int((hc.astype(np.int64) * pc.astype(np.int64)).sum()) - N
+
+    # planted-pair catch (replica validation against the design grid)
+    c8, _ = _g600_catch_and_mass(home, topP, P, k)
+
+    # per-cell member lists via one sort each
+    vec_p = np.repeat(np.arange(N, dtype=np.int64), P)
+    cell_p = topP.ravel().astype(np.int64)
+    op = np.argsort(cell_p, kind="stable")
+    cell_p, vec_p = cell_p[op], vec_p[op]
+    p_start = np.searchsorted(cell_p, np.arange(k + 1))
+    oh = np.argsort(home.astype(np.int64), kind="stable")
+    home_s = home.astype(np.int64)[oh]
+    h_start = np.searchsorted(home_s, np.arange(k + 1))
+
+    mins, maxs = [], []
+    for c in range(k):
+        pm = vec_p[p_start[c]:p_start[c + 1]]
+        hm = oh[h_start[c]:h_start[c + 1]]
+        if len(pm) == 0 or len(hm) == 0:
+            continue
+        for h in hm[inH[hm]]:       # h is the min endpoint
+            ps = pm[pm > h]
+            if len(ps):
+                mins.append(np.full(len(ps), h, dtype=np.int32))
+                maxs.append(ps.astype(np.int32))
+        for p in pm[inH[pm]]:       # p is the min endpoint
+            hs_ = hm[hm > p]
+            if len(hs_):
+                mins.append(np.full(len(hs_), p, dtype=np.int32))
+                maxs.append(hs_.astype(np.int32))
+    mins = np.concatenate(mins) if mins else np.empty(0, dtype=np.int32)
+    maxs = np.concatenate(maxs) if maxs else np.empty(0, dtype=np.int32)
+    return t_index, home.astype(np.int32), mins, maxs, n_inst, c8
+
+
+def ivfdup600(out_path: str) -> int:
+    """r11 VERDICT #4: measure the cross-table duplicate-scoring share of
+    dedup_embedding_ivf_mt12 at the 600k point. The arm exact-scores
+    ~2117M ordered candidate instances for ~60M surviving pairs across 12
+    quasi-independent tables; a pair co-located in m (table, orientation)
+    slots is scored m times before the final distinct(). This mode
+    measures that multiplicity exactly where it costs wall time: total
+    scored instances (exact, from per-cell home/probe counts) vs DISTINCT
+    normalized pairs (estimated from a 1/64 hash sample keyed on the min
+    endpoint, so a pair's instances are sampled all-or-nothing), split
+    into within-table (orientation/per-cell) and cross-table components.
+    Also prices the one exact cut available to the kernel without extra
+    cross-table payload shipping: skip an instance in table t when the
+    endpoints share a home cell in some earlier table t' (home-home
+    co-location implies generation in t', since pr=1 cells are always
+    probed) — the skippable share bounds what such a cut could save."""
+    import multiprocessing as _mp
+    import time as _t
+
+    import numpy as np
+
+    from pg2parquet_spark.session import get_spark
+    from pg2parquet_spark.operators import dedup
+    from pg2parquet_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    t_all = _t.time()
+    spark = get_spark(app_name="ivfdup600", cpus=16, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    p0 = {(r.a_id, r.b_id)
+          for r in dedup_embedding_cosine_exact(spark, SF_BIG).collect()}
+    d600 = synth_dir(spark, factor=300, tables=("embeddings",))
+    rows = spark.read.parquet(f"{d600}/embeddings.parquet").select(
+        "vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    del rows
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    spark.stop()
+    N = len(ids)
+    shift = 10_000
+    id2ix = {int(v): i for i, v in enumerate(ids)}
+    tp = [
+        (id2ix[c * shift + a], id2ix[c * shift + b])
+        for c in range(300) for a, b in p0
+        if c * shift + a in id2ix and c * shift + b in id2ix
+    ]
+    truth_pairs = np.array(tp)
+    k = dedup._IVF_K_BASE * (
+        1 << sum(N > t for t in dedup._IVF_K_THRESHOLDS))
+    # min-endpoint sample: high multiplicative-hash bits, NOT a plain id
+    # residue (ids carry the c*10000+a planting structure and the mod-13
+    # pool structure; low-bit residues would correlate with both)
+    SAMPLE_MOD = 64
+    hashed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+    inH = (hashed % np.uint64(SAMPLE_MOD)) == 0
+    _G600.update(
+        ids=ids, X=X, k=k, PMAX=8, inH=inH,
+        a_ix=truth_pairs[:, 0], b_ix=truth_pairs[:, 1],
+    )
+    rems = dedup._IVFMT12_REMS  # registration order = kernel table order
+    T = len(rems)
+
+    ctx = _mp.get_context("fork")
+    with ctx.Pool(min(T, os.cpu_count() or 1)) as pool:
+        per_table = pool.map(_g600_dup_one, list(enumerate(rems)))
+    per_table.sort(key=lambda r: r[0])
+
+    H12 = np.stack([pt[1] for pt in per_table], axis=1)  # N x T home cids
+    n_inst_exact = sum(pt[4] for pt in per_table)
+    caught = np.zeros(len(truth_pairs), dtype=bool)
+    per_catch = []
+    for pt in per_table:
+        caught |= pt[5]
+        per_catch.append(pt[5].mean())
+    planted_mult = sum(per_catch) / max(caught.mean(), 1e-12)
+
+    keys_all, tbl_all = [], []
+    for t_index, _, mins, maxs, _, _ in per_table:
+        keys_all.append(mins.astype(np.int64) * N + maxs.astype(np.int64))
+        tbl_all.append(np.full(len(mins), t_index, dtype=np.int8))
+    keys = np.concatenate(keys_all)
+    tbls = np.concatenate(tbl_all)
+    n_samp = len(keys)
+    uniq_global = len(np.unique(keys))
+    uniq_within = sum(len(np.unique(kk)) for kk in keys_all)
+
+    # exact home-home cut: instance in table t is skippable iff endpoints
+    # share a home cell in some earlier table (generation there is certain:
+    # the home cell is its owner's pr=1 cell and every vector probes its
+    # own pr=1 cell, so both orientations exist in t' whenever homes match)
+    skip = np.zeros(n_samp, dtype=bool)
+    mins_g = (keys // N).astype(np.int64)
+    maxs_g = (keys % N).astype(np.int64)
+    for t in range(1, T):
+        sel = tbls == t
+        if not sel.any():
+            continue
+        skip[sel] = (
+            H12[mins_g[sel], :t] == H12[maxs_g[sel], :t]
+        ).any(axis=1)
+    n_skip = int(skip.sum())
+    kept = n_samp - n_skip
+    kept_uniq = len(np.unique(keys[~skip]))
+
+    dup_share = 1 - uniq_global / n_samp
+    within_share = 1 - uniq_within / n_samp
+    cross_share = 1 - uniq_global / uniq_within
+    lines = [
+        "# mt12 duplicate-scoring share at 600k (r11 VERDICT #4)",
+        "",
+        f"N={N}, k={k} per table, T={T} tables, P=8; planted truth"
+        f"={len(truth_pairs)} pairs.",
+        f"Replica validation: per-table planted recall {per_catch[0]:.4f}"
+        f" (grid: 0.0867), union {caught.mean():.4f} (grid: 0.6059);",
+        f"planted-pair scoring multiplicity {planted_mult:.2f}x.",
+        "",
+        "Instance = one (probe, home) entry the cell-block kernel scores.",
+        f"Sample: 1/{SAMPLE_MOD} of normalized pairs by min-endpoint hash",
+        "(all-or-nothing per pair, unbiased for share ratios).",
+        "",
+        "| quantity | value |",
+        "|---|---|",
+        f"| scored instances (exact) | {n_inst_exact / 1e6:.0f}M |",
+        f"| sampled instances | {n_samp} |",
+        f"| sampled distinct pairs | {uniq_global} |",
+        f"| duplicate-work share (1 - distinct/instances) | {dup_share:.4f} |",
+        f"| … within-table component | {within_share:.4f} |",
+        f"| … cross-table component (of within-deduped) | {cross_share:.4f} |",
+        f"| home-home-skippable instances (exact cut) | {n_skip / max(n_samp, 1):.4f} |",
+        f"| instances after cut | {kept / max(n_samp, 1):.4f} |",
+        f"| distinct pairs after cut (must equal before) | {kept_uniq} |",
+        "",
+        f"probe wall: {_t.time() - t_all:.0f}s",
+    ]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines), flush=True)
+    if kept_uniq != uniq_global:
+        print("WARNING: home-home cut would DROP pairs — rule unsound",
+              flush=True)
+        return 1
+    return 0
 
 
 def ivfmt(
@@ -1424,6 +1638,13 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfband800":
         sys.exit(ivfband800(
             sys.argv[2] if len(sys.argv) > 2 else "SCALING_r11_ivfband800.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfdup600":
+        sys.exit(ivfdup600(
+            sys.argv[2] if len(sys.argv) > 2 else "SCALING_r12_ivfdup600.md"))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ivfband1536":
+        sys.exit(ivfband800(
+            sys.argv[2] if len(sys.argv) > 2 else "SCALING_r12_ivfband1536.md",
+            factor=780))
     elif len(sys.argv) > 1 and sys.argv[1] == "--ivfmt":
         arm_arg = next(
             (a.split("=", 1)[1] for a in sys.argv[2:]

@@ -92,9 +92,12 @@ def main() -> int:
         # even though each passes alone. Per-query connections mirror
         # pg2parquet_spark.oracle.run_compare (the driver-style compare)
         # and make oracle failures independent. Threads are capped so a
-        # many-branch plan's per-operator reservations stay bounded.
+        # many-branch plan's per-operator reservations stay bounded
+        # (shared constant with the driver-style compare harness).
+        from pg2parquet_spark.oracle import ORACLE_DUCKDB_THREADS
+
         c = duckdb.connect()
-        c.execute("SET threads TO 16")
+        c.execute(f"SET threads TO {ORACLE_DUCKDB_THREADS}")
         for t in TABLES:
             # tolerate partial corpora (the synth scaling dirs carry only
             # the tables their probe needs); queries over a missing table
