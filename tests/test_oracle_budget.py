@@ -12,9 +12,12 @@ budget at default thread count, and no oracle failure mode leaves the
 shared connection unable to answer ``SELECT 1``.
 
 Two tiers (both sequential, registry order, one connection per tier):
- - 2GB: the FULL registry — the driver-window replica proper.
- - 1GB: the heavy subset (embedding/IVF family + the largest oracle
-   texts) — double the safety margin exactly where r11 broke.
+ - 2GB, DEFAULT threads: the FULL registry — the driver-window replica
+   proper (the driver does not cap threads).
+ - 1GB, threads capped: the heavy subset (embedding/IVF family + the
+   largest oracle texts) — double the safety margin exactly where r11
+   broke, thread-capped because at 1GB default-thread reservations make
+   the outcome load-dependent (see _budget_connection).
 
 Budget breaches must be fixed by RESTRUCTURING the oracle (materialized
 CTEs to serialize branches, smaller intermediates), never by raising the
@@ -31,11 +34,22 @@ from pg2parquet_spark.tables import TABLES
 from tests.conftest import SF_CORRECT
 
 
-def _budget_connection(limit: str) -> duckdb.DuckDBPyConnection:
-    # default thread count ON PURPOSE: the driver does not cap threads,
-    # and per-thread operator reservations are part of what broke r11
+def _budget_connection(limit: str, cap_threads: bool) -> duckdb.DuckDBPyConnection:
+    # the 2GB driver-replica tier keeps the DEFAULT thread count: the
+    # driver does not cap threads, and per-thread operator reservations
+    # are part of what broke r11. The 1GB margin tier caps threads
+    # (ORACLE_DUCKDB_THREADS): at 1GB the default-thread reservations
+    # make the outcome depend on machine load — observed green standalone
+    # and OOM on the mt12 recall eval under a loadavg-44 machine — and a
+    # flaky gate protects nothing; thread-capped, the tier pins the
+    # deterministic property (the oracles FIT the tighter budget),
+    # isolated from scheduling noise.
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{limit}'")
+    if cap_threads:
+        from pg2parquet_spark.oracle import ORACLE_DUCKDB_THREADS
+
+        con.execute(f"SET threads TO {ORACLE_DUCKDB_THREADS}")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
@@ -74,8 +88,8 @@ def _heavy_subset() -> list[tuple[str, str]]:
     return out
 
 
-def _run_tier(pairs: list[tuple[str, str]], limit: str) -> None:
-    con = _budget_connection(limit)
+def _run_tier(pairs: list[tuple[str, str]], limit: str, cap_threads: bool = False) -> None:
+    con = _budget_connection(limit, cap_threads)
     try:
         for name, sql in pairs:
             try:
@@ -102,4 +116,4 @@ def test_all_oracles_fit_2gb_shared_connection():
 
 
 def test_heavy_oracles_fit_1gb_shared_connection():
-    _run_tier(_heavy_subset(), "1GB")
+    _run_tier(_heavy_subset(), "1GB", cap_threads=True)
