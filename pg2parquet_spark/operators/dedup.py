@@ -2686,13 +2686,13 @@ pairs AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM cpd a JOIN cpd b ON a.cid = b.cid AND a.vec_id < b.vec_id
   WHERE a.rnc <= {_IVF_CELL_CAP} AND b.rnc <= {_IVF_CELL_CAP}),
-ivf AS (
+ivf AS MATERIALIZED (
   SELECT DISTINCT p.a_id, p.b_id
   FROM pairs p
   JOIN embeddings ea ON ea.vec_id = p.a_id
   JOIN embeddings eb ON eb.vec_id = p.b_id
   WHERE {_dot_sql('ea.embedding', 'eb.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD}),
-ex AS (
+ex AS MATERIALIZED (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD})
@@ -2767,16 +2767,22 @@ def _ivf_mt_recall_oracle_sql(
     seed_rems: tuple[int, ...] = _IVFMT_REMS,
 ) -> str:
     ctes, union = _ivf_asym_tables_sql(nprobe, home_cap, probe_cap, seed_rems)
+    # ivf and ex are each referenced TWICE (a COUNT scalar subquery + the
+    # hit join) — without MATERIALIZED, DuckDB inlines and re-evaluates
+    # the full multi-chain candidate build and the quadratic exact arm
+    # per reference (measured 65-110 s vs 12-23 s at sf0.01, r12), and
+    # the doubled transient footprint is exactly what squeezed the
+    # driver's shared-connection window in r11. Values are unchanged.
     return f"""
 WITH {ctes},
-pairs AS (SELECT DISTINCT a_id, b_id FROM ({union})),
-ivf AS (
+pairs AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM ({union})),
+ivf AS MATERIALIZED (
   SELECT DISTINCT p.a_id, p.b_id
   FROM pairs p
   JOIN embeddings ea ON ea.vec_id = p.a_id
   JOIN embeddings eb ON eb.vec_id = p.b_id
   WHERE {_dot_sql('ea.embedding', 'eb.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD}),
-ex AS (
+ex AS MATERIALIZED (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} >= {_EMB_COS_THRESHOLD})
