@@ -2223,26 +2223,38 @@ def ivf_probe4_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFA_HOME_CAP = 96  # 2x the single-assignment occupancy band top (46.9)
 
 
-def _ivf_asym_chain_sql(
-    nprobe: int, seed_rem: int = _IVF_SEED_REM, sfx: str = ""
-) -> str:
-    """Oracle prefix for the asymmetric arm: the shared par→sd→cent→ad
-    chain, but the materialized assignment keeps the probe rank ``pr`` so
-    the home side (pr=1) and the probe side (pr<=nprobe) derive from ONE
-    scored ranking — the SQL twin of _ivf_assignments(with_rank=True).
-    ``seed_rem`` selects the centroid sample (one independent "table" per
-    remainder class mod _IVF_SEED_MOD); ``sfx`` suffixes the CTE names so
-    the multi-table arm can splice several chains into one WITH."""
+def _ivf_asym_chain_sql(nprobe: int, seed_rems: tuple[int, ...]) -> str:
+    """Oracle prefix for the asymmetric arm: ONE tbl-dimensioned
+    par→tbls→sd→cent→ad chain covering every centroid table, with the
+    materialized assignment keeping the probe rank ``pr`` so the home side
+    (pr=1) and the probe side (pr<=nprobe) derive from ONE scored ranking —
+    the SQL twin of _ivf_assignments_multi.
+
+    r12 restructure (r11 VERDICT #2): the previous generator UNROLLED one
+    copy of this chain per table — ~8 plan operators × 12 tables for mt12.
+    DuckDB reserves operator buffers per thread, so on the driver's
+    shared-connection, memory-squeezed harness (2GB, default threads = 32
+    here) the ~90-operator mt12 plans ran at the budget's edge and
+    bad_alloc'd nondeterministically — the exact r11 failure mode, now
+    pinned by tests/test_oracle_budget.py. The tables differ ONLY in their
+    seed remainder, so a ``tbls(tbl, rem)`` VALUES relation turns the T
+    copies into one chain whose windows partition by (tbl, ...) — operator
+    count (and with it the reservation footprint) drops ~T-fold, values
+    are branch-for-branch identical (disjoint rem classes ⇒ per-tbl
+    ROW_NUMBERs and rankings match the per-branch ones exactly)."""
     d = _dot_sql("e.embedding", "c.cemb", EMB_DIM, False)
-    return f"""par{sfx} AS (SELECT {_ivf_k_case('COUNT(*)')} AS k FROM embeddings),
-sd{sfx} AS (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-       FROM embeddings WHERE vec_id % {_IVF_SEED_MOD} = {seed_rem}),
-cent{sfx} AS (SELECT rn AS cid, embedding AS cemb FROM sd{sfx}, par{sfx} WHERE rn <= k),
-ad{sfx} AS (SELECT e.vec_id, c.cid,
-              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+    vals = ", ".join(f"({i}, {rem})" for i, rem in enumerate(seed_rems))
+    return f"""par AS (SELECT {_ivf_k_case('COUNT(*)')} AS k FROM embeddings),
+tbls AS (SELECT * FROM (VALUES {vals}) AS v(tbl, rem)),
+sd AS (SELECT t.tbl, e.vec_id, e.embedding,
+              ROW_NUMBER() OVER (PARTITION BY t.tbl ORDER BY e.vec_id) AS rn
+       FROM embeddings e JOIN tbls t ON e.vec_id % {_IVF_SEED_MOD} = t.rem),
+cent AS (SELECT tbl, rn AS cid, embedding AS cemb FROM sd, par WHERE rn <= k),
+ad AS (SELECT e.vec_id, c.tbl, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY c.tbl, e.vec_id
                                  ORDER BY {d} DESC, c.cid) AS pr
-       FROM embeddings e CROSS JOIN cent{sfx} c),
-asgr{sfx} AS MATERIALIZED (SELECT vec_id, cid, pr FROM ad{sfx} WHERE pr <= {nprobe})"""
+       FROM embeddings e CROSS JOIN cent c),
+asgr AS MATERIALIZED (SELECT tbl, vec_id, cid, pr FROM ad WHERE pr <= {nprobe})"""
 
 
 def _ivf_asym_tables_sql(
@@ -2251,28 +2263,25 @@ def _ivf_asym_tables_sql(
     probe_cap: int,
     seed_rems: tuple[int, ...],
 ) -> tuple[str, str]:
-    """(cte_block, pairs_union): per-table chain + capped home/probe
-    windows, and the UNION ALL of the per-table candidate selects — the
-    shared skeleton of the pair oracle and the recall-eval oracle."""
-    chains, selects = [], []
-    for i, rem in enumerate(seed_rems):
-        s = f"_t{i}"
-        chains.append(_ivf_asym_chain_sql(nprobe, rem, s))
-        chains.append(
-            f"""hc{s} AS (SELECT vec_id, cid,
-              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rnh
-       FROM asgr{s} WHERE pr = 1),
-pc{s} AS (SELECT vec_id, cid,
-              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rnp
-       FROM asgr{s})"""
-        )
-        selects.append(
-            f"""SELECT LEAST(p.vec_id, h.vec_id) AS a_id,
+    """(cte_block, candidate_select): the tbl-dimensioned chain + capped
+    home/probe windows, and the single candidate select joining them on
+    (tbl, cid) — the shared skeleton of the pair oracle and the recall-eval
+    oracle. Replaces the per-table UNION ALL (see _ivf_asym_chain_sql)."""
+    ctes = (
+        _ivf_asym_chain_sql(nprobe, seed_rems)
+        + """,
+hc AS (SELECT tbl, vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY tbl, cid ORDER BY vec_id) AS rnh
+       FROM asgr WHERE pr = 1),
+pc AS (SELECT tbl, vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY tbl, cid ORDER BY vec_id) AS rnp
+       FROM asgr)"""
+    )
+    select = f"""SELECT LEAST(p.vec_id, h.vec_id) AS a_id,
          GREATEST(p.vec_id, h.vec_id) AS b_id
-  FROM pc{s} p JOIN hc{s} h ON p.cid = h.cid AND p.vec_id <> h.vec_id
+  FROM pc p JOIN hc h ON p.tbl = h.tbl AND p.cid = h.cid AND p.vec_id <> h.vec_id
   WHERE p.rnp <= {probe_cap} AND h.rnh <= {home_cap}"""
-        )
-    return ",\n".join(chains), "\n  UNION ALL\n".join(selects)
+    return ctes, select
 
 
 def _ivf_asym_pairs_oracle_sql(
@@ -2488,24 +2497,25 @@ def ivf_mt4_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_mt_cell_audit_oracle_sql(
     nprobe: int, home_cap: int, probe_cap: int, seed_rems: tuple[int, ...]
 ) -> str:
-    chains, auds = [], []
-    for i, rem in enumerate(seed_rems):
-        s = f"_t{i}"
-        chains.append(_ivf_asym_chain_sql(nprobe, rem, s))
-        chains.append(
-            f"""hs{s} AS (SELECT cid, COUNT(*) AS sz FROM asgr{s} WHERE pr = 1 GROUP BY cid),
-ps{s} AS (SELECT cid, COUNT(*) AS sz FROM asgr{s} GROUP BY cid)"""
-        )
-        auds.append(
-            f"""SELECT CAST({rem} AS BIGINT) AS seed_rem,
-       (SELECT CAST(k AS BIGINT) FROM par{s}) AS k,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM hs{s}) AS n_home_cells,
-       (SELECT CAST(MAX(sz) AS BIGINT) FROM hs{s}) AS max_home_cell,
-       (SELECT CAST(SUM(CASE WHEN sz > {home_cap} THEN sz - {home_cap} ELSE 0 END) AS BIGINT) FROM hs{s}) AS home_dropped,
-       (SELECT CAST(MAX(sz) AS BIGINT) FROM ps{s}) AS max_probe_cell,
-       (SELECT CAST(SUM(CASE WHEN sz > {probe_cap} THEN sz - {probe_cap} ELSE 0 END) AS BIGINT) FROM ps{s}) AS probe_dropped"""
-        )
-    return "WITH " + ",\n".join(chains) + "\n" + "\nUNION ALL\n".join(auds)
+    # same tbl-dimensioned restructure as _ivf_asym_chain_sql: one chain +
+    # two (tbl, cid) aggregates + per-tbl folds, LEFT-joined from tbls so an
+    # empty centroid pool still yields its audit row (COUNT 0 / NULL maxes,
+    # exactly what the old per-table scalar subqueries returned)
+    return f"""WITH {_ivf_asym_chain_sql(nprobe, seed_rems)},
+hs AS (SELECT tbl, cid, COUNT(*) AS sz FROM asgr WHERE pr = 1 GROUP BY tbl, cid),
+ps AS (SELECT tbl, cid, COUNT(*) AS sz FROM asgr GROUP BY tbl, cid),
+ha AS (SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_home_cells,
+              CAST(MAX(sz) AS BIGINT) AS max_home_cell,
+              CAST(SUM(CASE WHEN sz > {home_cap} THEN sz - {home_cap} ELSE 0 END) AS BIGINT) AS home_dropped
+       FROM hs GROUP BY tbl),
+pa AS (SELECT tbl, CAST(MAX(sz) AS BIGINT) AS max_probe_cell,
+              CAST(SUM(CASE WHEN sz > {probe_cap} THEN sz - {probe_cap} ELSE 0 END) AS BIGINT) AS probe_dropped
+       FROM ps GROUP BY tbl)
+SELECT CAST(t.rem AS BIGINT) AS seed_rem,
+       (SELECT CAST(k AS BIGINT) FROM par) AS k,
+       CAST(COALESCE(ha.n_home_cells, 0) AS BIGINT) AS n_home_cells,
+       ha.max_home_cell, ha.home_dropped, pa.max_probe_cell, pa.probe_dropped
+FROM tbls t LEFT JOIN ha ON ha.tbl = t.tbl LEFT JOIN pa ON pa.tbl = t.tbl"""
 
 
 @register(
