@@ -2073,53 +2073,106 @@ def _ivf_assignments_multi(
     "probe-mask explosion.",
 )
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivf_pair_build(spark, sf_dir, checkpoint=True)
+    return _ivf_pair_build(spark, sf_dir)
+
+
+def _ivf_member_rows(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> DataFrame:
+    """(vec_id, embedding, cid) member rows for the symmetric arms — the
+    assignment kernel EMITS the embedding alongside its top-nprobe cid
+    array (one Arrow row per vector, cids as a primitive list — no
+    nprobe-fold duplication at the Python boundary), and a JVM-side
+    explode fans out the per-cell membership. r12 restructure: the
+    previous shape shipped narrow (vec_id, cid) rows through a cap
+    window, then re-attached embeddings with a shuffle-hash join — the
+    heavy embedding bytes crossed THREE exchanges (emb by vec_id, capped
+    by vec_id, wide by cid). Carrying the embedding from the kernel lets
+    the single (cid) exchange feed both the cap window and the grouped
+    scorer, so the heavy bytes move ONCE (guide §8's move-heavy-bytes-
+    once rule applied to the cell build)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    nprobe = nprobe or _IVF_NPROBE
+    emb = table(spark, sf_dir, "embeddings")
+    n = _ivf_corpus_n(spark, sf_dir, emb)
+    k = _IVF_K_BASE * (1 << sum(n > t for t in _IVF_K_THRESHOLDS))
+    bc = _ivf_centroid_bc(spark, sf_dir, emb, k, _IVF_SEED_REM)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", emb.schema["embedding"].dataType),
+            StructField("cids", ArrayType(IntegerType())),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = bc.value
+        if C.shape[0] == 0:
+            return  # empty centroid sample: degrade to empty, like the oracle
+        chunk = max(1, 8_000_000 // max(C.shape[0], 1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            outs = [
+                _ivf_rank_cells(A[s : s + chunk], C, nprobe)
+                for s in range(0, A.shape[0], chunk)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "embedding": pdf["embedding"],
+                    "cids": list(np.concatenate(outs)),
+                }
+            )
+
+    asg = emb.select("vec_id", "embedding").mapInPandas(assign, schema)
+    return asg.select("vec_id", "embedding", F.explode("cids").alias("cid"))
 
 
 def _ivf_pair_build(
     spark: SparkSession,
     sf_dir: str,
-    checkpoint: bool,
     nprobe: int | None = None,
     cap: int = _IVF_CELL_CAP,
 ) -> DataFrame:
     """Shared pair build of the symmetric IVF arms: assignment (Arrow
-    kernel) → per-cell candidacy window → grouped triangle scorer.
-    checkpoint=False is the plan-audit path only.
+    kernel, embedding carried in-row — _ivf_member_rows) → per-cell
+    candidacy window → grouped triangle scorer REUSING the window's (cid)
+    partitioning.
 
-    Scored as CELL BLOCKS since r11 (r10 VERDICT #5, then the cell-block
-    refinement): embeddings attach ONCE to the capped assignment rows
-    (bounded at k·cap rows), and a grouped Arrow kernel scores each
-    cell's i<j upper triangle in numpy (_score_cell_triangles) — the
-    candidate pairs exist only as matrix entries, never as rows, so BOTH
-    shuffle and Arrow mass are O(N·nprobe·emb) regardless of how much
-    pair mass the cells hold. The r10 candidate-first form (narrow pair
-    join, then TWO wide embedding attaches over the full candidate mass)
-    exceeded the local disk budget at 600k. Value-identity argument as
-    mt4: the per-pair dot folds dimensions in the oracle's exact order,
-    duplicate scoring is exact-idempotent, and the post-threshold
-    distinct collapses the same duplicates the oracle's SELECT DISTINCT
-    does."""
+    Scored as CELL BLOCKS since r11 (r10 VERDICT #5): a grouped Arrow
+    kernel scores each cell's i<j upper triangle in numpy
+    (_score_cell_triangles) — candidate pairs exist only as matrix
+    entries, never as rows, so BOTH shuffle and Arrow mass are
+    O(N·nprobe·emb) regardless of how much pair mass the cells hold.
+    r12 plan shape: the member rows cross exactly ONE exchange
+    (hash(cid) — the cap window's), which the groupBy-applyInPandas
+    scorer reuses; the r11 form's shuffle-hash embedding attach (3
+    exchanges of embedding-bearing rows + a localCheckpoint job for a
+    single-consumer subtree) is gone. Catalyst additionally pushes a
+    WindowGroupLimit below the exchange, so over-cap members of a
+    pathological mega-cell are dropped map-side before they shuffle.
+    Value-identity argument as mt4: the per-pair dot folds dimensions in
+    the oracle's exact order, duplicate scoring is exact-idempotent, and
+    the post-threshold distinct collapses the same duplicates the
+    oracle's SELECT DISTINCT does."""
     from pyspark.sql import Window as W
 
-    emb, _, asg = _ivf_assignments(spark, sf_dir, nprobe=nprobe)
-    if checkpoint:
-        # narrow 2-int rows: checkpoint once, same signature-store
-        # rationale as _adaptive_lsh_build
-        asg = asg.localCheckpoint(eager=False)
+    rows = _ivf_member_rows(spark, sf_dir, nprobe)
     capped = (
-        asg.withColumn(
+        rows.withColumn(
             "rnc", F.row_number().over(W.partitionBy("cid").orderBy("vec_id"))
         )
         .filter(F.col("rnc") <= cap)
-        .select("vec_id", "cid")
+        .select("vec_id", "cid", "embedding")
     )
-    # ONE bounded embedding attach (≤ k·cap rows); shuffle-hash on the
-    # embedding side, same asymmetry argument as _score_candidate_pairs
-    wide = capped.join(
-        emb.select("vec_id", "embedding").hint("shuffle_hash"), "vec_id"
-    )
-    return _score_cell_triangles(wide).distinct()
+    return _score_cell_triangles(capped).distinct()
 
 
 def _score_cell_triangles(wide: DataFrame) -> DataFrame:
@@ -2165,11 +2218,11 @@ def _score_cell_triangles(wide: DataFrame) -> DataFrame:
 
 
 def ivf_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-checkpoint plan twin of dedup_embedding_ivf (same role as
-    adaptive_lsh_plan_audit: the registered form localCheckpoints the
-    narrow assignment rows, truncating the visible plan; plan gates sweep
-    this full-lineage twin)."""
-    return _ivf_pair_build(spark, sf_dir, checkpoint=False)
+    """Plan twin of dedup_embedding_ivf. Since the r12 restructure the
+    registered form no longer localCheckpoints (the member rows have ONE
+    consumer), so the twin is identical to the registered plan — kept so
+    the plan gates' override table stays uniform across the family."""
+    return _ivf_pair_build(spark, sf_dir)
 
 
 @register(
@@ -2190,16 +2243,13 @@ def ivf_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cap and observable via dedup_embedding_ivf_probe4_cell_audit.",
 )
 def dedup_embedding_ivf_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivf_pair_build(
-        spark, sf_dir, checkpoint=True, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP
-    )
+    return _ivf_pair_build(spark, sf_dir, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP)
 
 
 def ivf_probe4_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-checkpoint plan twin of dedup_embedding_ivf_probe4."""
-    return _ivf_pair_build(
-        spark, sf_dir, checkpoint=False, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP
-    )
+    """Plan twin of dedup_embedding_ivf_probe4 (identical since r12 — see
+    ivf_plan_audit)."""
+    return _ivf_pair_build(spark, sf_dir, nprobe=_IVF4_NPROBE, cap=_IVF4_CELL_CAP)
 
 
 # --------------------------------------------------------------------------
@@ -2307,7 +2357,6 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM scored WHERE cos_sim >= {_EMB_COS_THRES
 def _ivf_asym_pair_build(
     spark: SparkSession,
     sf_dir: str,
-    checkpoint: bool,
     nprobe: int,
     home_cap: int = _IVFA_HOME_CAP,
     probe_cap: int | None = None,
@@ -2315,72 +2364,156 @@ def _ivf_asym_pair_build(
 ) -> DataFrame:
     """Asymmetric pair build, optionally multi-table, scored as CELL
     BLOCKS: ONE fused corpus scan ranks every table's assignments
-    (_ivf_assignments_multi — the tables differ only in their broadcast
+    (_ivf_member_rows_multi — the tables differ only in their broadcast
     centroid matrix, so separate kernels would pay T corpus scans for
-    nothing), the capped home/probe rows are ROLE-TAGGED and unioned, ONE
-    embedding attach rides the vec_id join, and a grouped Arrow kernel
-    (_score_cell_blocks) scores each (tbl, cid) cell's probe×home block
-    IN KERNEL — candidate pairs exist only as numpy matrix entries, never
-    as rows. Only the thresholded SURVIVORS (~0.2% yield) reach the final
-    distinct. Two generations of shape fixes, both measured at 600k:
-    the candidate-first form (r10) shuffled ~700M wide rows for the
-    second embedding attach (~100+ GB — exceeded the local disk budget
-    outright); the in-cell JOIN form that replaced it shuffled only the
-    side rows but still MATERIALIZED every candidate as a ~1.1 KB
-    two-embedding Arrow row into Python (~700 GB of Arrow traffic at the
-    r10 dials, growing with probe depth). The cell-block form caps BOTH
-    shuffle and Arrow mass at O(N·(1+P)·emb) per table — independent of
-    candidate mass, which is exactly the quantity the recall dial grows.
-    Value-identical: the per-pair dot folds dimensions in the same exact
-    order (acc[i,j] accumulates d=0..63 in sequence), duplicate scoring
-    is exact-idempotent, orientation is normalized after scoring (dot is
-    symmetric), and the oracle applies the same SELECT DISTINCT after its
-    threshold. Recall composes across tables like the multi-table LSH's
-    1-(1-r)^T (tables are quasi-independent because their centroid POOLS
-    are disjoint id classes mod _IVF_SEED_MOD); the measured 60k grid
+    nothing) and EMITS the embedding in-row; ONE (tbl, cid) exchange
+    feeds a single window that derives BOTH candidacy ranks (rnp =
+    row_number over all members, rhc = running count of home members —
+    identical to the former two-window rnh/rnp pair because vec_id is
+    unique within a cell), the role tags explode map-side, and a grouped
+    Arrow kernel (_score_cell_blocks) scores each (tbl, cid) cell's
+    probe×home block IN KERNEL, reusing the window's partitioning —
+    candidate pairs exist only as numpy matrix entries, never as rows.
+    Only the thresholded SURVIVORS (~0.2% yield) reach the final
+    distinct. Three generations of shape fixes, the first two measured
+    at 600k: the candidate-first form (r10) shuffled ~700M wide rows for
+    the second embedding attach (~100+ GB — exceeded the local disk
+    budget outright); the in-cell JOIN form that replaced it shuffled
+    only the side rows but still MATERIALIZED every candidate as a
+    ~1.1 KB two-embedding Arrow row into Python (~700 GB of Arrow
+    traffic at the r10 dials); the r11 cell-block form capped shuffle
+    and Arrow mass at O(N·(1+P)·emb) per table but still moved the
+    embedding bytes through a separate shuffle-hash attach plus two
+    narrow window exchanges and a checkpoint job. r12: the embedding
+    rides the kernel output, so the heavy bytes cross exactly ONE
+    exchange (guide §8), the two windows collapse into one, and the
+    single-consumer checkpoint is gone. Value-identical: the per-pair
+    dot folds dimensions in the same exact order (acc[i,j] accumulates
+    d=0..63 in sequence), duplicate scoring is exact-idempotent,
+    orientation is normalized after scoring (dot is symmetric), and the
+    oracle applies the same SELECT DISTINCT after its threshold. Recall
+    composes across tables like the multi-table LSH's 1-(1-r)^T (tables
+    are quasi-independent because their centroid POOLS are disjoint id
+    classes mod _IVF_SEED_MOD); the measured 60k grid
     (SCALING_r10_ivfasym.md) shows the multi-table direction dominating
     both deeper probing and coarser cells at equal candidate mass."""
     from pyspark.sql import Window as W
 
     if probe_cap is None:
         probe_cap = _IVFA_HOME_CAP * nprobe
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # ONE fused corpus scan ranks every table's assignments (tbl = seed
-    # remainder); the narrow 4-int rows feed both sides and two windows —
-    # checkpoint once, same signature-store rationale as the other arms
-    _, _, asg = _ivf_assignments_multi(spark, sf_dir, nprobe, seed_rems)
-    if checkpoint:
-        asg = asg.localCheckpoint(eager=False)
-    # per-(table, cell) capped windows — partitioning by the composite key
-    # runs all tables' windows in one pass; role 0 = home (pr=1, cap 96),
-    # role 1 = probe (pr<=P, cap 768)
-    home = (
-        asg.filter(F.col("pr") == 1)
-        .withColumn(
-            "rnh",
-            F.row_number().over(W.partitionBy("tbl", "cid").orderBy("vec_id")),
-        )
-        .filter(F.col("rnh") <= home_cap)
-        .select("tbl", "cid", F.col("vec_id").alias("vid"), F.lit(0).alias("role"))
+    rows = _ivf_member_rows_multi(spark, sf_dir, nprobe, seed_rems)
+    # ONE window pass per (table, cell): rnp ranks every member (the probe
+    # candidacy), the running home-count ranks the pr=1 subset (the home
+    # candidacy — rank-within-subset == row_number over the filtered subset
+    # because members are unique per cell); role 0 = home (cap 96), role 1
+    # = probe (cap 768), a member can carry both
+    w = W.partitionBy("tbl", "cid").orderBy("vec_id")
+    ranked = rows.withColumn("rnp", F.row_number().over(w)).withColumn(
+        "rhc", F.sum(F.when(F.col("pr") == 1, 1).otherwise(0)).over(w)
     )
-    probe = (
-        asg.withColumn(
-            "rnp",
-            F.row_number().over(W.partitionBy("tbl", "cid").orderBy("vec_id")),
-        )
-        .filter(F.col("rnp") <= probe_cap)
-        .select("tbl", "cid", F.col("vec_id").alias("vid"), F.lit(1).alias("role"))
-    )
-    # ONE embedding attach over the unioned tagged sides: shuffle-hash on
-    # the embedding build side, same asymmetry argument as
-    # _score_candidate_pairs
-    tagged = home.unionAll(probe).join(
-        emb.withColumnRenamed("vec_id", "vid").hint("shuffle_hash"), "vid"
+    tagged = ranked.select(
+        "tbl",
+        "cid",
+        F.col("vec_id").alias("vid"),
+        "embedding",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when((F.col("pr") == 1) & (F.col("rhc") <= home_cap), 0),
+                    F.when(F.col("rnp") <= probe_cap, 1),
+                )
+            )
+        ).alias("role"),
     )
     # collapse cross-direction / cross-cell / cross-table duplicates on the
     # thresholded survivor set (cos_sim deterministic per pair → 3-column
     # distinct == (a_id, b_id) distinct)
     return _score_cell_blocks(tagged).distinct()
+
+
+def _ivf_member_rows_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    seed_rems: tuple[int, ...],
+) -> DataFrame:
+    """(vec_id, embedding, tbl, cid, pr) member rows for EVERY centroid
+    table in ONE corpus scan — the multi-table twin of _ivf_member_rows.
+    The kernel emits one Arrow row per vector: the embedding plus a FLAT
+    primitive cid list (per-table top-nprobe rankings concatenated in
+    seed_rems order — no per-row Python dict building, no T·P-fold
+    embedding duplication at the boundary); (tbl, pr) are derived
+    JVM-side from the position because the layout is a compile-time
+    constant of (seed_rems, per-table widths). Per-table math is
+    byte-for-byte the single-table kernel's (dimension-ordered
+    accumulation, argmax-and-mask top-nprobe via the shared
+    _ivf_rank_cells core)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = _ivf_corpus_n(spark, sf_dir, emb)
+    k = _IVF_K_BASE * (1 << sum(n > t for t in _IVF_K_THRESHOLDS))
+    bcs = [
+        (rem, _ivf_centroid_bc(spark, sf_dir, emb, k, rem)) for rem in seed_rems
+    ]
+    # empty pools degrade per-table exactly like the unrolled form: they
+    # contribute no positions (and no rows) anywhere
+    live = [
+        (rem, bc, min(nprobe, bc.value.shape[0]))
+        for rem, bc in bcs
+        if bc.value.shape[0] > 0
+    ]
+    pos_tbl = [rem for rem, _, w in live for _ in range(w)]
+    pos_pr = [p + 1 for _, _, w in live for p in range(w)]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", emb.schema["embedding"].dataType),
+            StructField("cids", ArrayType(IntegerType())),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        tables = [(b.value, w) for _, b, w in live]
+        for pdf in batches:
+            if len(pdf) == 0 or not tables:
+                continue
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            per_tbl = []
+            for C, _w in tables:
+                chunk = max(1, 8_000_000 // C.shape[0])
+                per_tbl.append(
+                    np.concatenate(
+                        [
+                            _ivf_rank_cells(A[s : s + chunk], C, nprobe)
+                            for s in range(0, A.shape[0], chunk)
+                        ]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "embedding": pdf["embedding"],
+                    "cids": list(np.concatenate(per_tbl, axis=1)),
+                }
+            )
+
+    asg = emb.select("vec_id", "embedding").mapInPandas(assign, schema)
+    tbl_arr = F.array(*[F.lit(t) for t in pos_tbl])
+    pr_arr = F.array(*[F.lit(p) for p in pos_pr])
+    return asg.select(
+        "vec_id", "embedding", F.posexplode("cids").alias("pos", "cid")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.element_at(tbl_arr, F.col("pos") + 1).alias("tbl"),
+        F.element_at(pr_arr, F.col("pos") + 1).alias("pr"),
+        "cid",
+    )
 
 
 def _score_cell_blocks(tagged: DataFrame) -> DataFrame:
@@ -2481,16 +2614,14 @@ _IVFMT_PROBE_CAP = _IVFA_HOME_CAP * _IVFMT_NPROBE  # 768 = 2x the P·occ band
 )
 def dedup_embedding_ivf_mt4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_asym_pair_build(
-        spark, sf_dir, checkpoint=True,
-        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT_REMS,
+        spark, sf_dir, nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT_REMS
     )
 
 
 def ivf_mt4_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-checkpoint plan twin of dedup_embedding_ivf_mt4."""
     return _ivf_asym_pair_build(
-        spark, sf_dir, checkpoint=False,
-        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT_REMS,
+        spark, sf_dir, nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT_REMS
     )
 
 
@@ -2862,16 +2993,14 @@ _IVFMT12_REMS = (3, 1, 5, 7, 9, 11, 0, 2, 4, 6, 8, 10)
 )
 def dedup_embedding_ivf_mt12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_asym_pair_build(
-        spark, sf_dir, checkpoint=True,
-        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT12_REMS,
+        spark, sf_dir, nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT12_REMS
     )
 
 
 def ivf_mt12_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-checkpoint plan twin of dedup_embedding_ivf_mt12."""
     return _ivf_asym_pair_build(
-        spark, sf_dir, checkpoint=False,
-        nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT12_REMS,
+        spark, sf_dir, nprobe=_IVFMT_NPROBE, seed_rems=_IVFMT12_REMS
     )
 
 

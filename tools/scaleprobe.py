@@ -699,9 +699,7 @@ def ivfdial(out_path: str) -> int:
     for np_ in (1, 2, 4):
         cap_ = 96 * np_
         hits, cross, t = measure(
-            lambda s, d: dedup._ivf_pair_build(
-                s, d, checkpoint=True, nprobe=np_, cap=cap_
-            )
+            lambda s, d: dedup._ivf_pair_build(s, d, nprobe=np_, cap=cap_)
         )
         tag = " (registered)" if np_ == dedup._IVF_NPROBE else ""
         rows.append((f"nprobe={np_} cap={cap_}{tag}",
@@ -853,7 +851,7 @@ def ivfasym(out_path: str, big_probe: int = 0) -> int:
     rows = []
     for P in (4, 8, 16, 32):
         hits, cross, n, t = measure(
-            lambda s, d: dedup._ivf_asym_pair_build(s, d, checkpoint=True, nprobe=P),
+            lambda s, d: dedup._ivf_asym_pair_build(s, d, nprobe=P),
             d60, truth60,
         )
         rows.append((f"60k P={P}", hits, cross, n, hits / truth60, t))
@@ -866,7 +864,7 @@ def ivfasym(out_path: str, big_probe: int = 0) -> int:
         truth600 = 300 * len(p0)
         hits, cross, n, t = measure(
             lambda s, d: dedup._ivf_asym_pair_build(
-                s, d, checkpoint=True, nprobe=big_probe),
+                s, d, nprobe=big_probe),
             d600, truth600,
         )
         big_rows.append((f"600k P={big_probe}", hits, cross, n,
