@@ -127,11 +127,14 @@ def augmented_documents(
     # the documents table is one small parquet file → 1-3 input splits; when
     # the downstream work is CPU-heavy per row (shingling, minhash), spread
     # it across all cores. ONE exchange after the union (not one per branch —
-    # union needs no co-partitioning); at 100 TB the source is already many
-    # splits and this repartition is dropped entirely. Cheap-per-row callers
+    # union needs no co-partitioning); spread_scan makes the "dropped at
+    # 100 TB" claim mechanical (r12): once the union's scans already yield
+    # >= cores splits, no exchange is added at all. Cheap-per-row callers
     # (exact dedup: one md5 each) pass widen=False and skip the shuffle.
+    from pg2parquet_spark.tables import spread_scan
+
     out = docs.unionAll(exact_copies).unionAll(near_copies)
-    return out.repartition(default_cpus()) if widen else out
+    return spread_scan(out) if widen else out
 
 
 # Stop list memo, keyed by corpus dir. The stop list is corpus-level

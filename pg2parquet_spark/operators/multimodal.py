@@ -37,12 +37,12 @@ def _widen(df: DataFrame) -> DataFrame:
     work: the documents table is one small parquet file -> 1-2 input
     splits, and mapInPandas inherits that, single-threading the whole
     (CPU-bound) codec stage. One cheap row shuffle fixes it; at 100 TB the
-    source is already thousands of splits and this repartition is the
-    no-op guard rail, not a cost. Mirrors dedup.augmented_documents
-    widen=True."""
-    from pg2parquet_spark.session import default_cpus
+    source is already thousands of splits and spread_scan (r12) makes the
+    no-op claim mechanical — no exchange is added once the scan fills the
+    cluster. Mirrors dedup.augmented_documents widen=True."""
+    from pg2parquet_spark.tables import spread_scan
 
-    return df.repartition(default_cpus())
+    return spread_scan(df)
 
 
 def attach_fake_image(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -607,9 +607,9 @@ GROUP BY d.doc_id
     "folds the counts — every shuffle keyed, nothing broadcast-unbounded.",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.session import default_cpus
+    from pg2parquet_spark.tables import spread_scan
 
-    docs = table(spark, sf_dir, "documents").repartition(default_cpus())
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     g3 = docs.select(
         "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("gs")
     )

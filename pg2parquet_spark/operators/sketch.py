@@ -75,11 +75,12 @@ FROM est LEFT JOIN truth USING (token)
     "backfill-friendly summary for 100 TB token streams.",
 )
 def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.session import default_cpus
+    from pg2parquet_spark.tables import spread_scan
 
     # widen: the corpus is one single-row-group file → a 1-task scan would
-    # single-thread the tokenize+hash stage (cf. multimodal._widen)
-    docs = table(spark, sf_dir, "documents").repartition(default_cpus())
+    # single-thread the tokenize+hash stage (cf. multimodal._widen);
+    # spread_scan adds no exchange once the scan fills the cluster (r12)
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
     )

@@ -73,6 +73,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a scan across the cluster ONLY when it cannot fill it.
+
+    The optimization guide's §2.5 "unsplittable input" mitigation, made
+    data-adaptive: a single-row-group parquet file yields one split no
+    matter what maxPartitionBytes says, capping every per-row stage fused
+    onto the scan at one core. When the scan's split count already reaches
+    the default parallelism — the 100 TB case, where inputs are thousands
+    of files — this is a NO-OP and adds no exchange, so the repartition
+    can never become a corpus-wide shuffle at scale. The split probe is a
+    driver-side plan inspection (no job runs)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register temp views so SQL-form operators can refer to tables by name."""
     for name in names:

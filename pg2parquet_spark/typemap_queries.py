@@ -289,12 +289,12 @@ FROM src
     "(pg_custom_types.rs:100-161 equivalent, pure Column expressions).",
 )
 def tm_range_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.session import default_cpus
+    from pg2parquet_spark.tables import spread_scan
 
     # single-row-group fixture file → 1-task scan; the per-row grammar
-    # parse is CPU-bound, so spread it (no-op at real scale, where the
-    # source is many splits)
-    li = table(spark, sf_dir, "lineitem").repartition(default_cpus())
+    # parse is CPU-bound, so spread it (spread_scan: no exchange at all
+    # once the scan fills the cluster — the real-scale case)
+    li = spread_scan(table(spark, sf_dir, "lineitem"))
     lo = (F.col("l_orderkey") % 1000).cast("bigint")
     hi = (F.col("l_orderkey") % 1000 + F.col("l_linenumber")).cast("bigint")
     kind = F.col("l_linenumber") % 4
@@ -374,9 +374,9 @@ FROM lineitem
     "postgres_cloner.rs:843-893); CSV-joined for cross-engine value equality.",
 )
 def tm_array_flatten_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.session import default_cpus
+    from pg2parquet_spark.tables import spread_scan
 
-    li = table(spark, sf_dir, "lineitem").repartition(default_cpus())
+    li = spread_scan(table(spark, sf_dir, "lineitem"))
     arr = F.when(
         F.col("l_linenumber") % 7 != 0,
         F.array(
