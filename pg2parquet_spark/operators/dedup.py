@@ -3195,6 +3195,14 @@ def _adapt_signature_rows(
     par = emb.agg(F.count("*").alias("n")).select(
         F.expr(_adapt_bits_case("n")).alias("bits")
     )
+    # r12 probe, rejected: spreading the scan under the plane-dot signature
+    # projection (spread_scan, cf. quality_bootstrap_ci) measured a wash on
+    # dedup_embedding_cosine_lsh (interleaved min 7.12 vs 7.51 s) and a
+    # ~0.5 s REGRESSION on dedup_embedding_incremental (6.39 vs 5.84 s):
+    # the family's cost lives in the capped candidate joins and the Arrow
+    # exact re-score, not in this map stage, so the extra exchange only
+    # adds latency. At real scale the scan has >= cores splits and the
+    # spread would be a no-op anyway — nothing to buy at either end.
     # bucket_col_offset_n, not the unrolled bucket_sql_offset_n string the
     # ORACLE still evaluates: 4 tables × 14 planes × ~60 terms in one
     # projection generated >64 KB of Java per method, janino threw

@@ -1152,18 +1152,64 @@ FROM reps
     "between feasible and not at 100 TB.",
 )
 def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    from pg2parquet_spark.tables import spread_scan
+
+    # Two r12 changes, same values (oracle SQL untouched, results equal):
+    # 1. spread_scan: the replicate weights cost 64 md5 derivations PER ROW,
+    #    all fused into the scan stage; a single-row-group fixture file caps
+    #    that at one core (measured min-of-5: 44.3 s at sf0.1). The spread
+    #    fans the scan out and is a no-op once the scan fills the cluster —
+    #    the shuffle ships only the 3 pruned columns the replicates read.
+    # 2. layered projections h{b} -> u{b} -> w{b} instead of one giant
+    #    aggregate expression: inlining _boot_w_sql into SUM(w*cents)/SUM(w)
+    #    builds a CASE whose every WHEN re-derives the 3-nibble u (and with
+    #    it the md5) — ~30 Md5 nodes per replicate per row for the
+    #    interpreted fallback to chew (the 130-function HashAggregate is
+    #    past whole-stage-codegen limits, so there is no codegen CSE to
+    #    save us). Materializing each layer as named columns pins one md5 +
+    #    3 locates + 1 CASE per (row, replicate); the aggregate then sums
+    #    plain columns. Interleaved A/B min at sf0.1: 8.3 -> 4.9 s (and the
+    #    pure-md5 floor measures 3.3 s, so the residual is locate+agg).
+    li = spread_scan(table(spark, sf_dir, "lineitem"))
     cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    h = li.select(
+        F.expr(cents).alias("cents"),
+        *[
+            F.expr(f"md5(CONCAT(l_orderkey, '_', l_linenumber, '_', {b}))").alias(
+                f"h{b}"
+            )
+            for b in range(_BOOT_B)
+        ],
+    )
+    nib = lambda b, i: f"(POSITION(SUBSTRING(h{b}, {i}, 1) IN '0123456789abcdef') - 1)"
+    u = h.select(
+        "cents",
+        *[
+            F.expr(f"({nib(b, 1)} * 256 + {nib(b, 2)} * 16 + {nib(b, 3)})").alias(
+                f"u{b}"
+            )
+            for b in range(_BOOT_B)
+        ],
+    )
+    cases = lambda b: " ".join(
+        f"WHEN u{b} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    w = u.select(
+        "cents",
+        *[
+            F.expr(f"(CASE {cases(b)} ELSE {len(_BOOT_THRESH)} END)").alias(f"w{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
     aggs = [
-        F.expr(f"CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
-        F.expr(f"CAST(SUM({cents}) AS DOUBLE) / COUNT(*)").alias("point_mean_cents"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+        F.expr("CAST(SUM(cents) AS DOUBLE) / COUNT(*)").alias("point_mean_cents"),
     ]
     for b in range(_BOOT_B):
-        w = _boot_w_sql(b)
         aggs.append(
-            F.expr(f"CAST(SUM({w} * {cents}) AS DOUBLE) / SUM({w})").alias(f"m{b}")
+            F.expr(f"CAST(SUM(w{b} * cents) AS DOUBLE) / SUM(w{b})").alias(f"m{b}")
         )
-    reps = li.agg(*aggs)
+    reps = w.agg(*aggs)
     means = "array_sort(array(" + ", ".join(f"m{b}" for b in range(_BOOT_B)) + "))"
     return reps.select(
         "n_rows",
