@@ -3470,7 +3470,14 @@ def connected_components(
     bi = edges.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionAll(edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-    bi = bi.persist()
+    # r12: hash-partition the edge list by its per-round join key BEFORE
+    # persisting. The propagation join below is bi.b == labels.id every
+    # round; an unpartitioned cache made EnsureRequirements re-exchange the
+    # full edge list each round, the dominant per-round shuffle mass. One
+    # up-front shuffle replaces O(rounds) of them — the InMemoryTableScan
+    # advertises hashpartitioning(b) and the labels side comes out of its
+    # groupBy hash-partitioned on id, so the join needs no exchange at all.
+    bi = bi.repartition(F.col("b")).persist()
     # localCheckpoint (not just persist) each iteration: persist cuts
     # re-EXECUTION but the logical plan still grows per round, so analysis/
     # optimization time compounds. Truncating lineage keeps every iteration
@@ -3481,10 +3488,13 @@ def connected_components(
     # blocks through the JVM handle once `changed` has consumed them.
     sc = spark.sparkContext
     before = _persistent_rdd_ids(sc)
+    # r12: lazy checkpoints throughout — the convergence-signature scan
+    # right below is always the checkpoint's first action, so eager=False
+    # folds materialization into the job the loop runs anyway, halving the
+    # per-round job count (materialize+sig were two jobs, now one).
     labels = (
         bi.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint()
-    labels_rdd_ids = _persistent_rdd_ids(sc) - before
+    ).localCheckpoint(eager=False)
     converged = False
     # Fixpoint detection without a per-round join: min-label propagation is
     # MONOTONE — every vertex's comp can only decrease — so (count, sum(comp))
@@ -3498,7 +3508,8 @@ def connected_components(
         ).collect()[0]
         return (r.n, r.s)
 
-    prev_sig = _sig(labels)
+    prev_sig = _sig(labels)  # materializes the lazy checkpoint
+    labels_rdd_ids = _persistent_rdd_ids(sc) - before
     for rnd in range(max_rounds):  # loop exits at the fixpoint
         msgs = bi.join(labels, bi.b == labels.id).select(
             F.col("a").alias("id"), F.col("comp")
@@ -3519,11 +3530,11 @@ def connected_components(
         before = _persistent_rdd_ids(sc)
         new_labels = (
             merged.groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        new_sig = _sig(new_labels)  # materializes the lazy checkpoint
         new_rdd_ids = _persistent_rdd_ids(sc) - before
-        new_sig = _sig(new_labels)
-        # old labels fully consumed (new_labels materialized eagerly, sig
-        # computed) — free its executor-storage blocks now instead of waiting
+        # old labels fully consumed (new_labels materialized by the sig
+        # scan) — free its executor-storage blocks now instead of waiting
         # for Python GC + ContextCleaner across many iterations
         _unpersist_rdd_ids(sc, labels_rdd_ids)
         labels, labels_rdd_ids = new_labels, new_rdd_ids
