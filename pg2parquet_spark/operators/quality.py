@@ -1154,22 +1154,33 @@ FROM reps
 def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2parquet_spark.tables import spread_scan
 
-    # Two r12 changes, same values (oracle SQL untouched, results equal):
+    # Two r12 changes, same values (oracle SQL untouched, results verified
+    # equal at sf0.001/0.01/0.1):
     # 1. spread_scan: the replicate weights cost 64 md5 derivations PER ROW,
     #    all fused into the scan stage; a single-row-group fixture file caps
     #    that at one core (measured min-of-5: 44.3 s at sf0.1). The spread
     #    fans the scan out and is a no-op once the scan fills the cluster —
     #    the shuffle ships only the 3 pruned columns the replicates read.
-    # 2. layered projections h{b} -> u{b} -> w{b} instead of one giant
-    #    aggregate expression: inlining _boot_w_sql into SUM(w*cents)/SUM(w)
-    #    builds a CASE whose every WHEN re-derives the 3-nibble u (and with
-    #    it the md5) — ~30 Md5 nodes per replicate per row for the
-    #    interpreted fallback to chew (the 130-function HashAggregate is
-    #    past whole-stage-codegen limits, so there is no codegen CSE to
-    #    save us). Materializing each layer as named columns pins one md5 +
-    #    3 locates + 1 CASE per (row, replicate); the aggregate then sums
-    #    plain columns. Interleaved A/B min at sf0.1: 8.3 -> 4.9 s (and the
-    #    pure-md5 floor measures 3.3 s, so the residual is locate+agg).
+    # 2. one md5 projection + weight indicators INLINE IN THE AGGREGATE.
+    #    Spelling the weight as the oracle does (3x POSITION/SUBSTRING
+    #    nibble extraction + 5-branch CASE), in any projection layering,
+    #    fuses into a single whole-stage processNext() that janino cannot
+    #    compile ("Code grows beyond 64 KB" — a hard ERROR under the
+    #    selfcheck codegen gate, a silent interpreted fallback elsewhere;
+    #    wide pass-through projections don't help, column pruning narrows
+    #    them right back). Instead: (a) lowercase-hex strings order
+    #    lexicographically exactly as their numeric value, so
+    #    "first-3-nibbles(h) >= t" IS "h >= hex3(t)" — one string compare
+    #    replaces the whole nibble extraction; (b) the ascending-threshold
+    #    CASE chain equals the SUM of >= indicators; (c) those indicator
+    #    sums sit inside the aggregate expressions, because the 130-field
+    #    HashAggregate is already PAST spark.sql.codegen.maxFields and is
+    #    excluded from whole-stage codegen GRACEFULLY (no compile attempt,
+    #    no janino error) — only the 65-column md5 projection compiles.
+    #    Interleaved A/B mins at sf0.1: r11 inline shape 8.3 s, layered
+    #    projections (gate-RED) 4.9 s, this shape 3.67 s — at the measured
+    #    pure-md5 floor of 3.3 s. Equivalences property-tested in
+    #    tests/test_pipeline_ops.py::test_bootstrap_weight_grammar_equivalence.
     li = spread_scan(table(spark, sf_dir, "lineitem"))
     cents = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     h = li.select(
@@ -1181,35 +1192,17 @@ def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_BOOT_B)
         ],
     )
-    nib = lambda b, i: f"(POSITION(SUBSTRING(h{b}, {i}, 1) IN '0123456789abcdef') - 1)"
-    u = h.select(
-        "cents",
-        *[
-            F.expr(f"({nib(b, 1)} * 256 + {nib(b, 2)} * 16 + {nib(b, 3)})").alias(
-                f"u{b}"
-            )
-            for b in range(_BOOT_B)
-        ],
-    )
-    cases = lambda b: " ".join(
-        f"WHEN u{b} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
-    )
-    w = u.select(
-        "cents",
-        *[
-            F.expr(f"(CASE {cases(b)} ELSE {len(_BOOT_THRESH)} END)").alias(f"w{b}")
-            for b in range(_BOOT_B)
-        ],
-    )
+    hex3 = [format(t, "03x") for t in _BOOT_THRESH]
+    w = lambda b: "(" + " + ".join(f"CAST(h{b} >= '{x}' AS INT)" for x in hex3) + ")"
     aggs = [
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
         F.expr("CAST(SUM(cents) AS DOUBLE) / COUNT(*)").alias("point_mean_cents"),
     ]
     for b in range(_BOOT_B):
         aggs.append(
-            F.expr(f"CAST(SUM(w{b} * cents) AS DOUBLE) / SUM(w{b})").alias(f"m{b}")
+            F.expr(f"CAST(SUM({w(b)} * cents) AS DOUBLE) / SUM({w(b)})").alias(f"m{b}")
         )
-    reps = w.agg(*aggs)
+    reps = h.agg(*aggs)
     means = "array_sort(array(" + ", ".join(f"m{b}" for b in range(_BOOT_B)) + "))"
     return reps.select(
         "n_rows",

@@ -1751,6 +1751,31 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
     assert (r.ci_lo_cents, r.ci_hi_cents) == (r2.ci_lo_cents, r2.ci_hi_cents)
 
 
+def test_bootstrap_weight_grammar_equivalence():
+    """The Spark side's codegen-lean weight spelling must equal the oracle's
+    spelled-out grammar for every possible digest prefix: (a) the integer of
+    the first 3 LOWERCASE hex nibbles compares to a threshold t exactly as
+    the digest string compares to format(t, '03x') (lowercase hex orders
+    lexicographically as its numeric value: '0'..'9' < 'a'..'f' in ASCII);
+    (b) the ascending-threshold CASE chain equals the sum of >= indicators.
+    Exhaustive over all 4096 3-nibble prefixes (the full u domain), with a
+    longer-digest suffix to exercise the prefix-vs-full-string compare."""
+    from pg2parquet_spark.operators.quality import _BOOT_THRESH
+
+    hex3 = {t: format(t, "03x") for t in _BOOT_THRESH}
+    for u in range(4096):
+        digest = format(u, "03x") + "0123456789abcdef0123456789abc"  # 32 chars
+        assert int(digest[:3], 16) == u
+        # oracle grammar: first threshold the nibble-int is under, else 5
+        case_val = len(_BOOT_THRESH)
+        for k, t in enumerate(_BOOT_THRESH):
+            if u < t:
+                case_val = k
+                break
+        indic_val = sum(1 for t in _BOOT_THRESH if digest >= hex3[t])
+        assert case_val == indic_val, (u, digest)
+
+
 def test_tv_drift_flags_one_sided_epoch_as_drifted(spark, tmp_path):
     """A type that exists only before (or only after) the split is MAXIMAL
     drift and must be flagged even though the integer numerator is 0."""
