@@ -113,8 +113,6 @@ shingled_f AS (
 def augmented_documents(
     spark: SparkSession, sf_dir: str, widen: bool = True
 ) -> DataFrame:
-    from pg2parquet_spark.session import default_cpus
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     exact_copies = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -226,7 +224,9 @@ posted AS (
 """
 
 
-def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_pair_counts(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, na, nb, common): distinct-shingle intersection counts
     for every document pair sharing ≥1 stop-filtered shingle within the
     per-shingle posting window — the shared candidate front end of
@@ -243,7 +243,7 @@ def _shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard call site."""
     from pyspark.sql import Window as W
 
-    sh = stop_filtered_shingles(spark, sf_dir)
+    sh = stop_filtered_shingles(spark, sf_dir) if shingled is None else shingled
     exploded = sh.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
@@ -331,6 +331,12 @@ WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6
     "third-decade probe measured the uncapped index at e=1.19).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pair_rows(spark, sf_dir)
+
+
+def _jaccard_pair_rows(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     # The shingle-set SIZE rides along through the explode (it is functionally
     # dependent on doc_id, so adding it to the groupBy keys changes nothing),
     # which removes the two post-agg size-lookup joins of the naive shape.
@@ -346,7 +352,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # make the double consumption one scan. No executor-storage footprint
     # survives the query (pinned by
     # tests/test_pipeline_ops.py::test_dedup_leaves_no_persistent_rdds).
-    pairs = _shingle_pair_counts(spark, sf_dir)
+    pairs = _shingle_pair_counts(spark, sf_dir, shingled=shingled)
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
     return pairs.select(
         "doc_a",
@@ -464,7 +470,9 @@ bands AS (
 )"""
 
 
-def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_bands(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     """Shared LSH front end: banded minhash signatures, one row per
     (doc, band) with the full 8-int signature riding along (columns doc_id,
     h0..h7, band_idx, bh). Everything here is map-side — zero shuffles.
@@ -486,7 +494,8 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     would live in a materialized table; here the whole front end stays
     map-side until the single (band_idx, band_hash) shuffle.
     """
-    shingled = stop_filtered_shingles(spark, sf_dir)
+    if shingled is None:
+        shingled = stop_filtered_shingles(spark, sf_dir)
     # signature = per-document MAP work: array_min(transform(...)) keeps it in
     # the scan stage with ZERO shuffles (the explode+groupBy alternative
     # shuffles every (doc, shingle) row just to re-group by doc). md5 is the
@@ -545,8 +554,15 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_band_collisions(
+    spark: SparkSession, sf_dir: str, bands: DataFrame | None = None
+) -> DataFrame:
     """Band-bucket collision pairs with both documents' signatures in-row.
+    ``bands`` lets a composite (pipeline_dedup_scorecard) pass a
+    localCheckpointed band frontier shared with the bucket audit, so the
+    shingle+md5 signature pipeline runs once per query instead of once per
+    consumer (guide §5: persist intra-query reuse; Spark does not CSE
+    across plan branches).
 
     ONE shuffle: bucket members by (band_idx, bh) — the row_number cap and
     the collect_list groupBy share that single hashpartitioning exchange
@@ -560,7 +576,8 @@ def _lsh_band_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    bands = _lsh_bands(spark, sf_dir)
+    if bands is None:
+        bands = _lsh_bands(spark, sf_dir)
     hcols = [f"h{k}" for k in range(_K)]
     w = W.partitionBy("band_idx", "bh").orderBy("doc_id")
     capped = (
@@ -610,7 +627,13 @@ JOIN sigs sb ON sb.doc_id = doc_b
     "band hash is the shuffle key (the 100 TB-safe shape).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _lsh_band_collisions(spark, sf_dir)
+    return _minhash_pair_rows(spark, sf_dir)
+
+
+def _minhash_pair_rows(
+    spark: SparkSession, sf_dir: str, bands: DataFrame | None = None
+) -> DataFrame:
+    pairs = _lsh_band_collisions(spark, sf_dir, bands=bands)
     matches = None
     for k in range(_K):
         term = F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
@@ -654,8 +677,16 @@ GROUP BY band_idx
     "per-band fold over the tiny bucket-size table.",
 )
 def dedup_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _lsh_bands(spark, sf_dir).select("band_idx", "bh")
-    bsz = bands.groupBy("band_idx", "bh").agg(F.count(F.lit(1)).alias("sz"))
+    return _bucket_audit_rows(_lsh_bands(spark, sf_dir))
+
+
+def _bucket_audit_rows(bands: DataFrame) -> DataFrame:
+    """Audit tail over (possibly shared/checkpointed) UNCAPPED band rows."""
+    bsz = (
+        bands.select("band_idx", "bh")
+        .groupBy("band_idx", "bh")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     over = F.col("sz") > _BUCKET_CAP
     return (
         bsz.filter(F.col("sz") >= 2)
@@ -767,10 +798,12 @@ EMB_DIM = 64
 # MEASURED recall is 0.88-0.90 (vs ~0.48 single-probe with the r4
 # plane family) —
 # tests/test_pipeline_ops.py::test_embedding_lsh_recall. Probing multiplies
-# join-key fanout (5x, on ONE side only), not stored signatures or tables —
-# at 100 TB that is the cheap direction: more planes (smaller buckets,
-# bounded skew) stay affordable because recall comes from probes, not from
-# doubling the table count.
+# EMISSION rows (5x per table, r13 grouped scorer), not stored signatures,
+# tables, or — crucially — candidate PAIRS: each probe emission is one
+# bounded row into the grouped kernel, while pair mass (emissions ×
+# bucket occupancy) never materializes. At 100 TB that is the cheap
+# direction: more planes (smaller buckets, bounded skew) stay affordable
+# because recall comes from probes, not from doubling the table count.
 #
 # PLANE COUNT IS THE SCALE DIAL — now MEASURED, not just asserted: the
 # two-decade probe (SCALING_r05.md) shows e(upper) = 1.31 for the fixed-
@@ -859,114 +892,100 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "corpus, in-bucket candidates quadratically. Kept registered as the "
     "contract baseline: at n <= 750 the corpus-adaptive primary is "
     "candidate-for-candidate identical to this form (tested), so the two "
-    "names pin the dial's floor behavior. Shape: multi-table MULTI-PROBE "
-    "sign-LSH candidate generation (bucket id is the equi-join/shuffle key, "
-    "one join per hash table; one side additionally probes the 4 "
-    "Hamming-distance-1 buckets — a 5-row explode of join KEYS, not of "
-    "vectors-per-bucket) → exact fixed-order re-score of candidates only → "
-    "threshold → distinct. Candidate recall vs dedup_embedding_cosine_exact "
+    "names pin the dial's floor behavior. Shape (r13 grouped scorer): "
+    "multi-table MULTI-PROBE sign-LSH — every vector emits one "
+    "embedding-carrying row per (table, probed bucket) (own bucket + the 4 "
+    "Hamming-distance-1 flips), ONE (table, bucket) exchange groups them, "
+    "and a grouped Arrow kernel exact-scores each bucket's all-rows × "
+    "member block → threshold → distinct. Candidate recall vs dedup_embedding_cosine_exact "
     "is MEASURED (test_embedding_lsh_recall): 0.88-0.90 at sf0.001/sf0.01, "
     "zero false positives (the re-score is exact).",
 )
 def dedup_embedding_cosine_lsh_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.operators.similarity import _PLANES, bucket_col_offset_n
+    from pg2parquet_spark.operators.similarity import _PLANES, bucket_expr_offset_n
 
     emb = table(spark, sf_dir, "embeddings")
-    # candidate generation over NARROW rows: (vec_id, bucket keys) only —
-    # carrying the 64-float embedding through the bucket joins would ship
-    # every candidate row with two ~512 B vectors through every probe
-    # collision (measured: 2.6 M candidate rows at sf0.1 → >1 GB of
-    # shuffled vector payload). Ids go through the joins; embeddings attach
-    # once per candidate in _score_candidate_pairs, which since r8 scores
-    # duplicates (exact-idempotent) and dedupes the post-threshold
-    # survivors — see its docstring for the measured trade.
-    bk = emb.select(
+    # r13 grouped-scorer shape: instead of narrow candidate-id joins whose
+    # survivors re-attach two ~540 B embeddings each through shuffle-hash
+    # joins (measured r8: 2.6 M candidate rows at sf0.1 → >1 GB of shuffled
+    # vector payload), every vector emits one (tbl, probed-key) row per
+    # probe mask WITH its embedding — 4 tables × 5 masks = 20 emissions —
+    # and one (tbl, pk) exchange feeds the grouped Arrow kernel that scores
+    # all-rows × member blocks in numpy. Embedding bytes cross exactly ONE
+    # exchange; candidate pairs exist only as matrix entries
+    # (_score_bucket_blocks; the IVF cell-block shape, r12 VERDICT #1).
+    bk = emb.selectExpr(
         "vec_id",
+        "embedding",
         *[
-            bucket_col_offset_n("embedding", EMB_DIM, off, _PLANES).alias(f"k{t}")
+            f"{bucket_expr_offset_n('embedding', EMB_DIM, off, _PLANES)} AS k{t}"
             for t, off in enumerate(_EMB_LSH_OFFSETS)
         ],
     )
-    per_table = []
-    for t in range(len(_EMB_LSH_OFFSETS)):
-        k = F.col(f"k{t}")
-        probes = F.array(
-            *[k if m == 0 else k.bitwiseXOR(F.lit(m)) for m in _EMB_PROBE_MASKS]
+    ent = F.flatten(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            (
+                                F.col(f"k{t}")
+                                if m == 0
+                                else F.col(f"k{t}").bitwiseXOR(F.lit(m))
+                            ).alias("pk"),
+                            F.lit(1 if m == 0 else 0).alias("pr"),
+                        )
+                        for m in _EMB_PROBE_MASKS
+                    ]
+                )
+                for t in range(len(_EMB_LSH_OFFSETS))
+            ]
         )
-        a = bk.select(F.col("vec_id").alias("a_id"), F.explode(probes).alias("ka"))
-        b = bk.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
-        per_table.append(
-            # equi-join on the (probed) bucket key; a_id < b_id is a cheap
-            # post-join residual, NOT the join condition — keeps this a
-            # hash/merge join
-            a.join(b, (F.col("ka") == F.col("kb")) & (F.col("a_id") < F.col("b_id")))
-            .select("a_id", "b_id")
-        )
-    cand = per_table[0]
-    for p in per_table[1:]:
-        cand = cand.unionAll(p)
-    return _score_candidate_pairs(emb, cand)
-
-
-def _score_candidate_pairs(
-    emb: DataFrame, cand: DataFrame, pre_distinct: bool = False
-) -> DataFrame:
-    """Attach embeddings to the (a_id, b_id) candidate set, exact-re-score
-    in an Arrow numpy kernel, and dedupe the SURVIVORS. Shared tail of the
-    fixed-plane and corpus-adaptive LSH variants — both generate candidates
-    over NARROW id rows and pay the ~512 B vector payload once per
-    candidate row.
-
-    Dedup placement is a MEASURED, per-tier choice. Primary tier
-    (pre_distinct=False, r8): the multi-table/multi-probe collision dedupe
-    runs AFTER the threshold, not before the joins — at the 60k-vector
-    synth point the primary's candidate stream is 24.5M pairs of which only
-    4.6% are cross-table duplicates, so a pre-score distinct is a full
-    extra shuffle + hash-agg to save 4.6% of kernel work, while the
-    post-threshold survivor set is ~48k rows and its distinct is free
-    (measured 40.6 s → 30.4 s end-to-end). RECALL tier (pre_distinct=True,
-    r9): 8 tables × the full H≤2 ball makes cross-table/mask duplication
-    the DOMINANT mass, and the duplicates ride the ~540 B/row embedding
-    attach — without the pre-distinct the tier's 60k run overran an 80 GB
-    local spill budget and died; with it the same dials complete in ~200 s.
-    The distinct shuffles only the narrow 2-int rows. Either placement is
-    value-identical: scoring a duplicate pair twice is exact-idempotent
-    (same fixed-order dot → bit-identical cos_sim), so distinct-after ==
-    distinct-before row-for-row; the oracle applies the same SELECT
-    DISTINCT to its pair union."""
-    if pre_distinct:
-        cand = cand.distinct()
-    # the candidate rows are 2 ints wide, so AQE's size-based coalescing
-    # would collapse them to ONE partition (1.3M rows ≈ 21 MB < advisory
-    # size) — and then the whole exact re-score runs on one core (measured:
-    # 6 s → 50-98 s depending on the coalesce decision). Pin the
-    # parallelism with an explicit repartition of the NARROW rows; row-count
-    # per partition, not byte size, is the right dial for a compute-bound
-    # scoring stage.
-    from pg2parquet_spark.session import default_cpus
-
-    cand = cand.repartition(default_cpus())
-    e_a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    e_b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    # shuffle-HASH, not sort-merge: SMJ sorts its inputs, and the second
-    # join's input is the first join's WIDE output (candidates + one ~512 B
-    # vector per row) — at the 60k-vector synth point that sort spilled
-    # ~72 GB and filled the disk. Hashing builds from the EMBEDDING side,
-    # whose per-partition slice is |corpus|/P and independent of the pair
-    # count, while the candidate stream is consumed without ever being
-    # sorted; the scored output then pipelines straight into the Arrow
-    # kernel. The same asymmetry holds on a 1000-executor cluster: pair
-    # volume scales with near-dup density, the build side only with corpus
-    # over partition count.
-    paired = cand.join(e_a.hint("shuffle_hash"), "a_id").join(
-        e_b.hint("shuffle_hash"), "b_id"
     )
+    rows = bk.select("vec_id", "embedding", F.explode(ent).alias("e")).select(
+        "vec_id", "embedding", "e.tbl", "e.pk", "e.pr"
+    )
+    # 3-column distinct == (a_id, b_id) distinct: cos_sim is deterministic
+    # per pair (fixed-order fold), collapsing multi-table/probe collisions
+    # exactly like the oracle's SELECT DISTINCT
+    return _score_bucket_blocks(rows, symmetric=True).distinct()
 
-    # exact re-score in an Arrow numpy kernel (same dimension-fold trick as
-    # ann_cosine_topk_arrow: acc += A[:,d]·B[:,d] keeps every pair's sum in
-    # the oracle's left-assoc IEEE order while vectorizing over rows).
-    # The zip_with/aggregate expression is interpreted per element — at
-    # ~1.3M candidate pairs × 64 dims that was the entire query cost.
+
+def _score_bucket_blocks(rows: DataFrame, symmetric: bool) -> DataFrame:
+    """Grouped exact scorer for the LSH family (r13) — the IVF cell-block
+    shape (_score_cell_triangles / _score_cell_blocks) transplanted per the
+    r12 VERDICT: ``rows`` = (vec_id, embedding, tbl, pk, pr) emission rows,
+    one per (vector, hash table, probed bucket); ``pr`` = 1 when the row is
+    a MEMBER of the bucket it lands in (its own key — eligible to RECEIVE
+    pairs), 0 when it is probe-only. One group per (tbl, pk) scores its
+    all-rows × member dot block in numpy and emits only thresholded
+    survivors — candidate pairs exist only as matrix entries, never as
+    rows.
+
+    Why this replaced the candidate-pair tail (_score_candidate_pairs,
+    r8-r12): every candidate pair used to ride TWO ~540 B embedding
+    attaches through shuffle-hash joins, and cross the Python boundary as
+    two embeddings per pair — at the 60k synth point that was 24.5M pairs
+    of wide rows (the un-capped form sort-spilled ~72 GB before the r7
+    caps). Here the shuffled and Arrow mass is the EMISSION rows, bounded
+    by probes × candidacy caps per vector and independent of how much pair
+    mass the buckets hold (guide §2.3 "shuffle keys/metadata, move heavy
+    bytes once", §3 join removal, §4 batch the boundary). The r9 recall
+    tier's pre-score distinct is obsolete for the same reason: cross-table
+    candidate duplication now costs duplicate matrix entries (kernel
+    FLOPs), not duplicate wide rows.
+
+    Pair semantics per group (the old per-table join, verbatim):
+    symmetric — emit (a, b) for any row a, member b with a.vec_id <
+    b.vec_id (the a_id < b_id join residual; a pair lands in the group
+    keyed by the LARGER id's bucket when the smaller probes it, exactly
+    like cand = a-explode ⋈ b-members); asymmetric (incremental ingest) —
+    emit (new, old) for prober new (pr=0) × member old (pr=1), no id
+    order. Duplicate scoring across tables/probes is exact-idempotent
+    (same dimension-ordered fold → bit-identical cos_sim), so the final
+    3-column distinct collapses exactly the duplicates the oracle's
+    SELECT DISTINCT does."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -979,29 +998,38 @@ def _score_candidate_pairs(
         ]
     )
     threshold = _EMB_COS_THRESHOLD
+    empty = pd.DataFrame(
+        {
+            "a_id": np.array([], dtype=np.int64),
+            "b_id": np.array([], dtype=np.int64),
+            "cos_sim": np.array([], dtype=np.float64),
+        }
+    )
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(list(pdf["a_emb"]), dtype=np.float64)
-            B = np.array(list(pdf["b_emb"]), dtype=np.float64)
-            acc = np.zeros(A.shape[0])
-            for d in range(A.shape[1]):
-                acc = acc + A[:, d] * B[:, d]
-            out = pd.DataFrame(
-                {
-                    "a_id": pdf["a_id"].to_numpy(dtype=np.int64),
-                    "b_id": pdf["b_id"].to_numpy(dtype=np.int64),
-                    "cos_sim": acc,
-                }
-            )
-            yield out[out.cos_sim >= threshold]
+    def score(pdf):
+        mm = pdf[pdf["pr"] == 1]
+        aa = pdf if symmetric else pdf[pdf["pr"] == 0]
+        if len(mm) == 0 or len(aa) == 0 or len(pdf) < 2:
+            return empty
+        A = np.array(list(aa["embedding"]), dtype=np.float64)
+        M = np.array(list(mm["embedding"]), dtype=np.float64)
+        # dimension-ordered fold: acc[i,j] = ((0.0 + t1) + t2) + … keeps
+        # every pair's sum in the oracle's left-assoc IEEE order while
+        # vectorizing over the block (same argument as _score_cell_blocks)
+        acc = np.zeros((A.shape[0], M.shape[0]))
+        for d in range(A.shape[1]):
+            acc += A[:, d : d + 1] * M[:, d][None, :]
+        av = aa["vec_id"].to_numpy(dtype=np.int64)
+        mv = mm["vec_id"].to_numpy(dtype=np.int64)
+        mask = acc >= threshold
+        if symmetric:
+            mask &= av[:, None] < mv[None, :]
+        ai, mi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"a_id": av[ai], "b_id": mv[mi], "cos_sim": acc[ai, mi]}
+        )
 
-    # collapse multi-table/multi-probe collisions on the ~0.2%-yield
-    # survivor set (cos_sim is deterministic per pair, so 3-column distinct
-    # == (a_id, b_id) distinct)
-    return paired.mapInPandas(score, schema).distinct()
+    return rows.groupBy("tbl", "pk").applyInPandas(score, schema)
 
 
 # ----------------------------------- corpus-adaptive embedding LSH planes --
@@ -1140,7 +1168,7 @@ def _adapt_masks_case(arr, err, budget: int = _ADAPT_PROBE_BUDGET) -> str:
 def _adapt_bk_sql(offsets: tuple[int, ...] = _EMB_LSH_OFFSETS) -> str:
     """Shared oracle prefix: the par/bkf/bk CTE chain producing one narrow
     signature row per vector (vec_id, embedding, bits, k0..k{T-1}) — the SQL
-    twin of ``_adaptive_lsh_build``'s checkpointed signature table. Reused
+    twin of ``_adaptive_lsh_build``'s signature rows. Reused
     by the pair oracle and the bucket-audit oracle so both engines derive
     buckets from the identical expression text; ``offsets`` selects the
     hash-table family (4 tables for the primary, 8 for the recall tier)."""
@@ -1233,8 +1261,13 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "bits<=5. At n ≤ 750 (the driver's sf0.01 gate) this is candidate-for-"
     "candidate identical to the fixed variant (tested); at sf0.1 the "
     "6-bit path runs under the oracle; the synth probes exercise 7-11 "
-    "bits (tools/scaleprobe.py). Same exact Arrow re-score tail as the "
-    "fixed variant (_score_candidate_pairs). RECALL CONTRACT (r9, "
+    "bits (tools/scaleprobe.py). Execution shape (r13, the IVF cell-block "
+    "transplant): capped rows emit one embedding-carrying row per gated "
+    "probe mask and ONE (table, bucket) exchange feeds a grouped Arrow "
+    "kernel that scores all-rows × member blocks (_score_bucket_blocks) — "
+    "candidate pairs exist only as matrix entries, so shuffle and Arrow "
+    "mass are O(N·probes·emb), independent of in-bucket pair mass. "
+    "RECALL CONTRACT (r9, "
     "SCALING_r09_embrecall.md): holding cost flat pays recall — measured "
     "planted-pair recall at the 0.4 threshold is 0.67 at sf0.1 (6 bits), "
     "0.07 at 60k vectors (11 bits), 0.005 at 600k (14 bits); the probe-"
@@ -1247,7 +1280,7 @@ SELECT DISTINCT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_THRESH
     "to dedup_embedding_cosine_exact (quadratic by contract).",
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _adaptive_lsh_build(spark, sf_dir, checkpoint=True)
+    return _adaptive_lsh_build(spark, sf_dir)
 
 
 def _emb_audit_oracle_sql() -> str:
@@ -1445,15 +1478,16 @@ def _recall_audit_df(
 
 
 def adaptive_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registered query localCheckpoints its signature table, which
-    TRUNCATES the visible plan — the 1-row broadcast crossJoin that attaches
-    the derived bit width would otherwise escape every plan gate by
-    invisibility (r6 ADVICE). This audit twin builds the identical plan
-    WITHOUT the checkpoint so tests/test_plans.py and tools/plansnap.py can
-    sweep and snapshot the full pre-checkpoint topology (its one BNLJ is
-    whitelisted: the broadcast side is a 1-row global aggregate by
-    construction)."""
-    return _adaptive_lsh_build(spark, sf_dir, checkpoint=False)
+    """Plan twin of dedup_embedding_cosine_lsh. Until r12 the registered
+    form localCheckpointed its signature table (it fed 8 join sides) and
+    this twin existed to expose the truncated lineage to the plan gates
+    (r6 ADVICE: the 1-row bit-width crossJoin must never pass by
+    invisibility). The r13 grouped-scorer build is one linear pipeline
+    with a single consumer of the signature rows — no checkpoint, nothing
+    truncated — so the twin is now identical to the registered plan; kept
+    so the gates' override table stays uniform across the family (the IVF
+    precedent)."""
+    return _adaptive_lsh_build(spark, sf_dir)
 
 
 # ------------------------------------ recall-tier embedding LSH (r9) -------
@@ -1509,11 +1543,12 @@ _EMB_RECALL_PROBE_BUDGET = 1 + _ADAPT_MAX_BITS + (_ADAPT_MAX_BITS * (_ADAPT_MAX_
     "tail as the primary, built by the same parameterized builder, but 8 "
     "independent hash tables (plane offsets 0..700 — all 112 planes "
     "pairwise distinct, tested), the FULL H≤2 probe ball at every width "
-    "(106 masks at 14 bits), the candidacy cap at 256, and a PRE-SCORE "
-    "distinct on the narrow candidate stream (at 8 tables × full ball, "
-    "cross-table duplication dominates and rides the ~540 B/row vector "
-    "attach — the r8 dedup-after-threshold tradeoff reverses; without it "
-    "the 60k run overran an 80 GB spill budget, with it ~200 s). The "
+    "(106 masks at 14 bits), and the candidacy cap at 256. (The r9 "
+    "PRE-SCORE distinct is gone with the r13 grouped scorer: cross-table "
+    "candidate duplication used to ride a ~540 B/row vector attach — the "
+    "un-deduped 60k run overran an 80 GB spill budget — whereas grouped "
+    "cell-block scoring never materializes pair rows, so duplicates cost "
+    "kernel FLOPs only and the post-threshold distinct collapses them.) The "
     "occupancy gate stays at the primary's bound: the gate-off form was "
     "measured infeasible (dense Hamming neighborhoods), and the gate is "
     "what keeps this tier's cost bounded. Probe-geometry ceiling at the "
@@ -1531,29 +1566,28 @@ def dedup_embedding_cosine_lsh_recall(spark: SparkSession, sf_dir: str) -> DataF
     return _adaptive_lsh_build(
         spark,
         sf_dir,
-        checkpoint=True,
         offsets=_EMB_RECALL_OFFSETS,
         bucket_cap=_EMB_RECALL_BUCKET_CAP,
         occ_bound=_EMB_RECALL_OCC_BOUND,
         budget=_EMB_RECALL_PROBE_BUDGET,
-        pre_distinct=True,
     )
 
 
 def recall_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-checkpoint plan twin of dedup_embedding_cosine_lsh_recall —
-    same role as adaptive_lsh_plan_audit for the primary (the registered
-    form localCheckpoints its signature table, truncating the visible
-    plan; the plan gates sweep this full-lineage twin instead)."""
+    """Plan twin of dedup_embedding_cosine_lsh_recall — same role as
+    adaptive_lsh_plan_audit for the primary (identical to the registered
+    plan since the r13 grouped-scorer build removed the checkpoint; kept
+    for gate-table uniformity). The r9 pre-score distinct is gone for the
+    reason _score_bucket_blocks documents: candidate duplication no longer
+    rides a per-pair embedding attach, so there is nothing to dedupe
+    before the kernel."""
     return _adaptive_lsh_build(
         spark,
         sf_dir,
-        checkpoint=False,
         offsets=_EMB_RECALL_OFFSETS,
         bucket_cap=_EMB_RECALL_BUCKET_CAP,
         occ_bound=_EMB_RECALL_OCC_BOUND,
         budget=_EMB_RECALL_PROBE_BUDGET,
-        pre_distinct=True,
     )
 
 
@@ -2525,7 +2559,7 @@ def _score_cell_blocks(tagged: DataFrame) -> DataFrame:
     its probe×home dot block in numpy and emits only the thresholded,
     orientation-normalized survivors. The per-pair dot keeps the oracle's
     dimension order (acc[i,j] folds ((0.0+t1)+t2)+… — same bit-exactness
-    argument as _score_candidate_pairs); self-pairs are
+    argument as _score_bucket_blocks); self-pairs are
     masked in kernel (the oracle's p.vec_id <> h.vec_id). Arrow traffic is
     the group rows themselves — bounded by the candidacy caps — never the
     pair mass."""
@@ -3116,112 +3150,170 @@ SELECT DISTINCT new_id, old_id, cos_sim FROM pairs WHERE cos_sim >= {_EMB_COS_TH
     "dedup_embedding_cosine_lsh; both dials inert at bits <= 5.",
 )
 def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _incremental_lsh_build(spark, sf_dir, checkpoint=True)
+    return _incremental_lsh_build(spark, sf_dir)
 
 
 def incremental_lsh_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No-checkpoint twin of dedup_embedding_incremental for plan sweeps —
-    same contract as adaptive_lsh_plan_audit (the 1-row bits crossJoin must
-    stay visible to the BNLJ gate)."""
-    return _incremental_lsh_build(spark, sf_dir, checkpoint=False)
+    """Plan twin of dedup_embedding_incremental — identical to the
+    registered plan since the r13 grouped-scorer build removed the
+    checkpoint (single consumer chain); kept so the gates' override table
+    stays uniform (the 1-row bits crossJoin stays visible either way)."""
+    return _incremental_lsh_build(spark, sf_dir)
 
 
-def _incremental_lsh_build(
-    spark: SparkSession, sf_dir: str, checkpoint: bool
-) -> DataFrame:
+def _incremental_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 grouped-scorer shape of the asymmetric ingest probe (the
+    _adaptive_lsh_build transplant with home/probe roles instead of the
+    i<j triangle — the mt4 _score_cell_blocks analogy). One linear
+    pipeline; the 4 per-table corpus-occupancy groupBys + 4 LEFT joins
+    that gated the batch side are replaced by ONE (tbl, key) window over
+    old+new rows together: corpus occupancy = windowed count of old-row
+    indicators, corpus candidacy rank = their RUNNING count at an old
+    row's position (== ROW_NUMBER over old rows only, because vec_id is
+    unique — the r12 IVF 'rhc' equivalence), and a new row reads its own
+    bucket's corpus occupancy from the same window (absent corpus rows →
+    0 → probing stays free, the old COALESCE(occ, 0) semantics). Old rows
+    emit their member row only (the corpus never probes); new rows emit
+    gated probe masks only (the batch never receives)."""
     from pyspark.sql import Window as W
 
-    emb, bk = _adapt_signature_rows(spark, sf_dir)
-    # same narrow-row signature-store materialization rationale as
-    # _adaptive_lsh_build: bk feeds the batch side, the corpus side, and
-    # the 4 per-table occupancy aggregates
-    if checkpoint:
-        bk = bk.localCheckpoint(eager=False)
-    is_new = F.expr(_INC_NEW_FILTER)
-    newb = bk.filter(is_new)
-    oldb = bk.filter(~is_new)
+    emb, bk = _adapt_signature_rows(
+        spark, sf_dir, with_embedding=True
+    )
     probe_masks = F.expr(
         _adapt_masks_case(
             lambda ms: "array(" + ", ".join(map(str, ms)) + ")",
             lambda msg: f"raise_error('{msg}')",
         )
     )
-    per_table = []
-    for t in range(len(_EMB_LSH_OFFSETS)):
-        k = F.col(f"k{t}")
-        wp = W.partitionBy(f"k{t}")
-        # corpus-side candidacy cap: row_number over CORPUS rows only (a
-        # new batch must not displace existing members from the window)
-        old_t = oldb.withColumn(
-            "rn", F.row_number().over(wp.orderBy("vec_id"))
-        ).filter((F.col("bits") <= 5) | (F.col("rn") <= _EMB_BUCKET_CAP))
-        # batch probe gate keyed by CORPUS occupancy: an absent key means
-        # an empty corpus bucket -> probing is free, keep it (COALESCE 0)
-        occ = oldb.groupBy(k.alias("okey")).agg(F.count(F.lit(1)).alias("occ_c"))
-        n = newb.join(occ, k == F.col("okey"), "left")
-        gated = F.when(
-            (F.col("bits") <= 5)
-            | (F.coalesce(F.col("occ_c"), F.lit(0)) <= _EMB_PROBE_OCC_BOUND),
-            probe_masks,
-        ).otherwise(F.array(F.lit(0)))
-        a = n.select(
-            F.col("vec_id").alias("a_id"),
-            F.explode(F.transform(gated, lambda m: k.bitwiseXOR(m))).alias("ka"),
+    te = bk.select(
+        "vec_id",
+        "embedding",
+        "bits",
+        F.expr(_INC_NEW_FILTER).alias("is_new"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"k{t}").alias("key")
+                    )
+                    for t in range(len(_EMB_LSH_OFFSETS))
+                ]
+            )
+        ).alias("tk"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "bits",
+        "is_new",
+        F.col("tk.tbl").alias("tbl"),
+        F.col("tk.key").alias("key"),
+    )
+    old_ind = F.when(F.col("is_new"), 0).otherwise(1)
+    # one Window OPERATOR (shared partition+order spec, frames differ) and —
+    # crucially — ONE downstream branch: a union of old-member and new-probe
+    # filters over the same windowed lineage would DUPLICATE the whole
+    # scan+window subtree into both union arms (Spark plans, it does not
+    # CSE), doubling the corpus work; instead every row emits its role's
+    # entry array conditionally and one explode fans out both roles
+    wo = W.partitionBy("tbl", "key").orderBy("vec_id")
+    stats = te.withColumn(
+        "occ_old",
+        F.sum(old_ind).over(
+            wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    ).withColumn(
+        "rn_old",
+        F.sum(old_ind).over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    gated = F.when(
+        (F.col("bits") <= 5) | (F.col("occ_old") <= _EMB_PROBE_OCC_BOUND),
+        probe_masks,
+    ).otherwise(F.array(F.lit(0)))
+    key = F.col("key")
+    probe_arm = F.transform(
+        gated,
+        lambda m: F.struct(key.bitwiseXOR(m).alias("pk"), F.lit(0).alias("pr")),
+    )
+    # un-capped old rows yield NULL (no array) — explode drops them
+    member_arm = F.when(
+        (F.col("bits") <= 5) | (F.col("rn_old") <= _EMB_BUCKET_CAP),
+        F.array(F.struct(key.alias("pk"), F.lit(1).alias("pr"))),
+    )
+    rows = stats.select(
+        "vec_id",
+        "embedding",
+        "tbl",
+        F.explode(
+            F.when(F.col("is_new"), probe_arm).otherwise(member_arm)
+        ).alias("e"),
+    ).select("vec_id", "embedding", "tbl", "e.pk", "e.pr")
+    return (
+        _score_bucket_blocks(rows, symmetric=False)
+        .distinct()
+        .select(
+            F.col("a_id").alias("new_id"), F.col("b_id").alias("old_id"), "cos_sim"
         )
-        b = old_t.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
-        per_table.append(
-            a.join(b, F.col("ka") == F.col("kb")).select("a_id", "b_id")
-        )
-    cand = per_table[0]
-    for p in per_table[1:]:
-        cand = cand.unionAll(p)
-    return _score_candidate_pairs(emb, cand).select(
-        F.col("a_id").alias("new_id"), F.col("b_id").alias("old_id"), "cos_sim"
     )
 
 
 def _adapt_signature_rows(
-    spark: SparkSession, sf_dir: str, offsets: tuple[int, ...] = _EMB_LSH_OFFSETS
+    spark: SparkSession,
+    sf_dir: str,
+    offsets: tuple[int, ...] = _EMB_LSH_OFFSETS,
+    with_embedding: bool = False,
 ):
-    """(embeddings, narrow signature rows) for the corpus-adaptive LSH:
+    """(embeddings, signature rows) for the corpus-adaptive LSH:
     one row per vector with vec_id, bits, k0..k{T-1} — the Spark twin of the
     ``_adapt_bk_sql`` oracle CTE chain. Shared by the pair build and
     ``dedup_embedding_bucket_audit`` so both derive buckets identically;
     ``offsets`` selects the hash-table family (4 for the primary, 8 for
-    the recall tier)."""
-    from pg2parquet_spark.operators.similarity import bucket_col_offset_n
+    the recall tier). ``with_embedding`` keeps the 64-float vector in the
+    row — the r13 grouped-scorer builds carry the embedding from the scan
+    (guide §8: heavy bytes move with their decision rows, exactly once per
+    emission) while the audit path stays narrow."""
+    from pg2parquet_spark.operators.similarity import bucket_expr_offset_n
+
+    from pg2parquet_spark.tables import spread_scan
 
     emb = table(spark, sf_dir, "embeddings")
     par = emb.agg(F.count("*").alias("n")).select(
         F.expr(_adapt_bits_case("n")).alias("bits")
     )
-    # r12 probe, rejected: spreading the scan under the plane-dot signature
-    # projection (spread_scan, cf. quality_bootstrap_ci) measured a wash on
-    # dedup_embedding_cosine_lsh (interleaved min 7.12 vs 7.51 s) and a
-    # ~0.5 s REGRESSION on dedup_embedding_incremental (6.39 vs 5.84 s):
-    # the family's cost lives in the capped candidate joins and the Arrow
-    # exact re-score, not in this map stage, so the extra exchange only
-    # adds latency. At real scale the scan has >= cores splits and the
-    # spread would be a no-op anyway — nothing to buy at either end.
-    # bucket_col_offset_n, not the unrolled bucket_sql_offset_n string the
+    # spread the plane-dot projection (r13): the 56 per-key HOF dots are
+    # interpreted per element (HigherOrderFunction lambdas do not codegen)
+    # and the fixture scan is one split, so the whole signature stage ran
+    # on one core. An r12 probe of this spread against the OLD
+    # candidate-join tail measured a wash (its cost was the joins + pair
+    # re-score); under the r13 grouped scorer the signature stage is a
+    # visible fraction and the spread re-measured a real win (interleaved
+    # mins in OPTIMIZATION_r13.md). No-op at real scale by construction
+    # (spread_scan only acts when splits < defaultParallelism).
+    # bucket_expr_offset_n (SQL-text HOF form, r13 — one JVM parse instead
+    # of 5-10 s of py4j lambda-Column construction per query build; same
+    # resolved expression), not the unrolled bucket_sql_offset_n string the
     # ORACLE still evaluates: 4 tables × 14 planes × ~60 terms in one
     # projection generated >64 KB of Java per method, janino threw
     # InternalCompilerException, and the whole signature stage silently ran
     # interpreted (r7 verdict #1). The HOF form is bit-identical (see
-    # plane_dot_col) and keeps the stage in whole-stage codegen — gated by
+    # plane_dot_expr) and keeps the stage in whole-stage codegen — gated by
     # tests/test_plans.py::test_embedding_lsh_family_compiles_codegen.
-    bkf = emb.select(
+    carry = ["embedding"] if with_embedding else []
+    bkf = spread_scan(emb.select("vec_id", "embedding")).selectExpr(
         "vec_id",
+        *carry,
         *[
-            bucket_col_offset_n("embedding", EMB_DIM, off, _ADAPT_MAX_BITS).alias(
-                f"kf{t}"
-            )
+            f"{bucket_expr_offset_n('embedding', EMB_DIM, off, _ADAPT_MAX_BITS)}"
+            f" AS kf{t}"
             for t, off in enumerate(offsets)
         ],
     )
     # 1-row params side: the derived bucket width rides every row as ONE int
     bk = bkf.crossJoin(F.broadcast(par)).select(
         "vec_id",
+        *carry,
         "bits",
         *[
             F.expr(f"kf{t} % shiftleft(1, bits)").alias(f"k{t}")
@@ -3234,30 +3326,45 @@ def _adapt_signature_rows(
 def _adaptive_lsh_build(
     spark: SparkSession,
     sf_dir: str,
-    checkpoint: bool,
     offsets: tuple[int, ...] = _EMB_LSH_OFFSETS,
     bucket_cap: int = _EMB_BUCKET_CAP,
     occ_bound: int = _EMB_PROBE_OCC_BOUND,
     budget: int = _ADAPT_PROBE_BUDGET,
-    pre_distinct: bool = False,
 ) -> DataFrame:
-    emb, bk = _adapt_signature_rows(spark, sf_dir, offsets)
-    # hash once, reuse 8×: the 4 tables each consume bk on BOTH join sides,
-    # and the 40 plane dots (4 tables × 10 planes × ~60 mult-adds) are the
-    # dominant map cost — one expression that wide also falls out of
-    # whole-stage codegen, so recomputing it per consumer is interpreted
-    # work. Materializing the NARROW signature rows (vec_id + bits + 4 key
-    # ints — the probe-mask ARRAY is rebuilt per consumer from `bits`, a
-    # constant-int CASE, so the up-to-48-element constant is never
-    # duplicated into every checkpointed row) is exactly what a signature
-    # store does at 100 TB; measured 118 s → 8.3 s at sf0.1. Lazy
-    # checkpoint: blocks materialize on first consumption and
-    # ContextCleaner reclaims them when the returned DataFrame is GC'd
-    # (same lifecycle as connected_components' final labels checkpoint
-    # below). checkpoint=False is the plan-audit path only
-    # (adaptive_lsh_plan_audit): identical plan, nothing truncated.
-    if checkpoint:
-        bk = bk.localCheckpoint(eager=False)
+    """r13 grouped-scorer shape (r12 VERDICT #1 — the IVF cell-block
+    transplant). One LINEAR pipeline: scan (plane dots once, in codegen) →
+    JVM explode to (tbl, own-key) rows carrying the embedding → ONE
+    (tbl, key) window exchange computes occupancy + candidacy rank for all
+    T tables at once → capped rows emit their gated probe masks as
+    (tbl, pk) rows → ONE (tbl, pk) exchange feeds the grouped Arrow
+    kernel. Replaces (r8-r12): per-table narrow windows + candidate-id
+    equi-joins + a repartition + TWO shuffle-hash embedding attaches +
+    pair-row Arrow scoring, and the localCheckpoint that existed only
+    because the signature table fed 8 join sides — here it has ONE
+    consumer chain, so the plane dots are computed once by construction
+    and nothing needs materializing.
+
+    Shuffle mass: embedding bytes cross TWO exchanges — T·n rows through
+    the window (vs the old 2 corpus attaches), then probes·n capped rows
+    into the scorer (vs the old candidate-PAIR mass ≈ probes·n·occupancy
+    wide rows). Arrow boundary mass drops by the same occupancy factor
+    (~24-47, the pinned band).
+
+    Two r7 dials, unchanged semantics, now riding the single (tbl, key)
+    window (both inert at bits<=5 — micro corpora, includes the n<=750
+    fixed-variant equivalence contract band; both mirrored in the oracle):
+    1. OCCUPANCY-GATED probing (_EMB_PROBE_OCC_BOUND): a vector whose own
+       bucket holds more than the bound keeps only mask 0 — dense buckets'
+       Hamming neighborhoods are dense (un-gated probing put 1.08e9 join
+       rows through the 60k decade).
+    2. CANDIDACY CAP (_EMB_BUCKET_CAP): only the first cap members by
+       vec_id per bucket emit or receive — own-bucket pair mass is
+       quadratic in bucket size (98% of own-bucket pairs at the 60k point
+       came from >64-member buckets). Dropped mass is reported by
+       dedup_embedding_bucket_audit."""
+    from pyspark.sql import Window as W
+
+    emb, bk = _adapt_signature_rows(spark, sf_dir, offsets, with_embedding=True)
     probe_masks = F.expr(
         _adapt_masks_case(
             lambda ms: "array(" + ", ".join(map(str, ms)) + ")",
@@ -3265,62 +3372,62 @@ def _adaptive_lsh_build(
             budget,
         )
     )
-    from pyspark.sql import Window as W
-
-    per_table = []
-    for t in range(len(offsets)):
-        k = F.col(f"k{t}")
-        # Two r7 dials over the checkpointed NARROW signature rows, both
-        # riding ONE k{t}-partitioned window pass (the same hash
-        # partitioning the candidate join needs anyway), both inert at
-        # bits<=5 (micro corpora — includes the n<=750 fixed-variant
-        # equivalence contract band), both mirrored in the oracle:
-        #
-        # 1. OCCUPANCY-GATED probing: real embeddings cluster, so sign
-        #    buckets are heavy-tailed (max bucket 1110 vs mean 39.8 at 11
-        #    bits on the 60k-vector synth corpus) and a dense bucket's
-        #    Hamming neighborhood is dense too — un-gated probing put
-        #    1.08e9 join rows through the 60k decade. A vector whose OWN
-        #    bucket holds more than _EMB_PROBE_OCC_BOUND members skips its
-        #    probe masks (own bucket, mask 0, always kept): a dense bucket
-        #    already contributes exact-scored in-bucket candidates across
-        #    4 tables, so the marginal recall of probing FROM it is small,
-        #    while its probe traffic is the measured blowup.
-        # 2. CANDIDACY CAP (_EMB_BUCKET_CAP): only the first cap members
-        #    by vec_id per bucket emit or receive pairs — own-bucket pair
-        #    emission is quadratic in bucket size and the probe gate
-        #    cannot touch it (98% of own-bucket pairs at the 60k point
-        #    came from >64-member buckets; the un-capped run sort-spilled
-        #    ~72 GB attaching embeddings to the pair stream). The dropped
-        #    mass is reported by dedup_embedding_bucket_audit, the
-        #    minhash _BUCKET_CAP discipline reapplied.
-        wp = W.partitionBy(f"k{t}")
-        enriched = bk.withColumn("occ", F.count(F.lit(1)).over(wp)).withColumn(
-            "rn", F.row_number().over(wp.orderBy("vec_id"))
-        )
-        capped = enriched.filter(
-            (F.col("bits") <= 5) | (F.col("rn") <= bucket_cap)
-        )
-        gated = F.when(
-            (F.col("bits") <= 5) | (F.col("occ") <= occ_bound),
-            probe_masks,
-        ).otherwise(F.array(F.lit(0)))
-        a = capped.select(
-            F.col("vec_id").alias("a_id"),
-            F.explode(
-                F.transform(gated, lambda m: k.bitwiseXOR(m))
-            ).alias("ka"),
-        )
-        b = capped.select(F.col("vec_id").alias("b_id"), k.alias("kb"))
-        per_table.append(
-            a.join(
-                b, (F.col("ka") == F.col("kb")) & (F.col("a_id") < F.col("b_id"))
-            ).select("a_id", "b_id")
-        )
-    cand = per_table[0]
-    for p in per_table[1:]:
-        cand = cand.unionAll(p)
-    return _score_candidate_pairs(emb, cand, pre_distinct=pre_distinct)
+    te = bk.select(
+        "vec_id",
+        "embedding",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"k{t}").alias("key")
+                    )
+                    for t in range(len(offsets))
+                ]
+            )
+        ).alias("tk"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "bits",
+        F.col("tk.tbl").alias("tbl"),
+        F.col("tk.key").alias("key"),
+    )
+    # one Window OPERATOR, not two: giving the occupancy count the same
+    # (partition, order) spec as row_number (its frame widened to the full
+    # partition) lets Catalyst evaluate both in a single sorted pass
+    wo = W.partitionBy("tbl", "key").orderBy("vec_id")
+    stats = te.withColumn(
+        "occ",
+        F.count(F.lit(1)).over(
+            wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    ).withColumn("rn", F.row_number().over(wo))
+    capped = stats.filter((F.col("bits") <= 5) | (F.col("rn") <= bucket_cap))
+    gated = F.when(
+        (F.col("bits") <= 5) | (F.col("occ") <= occ_bound), probe_masks
+    ).otherwise(F.array(F.lit(0)))
+    rows = capped.select(
+        "vec_id",
+        "embedding",
+        "tbl",
+        "key",
+        F.explode(
+            F.transform(gated, lambda m: F.col("key").bitwiseXOR(m))
+        ).alias("pk"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "tbl",
+        "pk",
+        # mask 0 ⇔ pk == own key ⇔ bucket MEMBER (receives pairs); the
+        # member row doubles as its own-bucket prober, exactly like the
+        # old a-side's mask-0 row
+        (F.col("pk") == F.col("key")).cast("int").alias("pr"),
+    )
+    # 3-column distinct == (a_id, b_id) distinct (deterministic cos_sim);
+    # collapses cross-table/probe duplicates like the oracle's DISTINCT
+    return _score_bucket_blocks(rows, symmetric=True).distinct()
 
 
 # ------------------------------------------- end-to-end curation pipeline --
@@ -3923,8 +4030,18 @@ FROM ev
     "outer join on the pair key and a 1-row aggregate.",
 )
 def pipeline_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    est = dedup_minhash_lsh(spark, sf_dir).filter(
+    # SHARED FRONTIER (r13, guide §5): both arms — exact Jaccard over the
+    # inverted index and the MinHash estimate — derive from the same
+    # stop-filtered shingle sets, and the exact arm additionally consumes
+    # them on BOTH self-join sides; composed from the registered operators
+    # the shingling (normalize + split + 3-gram + stop filter) ran three
+    # times per query. One lazy localCheckpoint feeds all three consumers.
+    # Intra-query state only, reclaimed when the result is GC'd.
+    sh = stop_filtered_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    exact = _jaccard_pair_rows(spark, sf_dir, shingled=sh).select("doc_a", "doc_b")
+    est = _minhash_pair_rows(
+        spark, sf_dir, bands=_lsh_bands(spark, sf_dir, shingled=sh)
+    ).filter(
         F.col("matching_hashes") >= _EVAL_EST_MIN
     ).select("doc_a", "doc_b")
     e = exact.withColumn("is_true", F.lit(1))
@@ -4035,7 +4152,18 @@ def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_copies"),
         F.min("doc_id").over(w).alias("rep"),
     )
-    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+    # SHARED FRONTIER (r13, guide §5): the near-dup channel and its cap
+    # audit both consume the banded minhash signatures, and Spark plans —
+    # it does not CSE across branches — so composing the registered
+    # operators re-ran the whole shingle+md5 signature pipeline once per
+    # consumer. One lazy localCheckpoint of the band rows (narrow:
+    # doc_id + 8 sig ints + band_idx + bh) feeds both tails; the doc the
+    # operator always carried ("a production run materializes the banded
+    # signatures once for both the candidate and audit passes") is now the
+    # executed plan. Intra-query state only — materialized and reclaimed
+    # within this query's lifetime, nothing persists across runs.
+    bands = _lsh_bands(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _minhash_pair_rows(spark, sf_dir, bands=bands).filter(
         F.col("matching_hashes") >= _EVAL_EST_MIN
     )
     neard = (
@@ -4054,7 +4182,7 @@ def pipeline_dedup_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same BroadcastNestedLoopJoin anyway — with a 1-row build side
     # either plan is scale-safe, so say what we mean and whitelist it.)
     capd = (
-        dedup_minhash_bucket_audit(spark, sf_dir)
+        _bucket_audit_rows(bands)
         .agg(F.coalesce(F.sum("n_dropped_members"), F.lit(0)).alias("nd"))
         .select((F.col("nd") > 0).alias("capped"))
     )

@@ -118,6 +118,36 @@ def bucket_col_offset_n(emb, dim: int, offset: int, nplanes: int) -> F.Column:
     return key
 
 
+def plane_dot_expr(emb: str, plane: int, dim: int) -> str:
+    """Spark-SQL-TEXT twin of ``plane_dot_col`` — the IDENTICAL zip_with +
+    left-fold aggregate expression, but built as one string parsed JVM-side
+    instead of a lambda-Column tree assembled through py4j. Why it exists
+    (r13): constructing the adaptive LSH's 4-14 tables × 14 planes of
+    nested HOF Columns cost 5-10 s of DRIVER time per query build —
+    hundreds of gateway round trips per plane — which dwarfed the actual
+    execution (~0.5 s) of the signature stage; the same finding the
+    minhash band stage recorded in r-earlier ("each string is ONE gateway
+    round trip"). Resolves to the same ZipWith/ArrayAggregate operators,
+    so every bit-exactness and codegen-safety argument in
+    ``plane_dot_col``'s docstring carries over unchanged (equality of the
+    two forms is pinned by tests/test_property.py)."""
+    w_arr = "array(" + ", ".join(f"{float(x)}D" for x in plane_weights(plane, dim)) + ")"
+    return (
+        f"aggregate(zip_with({emb}, {w_arr}, (x, wj) -> wj * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, t) -> acc + t)"
+    )
+
+
+def bucket_expr_offset_n(emb: str, dim: int, offset: int, nplanes: int) -> str:
+    """SQL-text twin of ``bucket_col_offset_n`` (see plane_dot_expr): the
+    n-bit sign bucket key as a sum of per-plane CASE bits."""
+    return " + ".join(
+        f"(CASE WHEN {plane_dot_expr(emb, j + offset, dim)} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(nplanes)
+    )
+
+
 def plane_dot_sql(emb: str, plane: int, dim: int, zero_based: bool) -> str:
     """Σ w[plane][i]·emb[i] with deterministic integer weights; zero-weight
     terms are skipped identically on both sides.

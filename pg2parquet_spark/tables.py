@@ -83,7 +83,18 @@ def spread_scan(df: DataFrame) -> DataFrame:
     the default parallelism — the 100 TB case, where inputs are thousands
     of files — this is a NO-OP and adds no exchange, so the repartition
     can never become a corpus-wide shuffle at scale. The split probe is a
-    driver-side plan inspection (no job runs)."""
+    driver-side plan inspection (no job runs).
+
+    PRECONDITION (r12 ADVICE): the input must be a scan or a narrow chain
+    over one — every current call site is. `df.rdd.getNumPartitions()` on
+    a plan that already contains an Exchange would, under AQE, finalize
+    query stages and EXECUTE the upstream shuffle during the probe; do not
+    pass shuffled DataFrames here."""
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        raise ValueError(
+            "spread_scan requires a scan/narrow input; got a plan with an "
+            "Exchange — probing it would execute the upstream shuffle"
+        )
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

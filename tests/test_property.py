@@ -184,6 +184,58 @@ def test_hof_bucket_keys_bit_identical_to_unrolled_oracle(spark):
         for t in range(len(_EMB_LSH_OFFSETS)):
             assert r[f"hof{t}"] == r[f"unr{t}"], (r.vec_id, t, r)
 
+
+def test_sql_text_bucket_keys_match_column_form(spark):
+    """r13: the production signature builds moved from lambda-Column HOF
+    construction (bucket_col_offset_n — hundreds of py4j round trips per
+    plane, 5-10 s of driver time per query build) to the SQL-TEXT twin
+    (bucket_expr_offset_n — one JVM parse). Both must resolve to the same
+    zip_with + aggregate expression; this pins value-equality on the same
+    adversarial vectors as the oracle-identity test above, for every
+    registered hash-table offset family at full width."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pg2parquet_spark.operators.dedup import (
+        _ADAPT_MAX_BITS,
+        _EMB_LSH_OFFSETS,
+        _EMB_RECALL_OFFSETS,
+    )
+    from pg2parquet_spark.operators.similarity import (
+        EMB_DIM,
+        bucket_col_offset_n,
+        bucket_expr_offset_n,
+    )
+
+    denorm = struct.unpack("f", struct.pack("I", 1))[0]
+    specials = [0.0, -0.0, denorm, -denorm, 1e30, -1e30, 1e-30, 3.14159, -2.5]
+    vecs = []
+    for s in range(12):
+        v = [specials[(s * 7 + i) % len(specials)] for i in range(EMB_DIM)]
+        if s % 3 == 0:
+            v[1] = -v[0]
+        if s % 4 == 0:
+            v = [0.0 if i % 2 else -0.0 for i in range(EMB_DIM)]
+        vecs.append((s, v))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    offsets = sorted(set(_EMB_LSH_OFFSETS) | set(_EMB_RECALL_OFFSETS))
+    cols = []
+    for t, off in enumerate(offsets):
+        cols.append(
+            bucket_col_offset_n("embedding", EMB_DIM, off, _ADAPT_MAX_BITS).alias(
+                f"col{t}"
+            )
+        )
+        cols.append(
+            F.expr(
+                bucket_expr_offset_n("embedding", EMB_DIM, off, _ADAPT_MAX_BITS)
+            ).alias(f"txt{t}")
+        )
+    for r in df.select(*cols).collect():
+        for t in range(len(offsets)):
+            assert r[f"col{t}"] == r[f"txt{t}"], (t, r)
+
     # cross-engine arm: DuckDB evaluates the same unrolled strings on the
     # same float32 values — the actual oracle path, now on adversarial data
     import duckdb

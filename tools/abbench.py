@@ -56,11 +56,23 @@ def ab(variants: dict, spark=None, reps: int = 5, warm: int = 1) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     reps = 5
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--reps"):
-            reps = int(a.split("=")[1])
+            # accept both --reps=N and --reps N (r12 ADVICE: the usage
+            # string advertised the space form but only = parsed)
+            if "=" in a:
+                reps = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                reps = int(argv[i])
+        else:
+            args.append(a)
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pg2parquet_spark.registry import load_all
 
