@@ -762,6 +762,7 @@ def test_memo_tmpdir_failed_populate_not_committed():
     assert path2 == path and not created2 and len(built) == 1
 
 
+@pytest.mark.slowtier
 def test_fixture_queries_reuse_tmpdirs_across_invocations(spark):
     """r6 review item: the ten fixture-writing queries used to mkdtemp per
     invocation — every selfcheck/scaleprobe/plan sweep leaked temp dirs.

@@ -111,9 +111,11 @@ def _run_tier(pairs: list[tuple[str, str]], limit: str, cap_threads: bool = Fals
         con.close()
 
 
+@pytest.mark.slowtier
 def test_all_oracles_fit_2gb_shared_connection():
     _run_tier(_oracles(), "2GB")
 
 
+@pytest.mark.slowtier
 def test_heavy_oracles_fit_1gb_shared_connection():
     _run_tier(_heavy_subset(), "1GB", cap_threads=True)

@@ -175,6 +175,7 @@ def test_embedding_lsh_recall(spark, sf_dir):
     assert recall >= 0.80, f"LSH recall collapsed: measured {recall:.3f} < 0.80 floor"
 
 
+@pytest.mark.slowtier
 def test_recall_tier_dominates_primary_and_stays_exact(spark, sf_dir):
     """dedup_embedding_cosine_lsh_recall (r9): the OR-construction tier must
     (a) emit a SUPERSET of the primary's survivor pairs — structural claim:
@@ -204,6 +205,7 @@ def test_recall_tier_dominates_primary_and_stays_exact(spark, sf_dir):
     not os.path.isdir(SF_RECALL),
     reason="sf0.1 corpus absent (r8 ADVICE: fail as a skip, not an error)",
 )
+@pytest.mark.slowtier
 def test_recall_tier_superset_at_sf01(spark):
     """Same superset claim at sf0.1, where bits=6 makes the candidacy cap
     and the full H<=2 ball ACTIVE (the fixture corpus runs the inert 4-bit
@@ -226,6 +228,7 @@ def test_recall_tier_superset_at_sf01(spark):
     not os.path.isdir(SF_RECALL),
     reason="sf0.1 corpus absent (r8 ADVICE: fail as a skip, not an error)",
 )
+@pytest.mark.slowtier
 def test_ann_recall_floors_at_sf01(spark):
     """r7 verdict task #4: ann_recall_eval REPORTS recall@3 per method but
     nothing failed when an index change tanked recall. Assert measured
@@ -1155,6 +1158,7 @@ def test_near_dup_eval_counts_are_consistent(spark, sf_dir):
     assert r.recall_ >= 0.9
 
 
+@pytest.mark.slowtier
 def test_minhash_bucket_cap_bounds_mega_bucket(spark, tmp_path):
     """Adversarial mega-bucket: 150 byte-identical boilerplate docs (kept
     below the stop-shingle df threshold by 2000 unique fillers) share every
@@ -1958,6 +1962,7 @@ def _write_mega_corpus(spark, tmp_path) -> str:
     return d
 
 
+@pytest.mark.slowtier
 def test_embedding_lsh_cap_bounds_mega_cluster(spark, tmp_path):
     """Uncapped, the mega bucket alone emits C(300,2) ≈ 45k pairs per
     table; with _EMB_BUCKET_CAP=64 the capped plan must (a) still match
@@ -2012,6 +2017,7 @@ def test_embedding_lsh_cap_bounds_mega_cluster(spark, tmp_path):
     assert not tail_pairs, f"{len(tail_pairs)} pairs between capped-out members"
 
 
+@pytest.mark.slowtier
 def test_embedding_incremental_matches_oracle_on_mega_cluster(spark, tmp_path):
     """The incremental ingest on the adversarial corpus: the new-batch
     slice (vec_id % 17 = 5) contains mega-cluster members, so the corpus-

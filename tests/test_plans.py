@@ -728,6 +728,7 @@ def _plan_audit_overrides():
     }
 
 
+@pytest.mark.slowtier
 def test_registry_wide_plan_discipline(spark):
     """Mechanical sweep over EVERY registered query: no cartesian products,
     no nested-loop joins outside the bounded-side whitelist, and no
@@ -809,6 +810,7 @@ def test_scene_cuts_map_only(spark):
     assert "MapInPandas" in plan
 
 
+@pytest.mark.slowtier
 def test_plan_snapshot(spark):
     """Every registered query's physical-operator topology must match the
     committed PLAN_SNAPSHOT.json — a lost broadcast, a new exchange, or a

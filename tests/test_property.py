@@ -206,6 +206,7 @@ def test_sql_text_bucket_keys_match_column_form(spark):
         EMB_DIM,
         bucket_col_offset_n,
         bucket_expr_offset_n,
+        bucket_sql_offset_n,
     )
 
     denorm = struct.unpack("f", struct.pack("I", 1))[0]
@@ -232,7 +233,8 @@ def test_sql_text_bucket_keys_match_column_form(spark):
                 bucket_expr_offset_n("embedding", EMB_DIM, off, _ADAPT_MAX_BITS)
             ).alias(f"txt{t}")
         )
-    for r in df.select(*cols).collect():
+    spark_rows = {r["vec_id"]: r for r in df.select("vec_id", *cols).collect()}
+    for r in spark_rows.values():
         for t in range(len(offsets)):
             assert r[f"col{t}"] == r[f"txt{t}"], (t, r)
 
@@ -247,8 +249,8 @@ def test_sql_text_bucket_keys_match_column_form(spark):
     )
     keys = ", ".join(
         f"{bucket_sql_offset_n('embedding', EMB_DIM, False, off, _ADAPT_MAX_BITS)} AS k{t}"
-        for t, off in enumerate(_EMB_LSH_OFFSETS)
+        for t, off in enumerate(offsets)
     )
     for vid, *ks in con.execute(f"SELECT vec_id, {keys} FROM v").fetchall():
         for t, k in enumerate(ks):
-            assert k == spark_rows[vid][f"hof{t}"], (vid, t, k)
+            assert k == spark_rows[vid][f"txt{t}"], (vid, t, k)
