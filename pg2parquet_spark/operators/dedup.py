@@ -864,16 +864,65 @@ WHERE {_dot_sql('a.embedding', 'b.embedding', EMB_DIM, False)} >= {_EMB_COS_THRE
     "tests/test_pipeline_ops.py::test_embedding_lsh_recall).",
 )
 def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg2parquet_spark.operators.similarity import dot_col
+    return _exact_pair_rows(spark, sf_dir)
 
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", dot_col("a_emb", "b_emb").alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _EMB_COS_THRESHOLD)
+
+def _exact_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine arm (a_id, b_id, cos_sim) at the contract
+    threshold — the Arrow-kernel form (r13). The r2-r12 shape was a
+    broadcast nested-loop self-join whose n²/2 surviving rows each
+    evaluated the 64-dim dot through the interpreted zip_with fold: at
+    sf0.1 (2000 vectors → 2M pairs) that was 21-28 s of pure per-pair HOF
+    overhead (guide §4.2 — the ann_cosine_topk_arrow finding, 10× worse
+    here because BOTH sides fan out). Now one side is collected and
+    broadcast as a numpy matrix — the same one-side-fits-in-memory
+    contract the BNLJ build side already imposed, stated by the operator
+    doc since r2 ("quadratic BY CONTRACT... only runnable when one side
+    fits in memory") — and a mapInPandas kernel scores each corpus batch
+    against it with the dimension-ordered fold (acc += a[:,d]·b[d,:]ᵀ),
+    so every pair's sum keeps the oracle's left-assoc IEEE order
+    (the _score_bucket_blocks argument) while only thresholded survivors
+    ever become rows. Used by dedup_embedding_cosine_exact and (ids only)
+    the IVF recall evals' truth arm."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from pg2parquet_spark.tables import spread_scan
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    m_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    m_mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    sc = spark.sparkContext
+    b_ids, b_mat = sc.broadcast(m_ids), sc.broadcast(m_mat)
+    threshold = _EMB_COS_THRESHOLD
+
+    schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
+
+    def score(batches):
+        mv, M = b_ids.value, b_mat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            av = pdf["vec_id"].to_numpy(dtype=np.int64)
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            acc = np.zeros((A.shape[0], M.shape[0]))
+            for d in range(A.shape[1]):
+                acc += A[:, d : d + 1] * M[:, d][None, :]
+            mask = (acc >= threshold) & (av[:, None] < mv[None, :])
+            ai, mi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"a_id": av[ai], "b_id": mv[mi], "cos_sim": acc[ai, mi]}
+            )
+
+    return spread_scan(emb).mapInPandas(score, schema)
 
 
 @register(
@@ -2905,36 +2954,43 @@ def dedup_embedding_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFra
 def _recall_eval_df(spark: SparkSession, sf_dir: str, iv: DataFrame) -> DataFrame:
     """Shared single-row recall contract of the IVF eval queries:
     (n_exact, n_ivf, n_hit, recall) of an approximate pair set against the
-    exact all-pairs arm — quadratic BY CONTRACT (fixture/sample scale)."""
-    from pg2parquet_spark.operators.similarity import dot_col
+    exact all-pairs arm — quadratic BY CONTRACT (fixture/sample scale).
 
+    r13 shape: ONE full outer join of the two (distinct-by-construction)
+    pair sets + one global aggregate. The r9-r12 form computed three
+    separate aggregates (|ex|, |iv|, |ex ∩ iv|) and crossJoined the 1-row
+    results — but Spark plans, it does not CSE across branches, so the
+    exact quadratic arm AND the full IVF candidate build each executed
+    TWICE per eval (count branch + hit-join branch; measured 26-35 s warm
+    at sf0.1). With both sides referenced once and the exact arm on the
+    Arrow kernel (_exact_pair_rows), the eval costs one IVF build + one
+    kernel pass + one (a_id, b_id) shuffle of bounded pair rows. Counts
+    are coalesced to 0 so the empty-truth corner keeps the oracle's
+    values (0, 0, 0, NULL)."""
     iv = iv.select("a_id", "b_id")
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
-    ex = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(dot_col("a_emb", "b_emb") >= _EMB_COS_THRESHOLD)
-        .select("a_id", "b_id")
-    )
-    n_ex = ex.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    n_iv = iv.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivf"))
-    n_hit = (
-        iv.join(ex, ["a_id", "b_id"])
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    )
-    return (
-        n_ex.crossJoin(n_iv)
-        .crossJoin(n_hit)
+    ex = _exact_pair_rows(spark, sf_dir).select("a_id", "b_id")
+    ev = (
+        ex.withColumn("is_ex", F.lit(1))
+        .join(iv.withColumn("is_iv", F.lit(1)), ["a_id", "b_id"], "full")
         .select(
-            "n_exact",
-            "n_ivf",
-            "n_hit",
-            (
-                F.col("n_hit").cast("double")
-                / F.expr("nullif(n_exact, 0)")
-            ).alias("recall"),
+            F.coalesce("is_ex", F.lit(0)).alias("is_ex"),
+            F.coalesce("is_iv", F.lit(0)).alias("is_iv"),
         )
+    )
+    return ev.agg(
+        F.coalesce(F.sum("is_ex"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("is_iv"), F.lit(0)).cast("bigint").alias("n_ivf"),
+        F.coalesce(F.sum(F.col("is_ex") * F.col("is_iv")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hit"),
+        (
+            F.coalesce(F.sum(F.col("is_ex") * F.col("is_iv")), F.lit(0)).cast(
+                "double"
+            )
+            / F.expr(
+                "nullif(coalesce(sum(is_ex), 0), 0)"
+            )
+        ).alias("recall"),
     )
 
 

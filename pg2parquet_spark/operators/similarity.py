@@ -1012,34 +1012,47 @@ FROM ev
     "bounded top-k rows and a q_id groupBy.",
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: reference the exact brute-force arm ONCE. The r3-r12 form
+    # left-joined `exact` separately per method and unioned the three
+    # results — Spark does not CSE across branches, so the exact corpus
+    # scan + dot ranking executed three times per eval. Now the bounded
+    # exact top-k (30 rows) crossJoins a 3-row method table (both sides
+    # bounded — the whitelisted ann-eval crossJoin contract) and ONE left
+    # join against the union of the per-method candidate sets computes
+    # every (method, q_id) row in a single pass. Values are unchanged:
+    # per method, n_exact counts the same exact rows and n_hits the same
+    # method-tagged matches as the old per-arm joins.
     exact = (
         ann_cosine_topk(spark, sf_dir)
         .filter(F.col("rank") <= 3)
         .select("q_id", "c_id")
     )
-    arms = []
+    ests = None
     for method, fn in (
         ("ivf_probe", ann_ivf_probe),
         ("lsh_bucketed", ann_lsh_bucketed),
         ("lsh_multitable", ann_lsh_multitable),
     ):
-        est = fn(spark, sf_dir).select("q_id", "c_id", F.lit(1).alias("hit"))
-        arms.append(
-            exact.join(est, ["q_id", "c_id"], "left")
-            .groupBy("q_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
-            )
-            .select(
-                F.lit(method).alias("method"),
-                "q_id",
-                "n_exact",
-                "n_hits",
-                (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
-            )
+        est = fn(spark, sf_dir).select(
+            F.lit(method).alias("method"), "q_id", "c_id", F.lit(1).alias("hit")
         )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionAll(a)
-    return out
+        ests = est if ests is None else ests.unionAll(est)
+    methods = spark.createDataFrame(
+        [("ivf_probe",), ("lsh_bucketed",), ("lsh_multitable",)], "method string"
+    )
+    return (
+        exact.crossJoin(F.broadcast(methods))
+        .join(ests, ["method", "q_id", "c_id"], "left")
+        .groupBy("method", "q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "method",
+            "q_id",
+            "n_exact",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_exact")).alias("recall_at_k"),
+        )
+    )

@@ -646,7 +646,9 @@ _BNLJ_WHITELIST = {
     "ann_recall_eval",            # composes the whitelisted exact + IVF
                                   # arms (bounded query set / k centroids)
     "ann_ivf_probe",              # k-row centroid table crossJoin
-    "dedup_embedding_cosine_exact",  # quadratic by documented contract
+    # dedup_embedding_cosine_exact left the whitelist in r13: the quadratic
+    # contract moved from a BNLJ self-join into the broadcast-matrix Arrow
+    # kernel (_exact_pair_rows), so its plan is scan → MapInPandas, no join
     # IVF tier (r9): the pair build's assignment is an Arrow kernel
     # (MapInPandas — no join at all), so only the audits' 1-row k-params
     # crossJoin remains a nested loop
@@ -659,13 +661,9 @@ _BNLJ_WHITELIST = {
     # k-params crossJoin (BroadcastNestedLoopJoin BuildRight, Cross); the
     # pair build is kernel assignment + cid equi-joins (no BNLJ)
     "dedup_embedding_ivf_mt12_cell_audit",
-    # composes the whitelisted exact arm + the IVF build (the
-    # ann_recall_eval precedent: an eval query, quadratic by contract)
-    "dedup_embedding_ivf_recall_eval",
-    "dedup_embedding_ivf_mt4_recall_eval",
-    # mt12 (r11): same eval-by-contract class — the exact quadratic arm's
-    # BNLJs, quadratic by documented contract (the mt4 twin's precedent)
-    "dedup_embedding_ivf_mt12_recall_eval",
+    # the IVF recall evals left the whitelist in r13: their exact arm is
+    # the Arrow kernel and the three 1-row count crossJoins collapsed into
+    # ONE full-outer-join aggregate (_recall_eval_df) — no BNLJ remains
     # 1-row params crossJoin (bits, a global COUNT aggregate) — hidden in
     # the registered plan by localCheckpoint, so the discipline sweep audits
     # the pre-checkpoint twin via _PLAN_AUDIT_OVERRIDES below (r6 ADVICE:
