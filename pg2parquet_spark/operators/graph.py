@@ -256,6 +256,22 @@ def graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # r13 diagonal-degree shape (guide §2.4/§7.2): the r4-r12 form
+    # referenced the capped (customer, supplier) edge list THREE times —
+    # a separate degree aggregation plus both self-join sides — and Spark
+    # does not CSE across branches, so the orders⋈lineitem join +
+    # distinct + cap window executed three times per query. Keeping the
+    # DIAGONAL in the pair join (a.s == b.s allowed) makes i(s, s) = the
+    # supplier's capped degree, so deg rides the same (sa, sb)
+    # aggregation stream (2 front-end evaluations instead of 3) and the
+    # two degree joins become full-frame window maxes over the bounded
+    # pair table (unbounded-side joins avoided for the same reason the
+    # r6 ADVICE banned broadcast hints here). An array-fold rewrite that
+    # evaluated the front-end ONCE (collect_set per customer + pair
+    # explosion) was A/B-measured 1.7-3× SLOWER at sf0.1 — the d² pair
+    # generation through Generate/HOF nodes loses to the join — and was
+    # rejected; the diagonal adds only deg(s) extra rows per supplier.
+    # Fan-out stays capped: ≤ (cap+1)·cap rows per customer.
     e = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
@@ -266,24 +282,30 @@ def graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _NSIM_CUST_CAP)
         .select("c", "s")
     )
-    deg = capped.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = capped.alias("a")
     b = capped.alias("b")
+    # the join keeps the DIAGONAL (a.s == b.s): i(s, s) counts the capped
+    # customers holding s, which IS the degree the old third evaluation
+    # computed separately — deg rides the same (sa, sb) aggregation stream
     inter = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") != F.col("b.s")))
+        a.join(b, F.col("a.c") == F.col("b.c"))
         .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
     )
-    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("da"))
-    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("db"))
-    # NO static broadcast hints on the degree tables: deg has one row per
-    # supplier, which grows linearly with the corpus — an unbounded side.
-    # AQE sizes the join at runtime (broadcast while deg is small, shuffled
-    # hash/sort-merge once it isn't); pinning F.broadcast here would be an
-    # executor-OOM bet at the operator's 100 TB design point (r6 ADVICE).
+    wb = W.partitionBy("sb").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wa = W.partitionBy("sa").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     scored = (
-        inter.join(da, "sa")
-        .join(db, "sb")
+        inter.withColumn(
+            "db", F.max(F.when(F.col("sa") == F.col("sb"), F.col("i"))).over(wb)
+        )
+        .withColumn(
+            "da", F.max(F.when(F.col("sa") == F.col("sb"), F.col("i"))).over(wa)
+        )
+        .filter(F.col("sa") != F.col("sb"))
         .select(
             "sa",
             "sb",
