@@ -107,9 +107,9 @@ def test_stop_shingle_df_filter_in_minhash_and_jaccard_plans(spark):
 def test_dedup_embedding_cosine_lsh_is_bucketed_not_allpairs(spark):
     # LSH-candidates → exact re-score: every join must be an equi-join on a
     # bucket key; an all-pairs `a_id < b_id` BNLJ is the 100 TB killer
-    # (dedup_embedding_cosine_exact carries that shape ON PURPOSE — its
-    # contract is the quadratic exact answer; only the _lsh variants are
-    # pinned). The PRIMARY (adaptive) query localCheckpoints its signature
+    # (dedup_embedding_cosine_exact keeps the quadratic CONTRACT but since
+    # r13 executes it as a broadcast-matrix Arrow kernel, no join at all;
+    # only the _lsh variants are pinned here). The PRIMARY (adaptive) query localCheckpoints its signature
     # table, truncating the visible plan — so this sweeps the FULL
     # pre-checkpoint twin (r6 ADVICE: the BNLJ gate must not pass by
     # invisibility): exactly ONE BroadcastNestedLoopJoin is allowed, the
@@ -600,6 +600,29 @@ def test_embedding_lsh_grouped_scorer_shape(spark):
         assert "MapInPandas" not in plan, name
         assert "ShuffledHashJoin" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_exact_arm_and_recall_evals_kernel_shape(spark):
+    """r13: the exact all-pairs arm executes as the broadcast-matrix Arrow
+    kernel (scan → MapInPandas, no join), and each IVF recall eval
+    references the exact arm and the IVF build exactly ONCE through a
+    single full-outer join + global aggregate. A reappearing
+    BroadcastNestedLoopJoin means the quadratic self-join came back; a
+    second MapInPandas-per-eval beyond the build's own kernels would mean
+    a subtree is being evaluated twice again (the 21-36× regression this
+    gate pins)."""
+    plan = plan_of(spark, "dedup_embedding_cosine_exact")
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, "exact arm must be join-free"
+    for name in (
+        "dedup_embedding_ivf_recall_eval",
+        "dedup_embedding_ivf_mt4_recall_eval",
+        "dedup_embedding_ivf_mt12_recall_eval",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "FullOuter" in plan, name
 
 
 def test_embedding_lsh_family_compiles_codegen(spark):

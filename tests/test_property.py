@@ -254,3 +254,68 @@ def test_sql_text_bucket_keys_match_column_form(spark):
     for vid, *ks in con.execute(f"SELECT vec_id, {keys} FROM v").fetchall():
         for t, k in enumerate(ks):
             assert k == spark_rows[vid][f"txt{t}"], (vid, t, k)
+
+
+def test_exact_pair_kernel_bit_identical_to_hof_form(spark, tmp_path):
+    """r13: dedup_embedding_cosine_exact moved from the BNLJ self-join whose
+    pairs evaluated dot_col (interpreted zip_with left-fold) to the
+    broadcast-matrix mapInPandas kernel (_exact_pair_rows), whose
+    dimension-ordered numpy fold claims the same left-assoc IEEE sum. This
+    pins that claim on adversarial values — ±0.0, float32 denormals,
+    extreme magnitudes, exact-cancellation pairs — plus a band of
+    near-threshold vectors, by running BOTH forms in one session and
+    requiring the identical (a_id, b_id, cos_sim) row set bit-for-bit
+    (cos_sim compared by repr; the >= threshold mask must also agree, so
+    pair-set equality IS part of the assertion)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pg2parquet_spark.operators.dedup import (
+        _EMB_COS_THRESHOLD,
+        _exact_pair_rows,
+    )
+    from pg2parquet_spark.operators.similarity import EMB_DIM, dot_col
+
+    denorm = struct.unpack("f", struct.pack("I", 1))[0]
+    specials = [0.0, -0.0, denorm, -denorm, 1e3, -1e3, 1e-30, 3.14159, -2.5]
+    vecs = []
+    for s in range(14):
+        v = [specials[(s * 7 + i) % len(specials)] for i in range(EMB_DIM)]
+        if s % 3 == 0:
+            v[1] = -v[0]
+        if s % 4 == 0:
+            v = [0.0 if i % 2 else -0.0 for i in range(EMB_DIM)]
+        vecs.append((s, v))
+    # near-threshold band: unit-ish pairs whose dot lands around 0.4 so the
+    # >= mask exercises both sides of the cutoff on non-trivial sums
+    import math
+
+    for s in range(14, 22):
+        base = [math.sin(0.1 * s + 0.07 * i) / 8.0 for i in range(EMB_DIM)]
+        vecs.append((s, [float(struct.unpack("f", struct.pack("f", x))[0]) for x in base]))
+    sf_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, v, i % 3) for i, v in vecs],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    kernel = {
+        (r.a_id, r.b_id): repr(r.cos_sim)
+        for r in _exact_pair_rows(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    hof = {
+        (r.a_id, r.b_id): repr(r.cos_sim)
+        for r in (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", dot_col("a_emb", "b_emb").alias("cos_sim"))
+            .filter(F.col("cos_sim") >= _EMB_COS_THRESHOLD)
+        ).collect()
+    }
+    assert kernel.keys() == hof.keys()
+    assert len(kernel) > 0, "threshold never crossed — vacuous comparison"
+    for k in kernel:
+        assert kernel[k] == hof[k], (k, kernel[k], hof[k])
